@@ -1,0 +1,164 @@
+"""Deterministic synthetic corpus of pre-tokenized training sequences.
+
+Materializes the input table mandated by BASELINE.json input_hint /
+FIXTURES.md F1:
+
+    doc_id:string, tokens:list<int32>, n_tok:int32, source:string,
+    event_ts:timestamp[us]
+
+Properties (all seeded — identical output at any parallelism):
+- ~`n_sources` sources with Zipf(1.2) row allocation (intentional skew,
+  exercises salting);
+- per-source regular time grid (1s..60s period per source) with ~2% dropped
+  ticks (gap-fill targets) and 0.5% jitter;
+- token lengths ~ LogNormal(mu=5, sigma=0.7) clipped to [8, 4096], token ids
+  Uniform[0, 50257).
+
+Sharded: shard k of a source covers that source's tick range
+[k*n/K, (k+1)*n/K), seeded by (seed, shard) — generation parallelizes over
+shards with deterministic content.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+VOCAB = 50257
+EPOCH_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, arbitrary fixed origin
+
+
+def sequences_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            pa.field("doc_id", pa.string()),
+            pa.field("tokens", pa.list_(pa.int32())),
+            pa.field("n_tok", pa.int32()),
+            pa.field("source", pa.string()),
+            pa.field("event_ts", pa.timestamp("us")),
+        ]
+    )
+
+
+def _zipf_allocation(n_rows: int, n_sources: int, alpha: float = 1.2) -> np.ndarray:
+    w = 1.0 / np.arange(1, n_sources + 1, dtype=np.float64) ** alpha
+    w /= w.sum()
+    alloc = np.floor(w * n_rows).astype(np.int64)
+    alloc[0] += n_rows - alloc.sum()  # remainder to the hottest source
+    return alloc
+
+
+def _source_period_s(source_ix: int) -> int:
+    """Deterministic per-source grid period in [1, 60] seconds."""
+    # simple splitmix-style hash; stable across runs and processes
+    x = (source_ix + 1) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    return 1 + int(x % 60)
+
+
+def generate_shard(
+    shard: int,
+    n_shards: int,
+    n_rows: int,
+    n_sources: int = 50,
+    seed: int = 42,
+    with_tokens: bool = True,
+) -> pa.Table:
+    """Rows of shard `shard` as one Arrow table (deterministic)."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, shard]))
+    alloc = _zipf_allocation(n_rows, n_sources)
+
+    src_arrs, ts_arrs, tick_arrs = [], [], []
+    for s in range(n_sources):
+        n = int(alloc[s])
+        lo = n * shard // n_shards
+        hi = n * (shard + 1) // n_shards
+        cnt = hi - lo
+        if cnt <= 0:
+            continue
+        period_us = _source_period_s(s) * 1_000_000
+        ticks = np.arange(lo, hi, dtype=np.int64)
+        keep = rng.random(cnt) >= 0.02  # ~2% dropped ticks -> gaps
+        ticks = ticks[keep]
+        jitter = (rng.random(len(ticks)) * 0.005 * period_us).astype(np.int64)
+        ts = EPOCH_US + ticks * period_us + jitter
+        src_arrs.append(np.full(len(ticks), s, dtype=np.int32))
+        ts_arrs.append(ts)
+        tick_arrs.append(ticks)
+
+    if not src_arrs:
+        return sequences_schema().empty_table()
+
+    src = np.concatenate(src_arrs)
+    ts = np.concatenate(ts_arrs)
+    tick = np.concatenate(tick_arrs)
+    m = len(src)
+
+    n_tok = np.clip(
+        np.exp(rng.normal(5.0, 0.7, m)), 8, 4096
+    ).astype(np.int32)
+
+    source_names = np.array([f"src{s:03d}" for s in range(n_sources)])
+    doc_id = pa.array(
+        [f"src{s:03d}-{t:012d}" for s, t in zip(src, tick)], type=pa.string()
+    )
+
+    if with_tokens:
+        offsets = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=offsets[1:])
+        values = rng.integers(0, VOCAB, int(offsets[-1]), dtype=np.int32)
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32() if offsets[-1] < 2**31 else pa.int64()),
+            pa.array(values, type=pa.int32()),
+        )
+        if offsets[-1] >= 2**31:  # keep list<int32> type stable
+            tokens = tokens.cast(pa.list_(pa.int32()))
+    else:
+        tokens = pa.nulls(m, pa.list_(pa.int32()))
+
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "tokens": tokens,
+            "n_tok": pa.array(n_tok, type=pa.int32()),
+            "source": pa.array(source_names[src], type=pa.string()),
+            "event_ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+
+
+def generate_sequences(
+    out_dir: str,
+    n_rows: int,
+    n_shards: int = 16,
+    n_sources: int = 50,
+    seed: int = 42,
+    with_tokens: bool = True,
+) -> str:
+    """Write the corpus as `out_dir/shard-XXXXX.parquet` via Ray tasks.
+
+    Deterministic for a given (n_rows, n_shards, n_sources, seed) regardless
+    of parallelism; resumable (existing shard files are kept — content is
+    deterministic so a partial rerun converges to the same corpus).
+    """
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def _write(shard: int) -> str:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
+        if os.path.exists(path):
+            return path
+        tbl = generate_shard(shard, n_shards, n_rows, n_sources, seed, with_tokens)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp, row_group_size=100_000)
+        os.replace(tmp, path)  # atomic -> resumable
+        return path
+
+    ray.get([_write.remote(k) for k in range(n_shards)])
+    return out_dir

@@ -1,0 +1,324 @@
+"""Rollup stages: bucket assignment, partial (combiner) aggregation for the
+decomposable lane, and vectorized holistic per-partition aggregation.
+
+Recasts the reference's FastProp per-entity window aggregation
+(`/root/reference/src/engine/src/fastprop/FastProp.cpp`, Matchmaker/tsindex
+window match) as continuous aggregates over (source, time-bucket) keys — the
+lag-window conditions `(t-(i+1)·dt, t-i·dt]` of FastProp.cpp:1255-1290 are
+exactly tumbling buckets.
+
+Scale design (100 TB):
+- the decomposable lane shrinks raw rows to per-(batch, source, bucket)
+  partial states inside `map_batches` BEFORE any shuffle (combiner pattern);
+  the groupby that merges partials moves partials, not raw rows. A salt
+  column is unnecessary here because partials are already pre-combined per
+  batch — a hot source contributes at most one partial row per (batch,
+  bucket).
+- the holistic lane (quantiles, mode, distinct, EWMA, trend, ...) must see
+  raw values per bucket; rows are hash-partitioned by (source, coarsest
+  bucket) so every finer bucket is complete within one partition, and all
+  tiers are computed in a single pass over each partition — one wide shuffle
+  total. The partition unit (source, 1 day) bounds memory regardless of how
+  hot a source is.
+- `tokens` (wide list<int32> payload) never enters any shuffle: rollups read
+  only (source, ts, value) columns.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.aggregations import DECOMPOSABLE, grouped_aggregate
+
+US = 1_000_000
+
+# first/last composite-key encoding (decomposable lane): dt-in-bucket and an
+# integer value packed into one int64 so built-in Min/Max aggregations merge
+# argmin/argmax states. VALUE_BITS bounds the value range (n_tok <= 4096).
+VALUE_BITS = 13
+VALUE_MASK = (1 << VALUE_BITS) - 1
+
+
+def ts_to_us(arr: pa.Array) -> np.ndarray:
+    """timestamp[us] (or int64 us) column -> int64 numpy, zero-copy."""
+    if pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.int64())
+    return np.asarray(arr)
+
+
+def crc_hash_sources(sources: np.ndarray) -> np.ndarray:
+    """Stable (process-independent) per-row hash of a string key column.
+
+    Vectorized via the unique trick: crc32 only once per distinct value.
+    """
+    uniq, inv = np.unique(sources, return_inverse=True)
+    h = np.array([zlib.crc32(u.encode()) for u in uniq], dtype=np.int64)
+    return h[inv]
+
+
+def assign_partition(
+    batch: pa.Table,
+    *,
+    source_col: str,
+    ts_col: str,
+    coarse_width_s: int,
+    num_partitions: int,
+) -> pa.Table:
+    """Add `_part` = stable_hash(source, coarse_bucket) % num_partitions.
+
+    Every (source, bucket) group of any tier whose width divides
+    `coarse_width_s` is fully contained in one partition.
+    """
+    ts_us = ts_to_us(batch[ts_col].combine_chunks())
+    bucket = ts_us // (coarse_width_s * US)
+    h = crc_hash_sources(np.asarray(batch[source_col]).astype(str))
+    part = ((h * 0x9E3779B1 + bucket * 0x85EBCA77) % num_partitions).astype(np.int64)
+    return batch.append_column("_part", pa.array(part))
+
+
+_EMPTY_PARTIALS = pa.table(
+    {
+        "source": pa.array([], type=pa.string()),
+        "bucket": pa.array([], type=pa.int64()),
+        "cnt": pa.array([], type=pa.float64()),
+        "sum": pa.array([], type=pa.float64()),
+        "min": pa.array([], type=pa.float64()),
+        "max": pa.array([], type=pa.float64()),
+        "first_key": pa.array([], type=pa.int64()),
+        "last_key": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def partial_states(
+    batch: pa.Table,
+    *,
+    source_col: str,
+    ts_col: str,
+    value_col: str,
+    width_s: int,
+) -> pa.Table:
+    """Per-batch combiner: one partial-state row per (source, bucket).
+
+    State: cnt, sum, min, max, first_key, last_key — all mergeable with
+    built-in Sum/Min/Max aggregations. first_key/last_key pack
+    (dt-in-bucket, integer value) so Min(first_key) is argmin-by-(ts, value)
+    and Max(last_key) is argmax-by-(ts, then min value); the engine's
+    deterministic tie-break (reference iteration-order tie-break is not
+    reproducible under parallel merge, so ties resolve to the SMALLEST value
+    — documented divergence, deterministic at any parallelism).
+    """
+    ts_us = ts_to_us(batch[ts_col].combine_chunks())
+    v = np.asarray(batch[value_col].combine_chunks(), dtype=np.float64)
+    src = np.asarray(batch[source_col]).astype(str)
+    if len(v) == 0:
+        return _EMPTY_PARTIALS
+
+    width_us = width_s * US
+    bucket = ts_us // width_us
+
+    # dense group ids for (source, bucket) within this batch
+    uniq_src, src_ix = np.unique(src, return_inverse=True)
+    span = int(bucket.max() - bucket.min() + 1)
+    key = src_ix.astype(np.int64) * span + (bucket - bucket.min())
+    uniq_key, first_ix, gid = np.unique(key, return_index=True, return_inverse=True)
+    G = len(uniq_key)
+
+    finite = np.isfinite(v)
+    gid_f = gid[finite]
+    v_f = v[finite]
+    cnt = np.bincount(gid_f, minlength=G).astype(np.float64)
+    s = np.bincount(gid_f, weights=v_f, minlength=G)
+
+    # composite first/last keys over finite, integer-encodable values
+    if len(v_f) and (
+        v_f.min() < 0 or v_f.max() > VALUE_MASK or not np.all(v_f == np.floor(v_f))
+    ):
+        raise ValueError(
+            "decomposable first/last requires integer values in "
+            f"[0, {VALUE_MASK}]; route this column through the holistic lane"
+        )
+    dt_in_bucket = ts_us[finite] - (bucket[finite] * width_us)
+    vi = np.clip(v_f, 0, VALUE_MASK).astype(np.int64)
+    fk = (dt_in_bucket << VALUE_BITS) | vi
+    lk = (dt_in_bucket << VALUE_BITS) | (VALUE_MASK - vi)
+
+    # one sort of the finite rows by group; min/max/first/last via reduceat
+    order_f = np.argsort(gid_f, kind="stable")
+    gsort = gid_f[order_f]
+    starts = np.searchsorted(gsort, np.arange(G))
+    mn = np.full(G, np.inf)
+    mx = np.full(G, -np.inf)
+    first_key = np.full(G, np.iinfo(np.int64).max, dtype=np.int64)
+    last_key = np.full(G, np.iinfo(np.int64).min, dtype=np.int64)
+    if len(gsort):
+        idx = np.minimum(starts, len(gsort) - 1)
+        ne = cnt > 0
+        mn[ne] = np.minimum.reduceat(v_f[order_f], idx)[ne]
+        mx[ne] = np.maximum.reduceat(v_f[order_f], idx)[ne]
+        first_key[ne] = np.minimum.reduceat(fk[order_f], idx)[ne]
+        last_key[ne] = np.maximum.reduceat(lk[order_f], idx)[ne]
+
+    return pa.table(
+        {
+            "source": pa.array(src[first_ix], type=pa.string()),
+            "bucket": pa.array(bucket[first_ix], type=pa.int64()),
+            "cnt": pa.array(cnt),
+            "sum": pa.array(s),
+            "min": pa.array(mn),
+            "max": pa.array(mx),
+            "first_key": pa.array(first_key),
+            "last_key": pa.array(last_key),
+        }
+    )
+
+
+def finalize_partials(
+    tbl: pa.Table, *, width_s: int, out_ts_col: str = "bucket_ts"
+) -> pa.Table:
+    """Merged partial states -> output columns for one tier."""
+    cnt = np.asarray(tbl["cnt"], dtype=np.float64)
+    s = np.asarray(tbl["sum"], dtype=np.float64)
+    mn = np.asarray(tbl["min"], dtype=np.float64).copy()
+    mx = np.asarray(tbl["max"], dtype=np.float64).copy()
+    empty = cnt == 0
+    mn[empty | np.isinf(mn)] = np.nan
+    mx[empty | np.isinf(mx)] = np.nan
+    with np.errstate(invalid="ignore", divide="ignore"):
+        avg = s / cnt
+    avg[empty] = np.nan
+    fk = np.asarray(tbl["first_key"])
+    lk = np.asarray(tbl["last_key"])
+    first = (fk & VALUE_MASK).astype(np.float64)
+    last = (VALUE_MASK - (lk & VALUE_MASK)).astype(np.float64)
+    first[empty] = np.nan
+    last[empty] = np.nan
+    bucket = np.asarray(tbl["bucket"])
+    return pa.table(
+        {
+            "source": tbl["source"],
+            out_ts_col: pa.array(bucket * width_s * US).cast(pa.timestamp("us")),
+            "count": pa.array(cnt),
+            "sum": pa.array(s),
+            "avg": pa.array(avg),
+            "min": pa.array(mn),
+            "max": pa.array(mx),
+            "first": pa.array(first),
+            "last": pa.array(last),
+        }
+    )
+
+
+def cascade_partials(tbl: pa.Table, *, from_width_s: int, to_width_s: int) -> pa.Table:
+    """Re-key partial states from a finer to a coarser bucket width.
+
+    Exact for the decomposable state (count/sum/min/max/first/last): buckets
+    nest (to_width a multiple of from_width), so re-encoding first/last keys
+    relative to the coarser bucket preserves the argmin/argmax semantics.
+    Returns per-row states keyed by the coarser bucket; merge with the same
+    Sum/Min/Max aggregation used for the finest tier.
+    """
+    assert to_width_s % from_width_s == 0
+    bucket_f = np.asarray(tbl["bucket"])
+    ratio = to_width_s // from_width_s
+    bucket_c = bucket_f // ratio  # floor-divides exactly: epochs align at 0
+    # shift of the fine bucket start inside the coarse bucket, in us
+    shift_us = (bucket_f - bucket_c * ratio) * from_width_s * US
+
+    fk = np.asarray(tbl["first_key"])
+    lk = np.asarray(tbl["last_key"])
+    cnt = np.asarray(tbl["cnt"], dtype=np.float64)
+    ne = cnt > 0
+    new_fk = np.full(len(fk), np.iinfo(np.int64).max, dtype=np.int64)
+    new_lk = np.full(len(lk), np.iinfo(np.int64).min, dtype=np.int64)
+    new_fk[ne] = fk[ne] + (shift_us[ne] << VALUE_BITS)
+    new_lk[ne] = lk[ne] + (shift_us[ne] << VALUE_BITS)
+
+    return pa.table(
+        {
+            "source": tbl["source"],
+            "bucket": pa.array(bucket_c, type=pa.int64()),
+            "cnt": tbl["cnt"],
+            "sum": tbl["sum"],
+            "min": tbl["min"],
+            "max": tbl["max"],
+            "first_key": pa.array(new_fk),
+            "last_key": pa.array(new_lk),
+        }
+    )
+
+
+class HolisticRollup:
+    """Per-partition vectorized computation of ALL tiers and aggregations.
+
+    Called once per hash partition (complete (source, coarse-bucket) groups).
+    Sorts the partition by (source, bucket, ts, value) once, then runs the
+    grouped kernels for each tier. Ties on ts resolve by smallest value —
+    the engine's deterministic ordering (see partial_states docstring).
+
+    Replaces the reference's per-population-row Matchmaker/tsindex loop
+    (FastProp.cpp:1152-1180, tsindex/InMemoryIndex.hpp:36-47) with
+    sort + segmented kernels.
+    """
+
+    def __init__(
+        self,
+        *,
+        source_col: str,
+        ts_col: str,
+        value_col: str,
+        tiers: dict[str, int],
+        aggs: list[str],
+    ):
+        self.source_col = source_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.tiers = tiers
+        self.aggs = aggs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts_us = ts_to_us(batch[self.ts_col].combine_chunks())
+        v = np.asarray(batch[self.value_col].combine_chunks(), dtype=np.float64)
+        src = np.asarray(batch[self.source_col]).astype(str)
+
+        uniq_src, src_ix = np.unique(src, return_inverse=True)
+        out_tables = []
+        for tier_name, width_s in self.tiers.items():
+            width_us = width_s * US
+            bucket = ts_us // width_us
+            bmin = bucket.min() if len(bucket) else 0
+            span = (bucket.max() - bmin + 1) if len(bucket) else 1
+            key = src_ix.astype(np.int64) * span + (bucket - bmin)
+            uniq_key, gid = np.unique(key, return_inverse=True)
+            G = len(uniq_key)
+
+            order = np.lexsort((v, ts_us, gid))
+            g_s, t_s, v_s = gid[order], ts_us[order] / US, v[order]
+
+            g_src = (uniq_key // span).astype(np.int64)
+            g_bucket = uniq_key % span + bmin
+            t_out = ((g_bucket + 1) * width_us) / US  # bucket END drives dt
+
+            res = grouped_aggregate(self.aggs, g_s, v_s, G, t_s, t_out)
+            cols: dict[str, pa.Array] = {
+                "tier": pa.array([tier_name] * G, type=pa.string()),
+                "source": pa.array(uniq_src[g_src], type=pa.string()),
+                "bucket_ts": pa.array(g_bucket * width_us).cast(pa.timestamp("us")),
+            }
+            for a in self.aggs:
+                cols[a] = pa.array(res[a])
+            out_tables.append(pa.table(cols))
+
+        out = pa.concat_tables(out_tables)
+        return out
+
+
+def holistic_supported(aggs: list[str]) -> bool:
+    return True
+
+
+def decomposable_only(aggs: list[str]) -> bool:
+    return all(a in DECOMPOSABLE for a in aggs)
