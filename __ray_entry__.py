@@ -1,16 +1,7 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +11,50 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: tiered holistic rollup
+    of the events stream (full agg vocabulary sample, all tiers)."""
+    from getml_community_ray.pipelines.rollup import RollupConfig, rollup_holistic
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["ts", "event_type", "value"],
+    )
+    cfg = RollupConfig(
+        source_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        tiers={"1m": 60, "1h": 3600, "1d": 86400},
+        aggs=[
+            "count", "sum", "avg", "min", "max", "median", "q25", "q90",
+            "stddev", "var", "mode", "count_distinct", "first", "last",
+            "trend", "ewma_1h", "time_since_last_maximum", "avg_time_between",
+        ],
+        num_partitions=8,
+    )
+    tiers = rollup_holistic(ds, cfg)
+    out = None
+    for name, d in tiers.items():
+        import pyarrow as pa
+
+        d = d.map_batches(
+            lambda b, n=name: b.append_column(
+                "tier", pa.array([n] * len(b), type=pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+        out = d if out is None else out.union(d)
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from getml_community_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from getml_community_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,170 @@
+"""Benchmark harness. Prints ONE JSON line.
+
+Headline: rolled-up points/sec across retention tiers (raw->1m->1h->1d) on
+the deterministic synthetic tokenized-sequences corpus (BASELINE.json
+metric), both lanes: decomposable partial-merge + holistic full vocabulary.
+
+Also times a sample of the testdata-backed queries (per-query seconds in
+"queries").
+
+  python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling    # fresh processes at 8 and 32 CPUs on the
+                               # same input; reports throughputs + efficiency
+                               # (sandbox stand-in for N vs 4N nodes)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# corpus size scales with the testdata scale factor
+_SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
+N_ROWS = max(20_000, int(20_000_000 * _SF))
+N_SHARDS = 64
+CORPUS_DIR = f"/tmp/graft_seq_bench_{N_ROWS}"
+
+HOLISTIC_AGGS = [
+    "count", "sum", "avg", "min", "max", "median", "q25", "q75", "q90",
+    "stddev", "var", "skew", "mode", "num_max", "count_distinct", "first",
+    "last", "trend", "ewma_1h", "ewma_1d", "time_since_last_maximum",
+    "avg_time_between",
+]
+
+BENCH_QUERIES = [
+    "rollup_1m",
+    "rollup_1d_cascade",
+    "rollup_1h_quantiles",
+    "tpch_q1",
+    "window_600s_user",
+    "dedup_exact_documents",
+    "text_stats_documents",
+    "similarity_topk",
+]
+
+
+def _consume(ds) -> int:
+    """Stream a dataset to completion, return row count (no driver collect)."""
+    n = 0
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += len(b)
+    return n
+
+
+def run_once() -> dict:
+    import ray
+    import ray.data as rd
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from getml_community_ray.pipelines.rollup import (
+        RollupConfig,
+        rollup_decomposable_long,
+        rollup_holistic_long,
+    )
+    from getml_community_ray.sources.synth import generate_sequences
+
+    generate_sequences(CORPUS_DIR, n_rows=N_ROWS, n_shards=N_SHARDS, seed=42)
+
+    # warm the page cache (untimed) so we measure compute+shuffle, not disk
+    rd.read_parquet(CORPUS_DIR, columns=["source", "event_ts", "n_tok"]).count()
+
+    def read():
+        return rd.read_parquet(CORPUS_DIR, columns=["source", "event_ts", "n_tok"])
+
+    t0 = time.perf_counter()
+    points = 0
+
+    # lane 1: decomposable partial-merge cascade (one shuffle, all tiers)
+    cfg_fast = RollupConfig(
+        retention={}, num_partitions=NUM_CPUS * 4, cache_intermediates=False
+    )
+    points += _consume(rollup_decomposable_long(read(), cfg_fast)) * len(
+        cfg_fast.aggs
+    )
+
+    # lane 2: holistic full vocabulary, all tiers in one shuffle
+    cfg_holo = RollupConfig(
+        aggs=HOLISTIC_AGGS,
+        num_partitions=NUM_CPUS * 4,
+        retention={},
+        cache_intermediates=False,
+    )
+    points += _consume(rollup_holistic_long(read(), cfg_holo)) * len(HOLISTIC_AGGS)
+
+    headline_sec = time.perf_counter() - t0
+    pps = points / headline_sec
+
+    # testdata-backed query sample
+    from getml_community_ray.pipelines.queries import QUERIES
+
+    qsecs = {}
+    for name in BENCH_QUERIES:
+        t = time.perf_counter()
+        res = QUERIES[name](SF_DIR)
+        if hasattr(res, "iter_batches"):
+            _consume(res)
+        qsecs[name] = round(time.perf_counter() - t, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "headline rollup (raw->1m->1h->1d, both lanes) wall time",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": qsecs,
+        "sf": _SF,
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": N_ROWS,
+        "rolled_up_points": points,
+        "points_per_sec": round(pps, 1),
+    }
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (fresh ray sessions, same input)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "points_per_sec_lo": r_lo["points_per_sec"],
+        "points_per_sec_hi": r_hi["points_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -1,0 +1,653 @@
+"""Driver-contract query registry: every implemented operator/pipeline from
+SURVEY.md §2 gets a Ray pipeline (callable taking sf_dir) and, where
+SQL-expressible, a DuckDB oracle with IDENTICAL column names.
+
+Exactness strategy:
+- money/2-decimal columns (events.value, lineitem prices): sums go through
+  the integer-cents trick — per-row `rint(x*100)` is exactly representable,
+  integer sums in float64 are order-independent, so Ray's partial-merge sums
+  and DuckDB's scan-order sums agree BIT-FOR-BIT; the oracle SQL spells the
+  same arithmetic.
+- genuinely order-dependent float results (quantile interpolation, stddev,
+  window avgs over raw doubles, cosines) are rounded to 6 dp on BOTH sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _r6(x) -> pa.Array:
+    """Fixed-point 6dp rounding: rint(x*1e6)/1e6 — the oracle SQL spells the
+    same arithmetic (CAST(round(x*1e6) AS BIGINT)/1000000.0), so both sides
+    produce bit-identical doubles (pc.round / DuckDB ROUND do NOT)."""
+    v = np.asarray(x, dtype=np.float64)
+    return pa.array(np.rint(v * 1e6) / 1e6)
+
+
+def _cents(batch: pa.Table, col: str, out: str) -> pa.Table:
+    v = pc.round(pc.multiply(batch[col], 100.0), ndigits=0)
+    return batch.append_column(out, v)
+
+
+# --------------------------------------------------------------------------
+# rollup family over `events` (source = event_type)
+# --------------------------------------------------------------------------
+
+def _events_rollup_base(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return ds.map_batches(
+        lambda b: _cents(b, "value", "cents"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_rollup_1m(sf_dir: str):
+    """Decomposable lane, 1-minute tier, cents-exact count/sum/avg/min/max."""
+    from .rollup import RollupConfig, rollup_decomposable
+
+    cfg = RollupConfig(
+        source_col="event_type",
+        ts_col="ts",
+        value_col="cents",
+        tiers={"1m": 60},
+        aggs=["count", "sum", "min", "max"],
+    )
+    out = rollup_decomposable(_events_rollup_base(sf_dir), cfg)["1m"]
+
+    def fin(b: pa.Table) -> pa.Table:
+        cnt = np.asarray(b["count"], dtype=np.float64)
+        s = np.asarray(b["sum"], dtype=np.float64) / 100.0
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": b["bucket_ts"],
+                "count": b["count"],
+                "sum": pa.array(s),
+                "avg": pa.array(s / cnt),
+                "min": pa.array(np.asarray(b["min"], dtype=np.float64) / 100.0),
+                "max": pa.array(np.asarray(b["max"], dtype=np.float64) / 100.0),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ROLLUP_1M = """
+SELECT event_type AS source,
+       date_trunc('minute', ts) AS bucket_ts,
+       CAST(count(*) AS DOUBLE) AS count,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum,
+       (CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+           / CAST(count(*) AS DOUBLE) AS avg,
+       CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min,
+       CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_rollup_1d_cascade(sf_dir: str):
+    """1m -> 1h -> 1d cascade of partial states; compares against a direct
+    daily GROUP BY — proves tier cascading is exact."""
+    from .rollup import RollupConfig, rollup_decomposable
+
+    cfg = RollupConfig(
+        source_col="event_type",
+        ts_col="ts",
+        value_col="cents",
+        tiers={"1m": 60, "1h": 3600, "1d": 86400},
+        aggs=["count", "sum", "min", "max"],
+    )
+    out = rollup_decomposable(_events_rollup_base(sf_dir), cfg)["1d"]
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": b["bucket_ts"],
+                "count": b["count"],
+                "sum": pa.array(np.asarray(b["sum"], dtype=np.float64) / 100.0),
+                "min": pa.array(np.asarray(b["min"], dtype=np.float64) / 100.0),
+                "max": pa.array(np.asarray(b["max"], dtype=np.float64) / 100.0),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ROLLUP_1D = """
+SELECT event_type AS source,
+       date_trunc('day', ts) AS bucket_ts,
+       CAST(count(*) AS DOUBLE) AS count,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum,
+       CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min,
+       CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_rollup_1h_quantiles(sf_dir: str):
+    """Holistic lane: order statistics + population moments, rounded 6dp."""
+    from .rollup import RollupConfig, rollup_holistic
+
+    cfg = RollupConfig(
+        source_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        tiers={"1h": 3600},
+        aggs=["median", "q25", "q90", "var", "stddev", "count_distinct"],
+        num_partitions=16,
+    )
+    out = rollup_holistic(_read(sf_dir, "events", columns=["ts", "event_type", "value"]), cfg)["1h"]
+
+    def fin(b: pa.Table) -> pa.Table:
+        cols = {"source": b["source"], "bucket_ts": b["bucket_ts"]}
+        for c in ("median", "q25", "q90", "var", "stddev"):
+            cols[c] = _r6(b[c])
+        cols["count_distinct"] = b["count_distinct"]
+        return pa.table(cols)
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ROLLUP_1H_QUANTILES = """
+SELECT event_type AS source,
+       date_trunc('hour', ts) AS bucket_ts,
+       CAST(round(quantile_cont(value, 0.5) * 1e6) AS BIGINT) / 1000000.0 AS median,
+       CAST(round(quantile_cont(value, 0.25) * 1e6) AS BIGINT) / 1000000.0 AS q25,
+       CAST(round(quantile_cont(value, 0.90) * 1e6) AS BIGINT) / 1000000.0 AS q90,
+       CAST(round(var_pop(value) * 1e6) AS BIGINT) / 1000000.0 AS var,
+       CAST(round(stddev_pop(value) * 1e6) AS BIGINT) / 1000000.0 AS stddev,
+       CAST(count(DISTINCT value) AS DOUBLE) AS count_distinct
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_rollup_1h_first_last(sf_dir: str):
+    """Holistic FIRST/LAST with the engine's deterministic (ts, value)
+    tie-break; exact raw doubles."""
+    from .rollup import RollupConfig, rollup_holistic
+
+    cfg = RollupConfig(
+        source_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        tiers={"1h": 3600},
+        aggs=["first", "last"],
+        num_partitions=16,
+    )
+    return rollup_holistic(
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"]), cfg
+    )["1h"]
+
+
+SQL_ROLLUP_1H_FIRST_LAST = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts ASC, value ASC) AS rf,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, value ASC) AS rl
+  FROM events)
+SELECT event_type AS source, bucket_ts,
+       MAX(CASE WHEN rf = 1 THEN value END) AS first,
+       MAX(CASE WHEN rl = 1 THEN value END) AS last
+FROM ranked GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style aggregate + scalar-function coverage
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(sf_dir: str):
+    """Grouped aggregate with computed measures — cents-exact sums."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def measures(b: pa.Table) -> pa.Table:
+        price = np.asarray(b["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(b["l_discount"], dtype=np.float64)
+        qty = np.asarray(b["l_quantity"], dtype=np.float64)
+        disc_price = price * (1.0 - disc)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": pa.array(qty),
+                "price_c": pa.array(np.rint(price * 100.0)),
+                "disc_price_c4": pa.array(np.rint(disc_price * 10000.0)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(measures, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_c", alias_name="_pc"),
+            Sum("disc_price_c4", alias_name="_dpc"),
+            Count(alias_name="_n"),
+        )
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["_n"], dtype=np.float64)
+        base = np.asarray(b["_pc"], dtype=np.float64) / 100.0
+        disc = np.asarray(b["_dpc"], dtype=np.float64) / 10000.0
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pa.array(np.asarray(b["sum_qty"], dtype=np.float64)),
+                "sum_base_price": pa.array(base),
+                "sum_disc_price": pa.array(disc),
+                "avg_qty": pa.array(np.asarray(b["sum_qty"], dtype=np.float64) / n),
+                "count_order": pa.array(n),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS sum_base_price,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+           AS sum_disc_price,
+       SUM(l_quantity) / CAST(count(*) AS DOUBLE) AS avg_qty,
+       CAST(count(*) AS DOUBLE) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_scalar_funcs_orders(sf_dir: str):
+    """Scalar-function vocabulary: date extractors, substr, concat
+    (FloatOpParser / StringOpParser coverage)."""
+    from ..functions.scalar import DATE_EXTRACTORS, STRING_OPS
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority", "o_orderstatus"],
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].combine_chunks()
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_year": DATE_EXTRACTORS["year"](d),
+                "o_month": DATE_EXTRACTORS["month"](d),
+                "o_day": DATE_EXTRACTORS["day"](d),
+                "o_weekday": DATE_EXTRACTORS["weekday"](d),
+                "prio_head": STRING_OPS["substr"](
+                    b["o_orderpriority"].combine_chunks(), 0, 1
+                ),
+                "status_prio": STRING_OPS["concat"](
+                    b["o_orderstatus"].combine_chunks(),
+                    b["o_orderpriority"].combine_chunks(),
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_SCALAR_FUNCS = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS DOUBLE) AS o_year,
+       CAST(month(o_orderdate) AS DOUBLE) AS o_month,
+       CAST(day(o_orderdate) AS DOUBLE) AS o_day,
+       CAST(dayofweek(o_orderdate) AS DOUBLE) AS o_weekday,
+       substr(o_orderpriority, 1, 1) AS prio_head,
+       o_orderstatus || o_orderpriority AS status_prio
+FROM orders
+"""
+
+
+def q_filter_project_lineitem(sf_dir: str):
+    """Row filter + per-row computed column (View.where + ColumnView)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+            "l_quantity",
+        ],
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.less(b["l_shipdate"], pa.scalar(np.datetime64("1997-01-01", "us"))),
+            pc.greater(b["l_quantity"], 25.0),
+        )
+        b = b.filter(mask)
+        price = np.asarray(b["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(b["l_discount"], dtype=np.float64)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"],
+                "revenue": pa.array(price * (1.0 - disc)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 25
+"""
+
+
+# --------------------------------------------------------------------------
+# window / point-in-time features
+# --------------------------------------------------------------------------
+
+def q_window_600s_user(sf_dir: str):
+    """Per event: count/avg of the same user's events in [t-600s, t]
+    (SQL RANGE frame parity mode of the FastProp window sweep)."""
+    from ..stages.windows import window_features
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    ds = ds.map_batches(
+        lambda b: _cents(b, "value", "cents"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = window_features(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="cents",
+        id_cols=["event_id"],
+        memory_s=600.0,
+        aggs=("count", "sum"),
+        sql_frame_mode=True,
+        num_partitions=16,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        cnt = np.asarray(b["w_count"], dtype=np.float64)
+        s = np.asarray(b["w_sum"], dtype=np.float64) / 100.0
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "w_count": b["w_count"],
+                "w_sum": pa.array(s),
+                "w_avg": pa.array(s / cnt),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_WINDOW_600S = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS DOUBLE) AS w_count,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+           AS w_sum,
+       (CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0)
+           / CAST(count(*) OVER w AS DOUBLE) AS w_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# documents: dedup / text analysis
+# --------------------------------------------------------------------------
+
+def q_dedup_exact_documents(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds, text_col="text", id_col="doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+
+def q_text_stats_documents(sf_dir: str):
+    from ..stages.text import token_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_stats(ds, text_col="text", id_col="doc_id")
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_quality_scores_documents(sf_dir: str):
+    from ..stages.text import quality_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return quality_scores(ds, text_col="text", id_col="doc_id")
+
+
+SQL_QUALITY_SCORES = """
+SELECT doc_id,
+       CAST(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+             / CAST(length(text) AS DOUBLE) * 1e6) AS BIGINT) / 1000000.0 AS punct_ratio,
+       CAST(round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             / CAST(length(text) AS DOUBLE) * 1e6) AS BIGINT) / 1000000.0 AS digit_ratio,
+       CAST(round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+             / CAST(length(text) AS DOUBLE) * 1e6) AS BIGINT) / 1000000.0 AS upper_ratio
+FROM documents
+"""
+
+
+def q_lang_counts_documents(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="_sc")
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "n_docs": pa.array(np.asarray(b["n_docs"], dtype=np.float64)),
+                "avg_chars": pa.array(
+                    np.asarray(b["_sc"], dtype=np.float64)
+                    / np.asarray(b["n_docs"], dtype=np.float64)
+                ),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_LANG_COUNTS = """
+SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search
+# --------------------------------------------------------------------------
+
+def q_similarity_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 5 vectors (broadcast queries,
+    per-batch matmul, tiny final merge)."""
+    import ray
+
+    from ..stages.similarity import brute_force_topk
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mask = pc.less(qt["vec_id"], 5)
+    qt = qt.filter(mask)
+    qids = np.asarray(qt["vec_id"], dtype=np.int64)
+    Q = np.stack(
+        [np.asarray(x, dtype=np.float64) for x in qt["embedding"].to_pylist()]
+    )
+    query_ref = ray.put((qids, Q))
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, query_ref=query_ref, k=10)
+    return out[["query_id", "neighbor_id", "cosine", "rank"]]
+
+
+SQL_SIMILARITY_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5),
+     pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST(round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) * 1e6) AS BIGINT) / 1000000.0
+             AS cosine
+  FROM q CROSS JOIN embeddings e)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT)
+           AS rank
+FROM pairs
+QUALIFY rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# oracle-less (non-SQL-expressible) pipelines — driver does rows-only checks
+# --------------------------------------------------------------------------
+
+def q_minhash_lsh_documents(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_candidates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds, text_col="text", id_col="doc_id")
+
+
+def q_simhash_documents(sf_dir: str):
+    from ..stages.dedup import simhash_signatures
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_signatures(ds, text_col="text", id_col="doc_id")
+
+
+def q_langid_documents(sf_dir: str):
+    from ..stages.text import LangId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", batch_size=256, concurrency=2
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def q_rollup_sequences_full(sf_dir: str):
+    """Flagship: full-vocabulary holistic rollup of a deterministic synthetic
+    sequences corpus (BASELINE.json input shape) — all tiers, long format.
+    Oracle-less for the driver (the pytest oracle covers it exactly)."""
+    import os
+
+    import ray.data as rd
+
+    from ..sources.synth import generate_sequences
+    from .rollup import RollupConfig, rollup_holistic
+
+    corpus = "/tmp/graft_seq_smoke"
+    if not os.path.isdir(corpus) or not os.listdir(corpus):
+        generate_sequences(corpus, n_rows=20_000, n_shards=8, seed=42)
+    ds = rd.read_parquet(corpus, columns=["source", "event_ts", "n_tok"])
+    cfg = RollupConfig(
+        aggs=[
+            "count", "sum", "avg", "min", "max", "median", "q25", "q90",
+            "stddev", "mode", "count_distinct", "first", "last", "trend",
+            "ewma_1h", "time_since_last_maximum",
+        ],
+        num_partitions=16,
+    )
+    tiers = rollup_holistic(ds, cfg)
+    out = None
+    for name, d in tiers.items():
+        d = d.map_batches(
+            lambda b, n=name: b.append_column(
+                "tier", pa.array([n] * len(b), type=pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+        out = d if out is None else out.union(d)
+    return out
+
+
+QUERIES = {
+    "rollup_1m": q_rollup_1m,
+    "rollup_1d_cascade": q_rollup_1d_cascade,
+    "rollup_1h_quantiles": q_rollup_1h_quantiles,
+    "rollup_1h_first_last": q_rollup_1h_first_last,
+    "tpch_q1": q_tpch_q1,
+    "scalar_funcs_orders": q_scalar_funcs_orders,
+    "filter_project_lineitem": q_filter_project_lineitem,
+    "window_600s_user": q_window_600s_user,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "text_stats_documents": q_text_stats_documents,
+    "quality_scores_documents": q_quality_scores_documents,
+    "lang_counts_documents": q_lang_counts_documents,
+    "similarity_topk": q_similarity_topk,
+    "minhash_lsh_documents": q_minhash_lsh_documents,
+    "simhash_documents": q_simhash_documents,
+    "langid_documents": q_langid_documents,
+    "rollup_sequences_full": q_rollup_sequences_full,
+}
+
+ORACLE_SQL = {
+    "rollup_1m": SQL_ROLLUP_1M,
+    "rollup_1d_cascade": SQL_ROLLUP_1D,
+    "rollup_1h_quantiles": SQL_ROLLUP_1H_QUANTILES,
+    "rollup_1h_first_last": SQL_ROLLUP_1H_FIRST_LAST,
+    "tpch_q1": SQL_TPCH_Q1,
+    "scalar_funcs_orders": SQL_SCALAR_FUNCS,
+    "filter_project_lineitem": SQL_FILTER_PROJECT,
+    "window_600s_user": SQL_WINDOW_600S,
+    "dedup_exact_documents": SQL_DEDUP_EXACT,
+    "text_stats_documents": SQL_TEXT_STATS,
+    "quality_scores_documents": SQL_QUALITY_SCORES,
+    "lang_counts_documents": SQL_LANG_COUNTS,
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+}

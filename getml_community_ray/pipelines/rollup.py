@@ -46,6 +46,11 @@ class RollupConfig:
     # per-tier TTL in seconds (None = keep forever)
     retention: dict[str, int | None] = field(default_factory=dict)
     watermark_us: int | None = None
+    # materialize the shared post-shuffle intermediate (merged partial states
+    # / the all-tier holistic output). These are output-sized — orders of
+    # magnitude smaller than the raw input — and every tier branch reads
+    # them, so pinning them avoids re-running the wide shuffle per tier.
+    cache_intermediates: bool = True
 
 
 def _tier_widths_ok(tiers: dict[str, int]) -> list[tuple[str, int]]:
@@ -56,16 +61,18 @@ def _tier_widths_ok(tiers: dict[str, int]) -> list[tuple[str, int]]:
     return ordered
 
 
-def rollup_decomposable(ds, cfg: RollupConfig) -> dict[str, "object"]:
-    """Fast lane. Returns {tier_name: Dataset} of finalized rollups.
+def rollup_decomposable_long(ds, cfg: RollupConfig):
+    """Fast lane, long format: one Dataset with a `tier` column.
 
-    The only wide operation is a groupby over pre-combined partial states of
+    The only wide operation is a shuffle of pre-combined partial states of
     the FINEST tier; coarser tiers aggregate the finer tier's states (tiny).
+    The merge itself is our vectorized segmented reduction, not Ray's generic
+    sort-aggregate (which runs per-group Python and was ~6x slower).
     """
-    from ray.data.aggregate import Max, Min, Sum
-
     ordered = _tier_widths_ok(cfg.tiers)
     finest_name, finest_w = ordered[0]
+    coarse_w = ordered[-1][1]
+    need_fl = "first" in cfg.aggs or "last" in cfg.aggs
 
     partials = ds.map_batches(
         lambda b: R.partial_states(
@@ -74,47 +81,49 @@ def rollup_decomposable(ds, cfg: RollupConfig) -> dict[str, "object"]:
             ts_col=cfg.ts_col,
             value_col=cfg.value_col,
             width_s=finest_w,
+            first_last=need_fl,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
-    def merge(d):
-        return d.groupby(["source", "bucket"]).aggregate(
-            Sum("cnt", alias_name="cnt"),
-            Sum("sum", alias_name="sum"),
-            Min("min", alias_name="min"),
-            Max("max", alias_name="max"),
-            Min("first_key", alias_name="first_key"),
-            Max("last_key", alias_name="last_key"),
-        )
-
-    merged = {finest_name: merge(partials)}
-    prev_name, prev_w = finest_name, finest_w
-    for name, w in ordered[1:]:
-        cascaded = merged[prev_name].map_batches(
-            lambda b, fw=prev_w, tw=w: R.cascade_partials(
-                b, from_width_s=fw, to_width_s=tw
+    all_tiers = (
+        partials.map_batches(
+            lambda b: R.add_partial_partition(
+                b, cfg.num_partitions, finest_width_s=finest_w, coarse_width_s=coarse_w
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        merged[name] = merge(cascaded)
-        prev_name, prev_w = name, w
-
-    out = {}
-    for name, w in ordered:
-        t = merged[name].map_batches(
-            lambda b, ww=w: R.finalize_partials(b, width_s=ww),
+        .groupby("_part")
+        .map_groups(
+            lambda t: R.merge_and_cascade(
+                t.drop_columns(["_part"]), tiers=ordered, aggs=cfg.aggs
+            ),
             batch_format="pyarrow",
-            zero_copy_batch=True,
         )
+    )
+    if cfg.cache_intermediates:
+        all_tiers = all_tiers.materialize()
+    return all_tiers
+
+
+def _split_tiers(all_tiers, cfg: RollupConfig) -> dict[str, "object"]:
+    out = {}
+    for name in cfg.tiers:
+        t = all_tiers.filter(expr=f"tier == '{name}'").drop_columns(["tier"])
         out[name] = _apply_retention(t, cfg, name)
     return out
 
 
-def rollup_holistic(ds, cfg: RollupConfig) -> dict[str, "object"]:
-    """Full-vocabulary lane: one hash shuffle, all tiers per partition."""
+def rollup_decomposable(ds, cfg: RollupConfig) -> dict[str, "object"]:
+    """Fast lane. Returns {tier_name: Dataset} of finalized rollups."""
+    return _split_tiers(rollup_decomposable_long(ds, cfg), cfg)
+
+
+def rollup_holistic_long(ds, cfg: RollupConfig):
+    """Full-vocabulary lane: one hash shuffle, all tiers per partition.
+    Long format with a `tier` column."""
     ordered = _tier_widths_ok(cfg.tiers)
     coarse_w = ordered[-1][1]
 
@@ -142,11 +151,14 @@ def rollup_holistic(ds, cfg: RollupConfig) -> dict[str, "object"]:
     all_tiers = parted.groupby("_part").map_groups(
         lambda t: stage(t.drop_columns(["_part"])), batch_format="pyarrow"
     )
-    out = {}
-    for name, _ in ordered:
-        t = all_tiers.filter(expr=f"tier == '{name}'").drop_columns(["tier"])
-        out[name] = _apply_retention(t, cfg, name)
-    return out
+    if cfg.cache_intermediates:
+        all_tiers = all_tiers.materialize()
+    return all_tiers
+
+
+def rollup_holistic(ds, cfg: RollupConfig) -> dict[str, "object"]:
+    """Full-vocabulary lane as {tier: Dataset}."""
+    return _split_tiers(rollup_holistic_long(ds, cfg), cfg)
 
 
 def _apply_retention(ds, cfg: RollupConfig, tier_name: str):

@@ -100,6 +100,7 @@ def partial_states(
     ts_col: str,
     value_col: str,
     width_s: int,
+    first_last: bool = True,
 ) -> pa.Table:
     """Per-batch combiner: one partial-state row per (source, bucket).
 
@@ -134,17 +135,21 @@ def partial_states(
     s = np.bincount(gid_f, weights=v_f, minlength=G)
 
     # composite first/last keys over finite, integer-encodable values
-    if len(v_f) and (
-        v_f.min() < 0 or v_f.max() > VALUE_MASK or not np.all(v_f == np.floor(v_f))
-    ):
-        raise ValueError(
-            "decomposable first/last requires integer values in "
-            f"[0, {VALUE_MASK}]; route this column through the holistic lane"
-        )
-    dt_in_bucket = ts_us[finite] - (bucket[finite] * width_us)
-    vi = np.clip(v_f, 0, VALUE_MASK).astype(np.int64)
-    fk = (dt_in_bucket << VALUE_BITS) | vi
-    lk = (dt_in_bucket << VALUE_BITS) | (VALUE_MASK - vi)
+    if first_last:
+        if len(v_f) and (
+            v_f.min() < 0 or v_f.max() > VALUE_MASK or not np.all(v_f == np.floor(v_f))
+        ):
+            raise ValueError(
+                "decomposable first/last requires integer values in "
+                f"[0, {VALUE_MASK}]; route this column through the holistic lane"
+            )
+        dt_in_bucket = ts_us[finite] - (bucket[finite] * width_us)
+        vi = np.clip(v_f, 0, VALUE_MASK).astype(np.int64)
+        fk = (dt_in_bucket << VALUE_BITS) | vi
+        lk = (dt_in_bucket << VALUE_BITS) | (VALUE_MASK - vi)
+    else:
+        fk = np.zeros(len(v_f), dtype=np.int64)
+        lk = np.zeros(len(v_f), dtype=np.int64)
 
     # one sort of the finite rows by group; min/max/first/last via reduceat
     order_f = np.argsort(gid_f, kind="stable")
@@ -176,8 +181,105 @@ def partial_states(
     )
 
 
+def merge_partial_rows(tbl: pa.Table) -> pa.Table:
+    """Vectorized merge of partial-state rows sharing (source, bucket).
+
+    One call per hash partition; replaces Ray's generic sort-aggregate
+    (per-group Python) with bincount/reduceat over dense group ids — the
+    same segmented-kernel trick the holistic lane uses.
+    """
+    n = len(tbl)
+    if n == 0:
+        return _EMPTY_PARTIALS
+    src = np.asarray(tbl["source"]).astype(str)
+    bucket = np.asarray(tbl["bucket"])
+    uniq_src, src_ix = np.unique(src, return_inverse=True)
+    bmin = bucket.min()
+    span = int(bucket.max() - bmin + 1)
+    key = src_ix.astype(np.int64) * span + (bucket - bmin)
+    uniq_key, first_ix, gid = np.unique(key, return_index=True, return_inverse=True)
+    G = len(uniq_key)
+
+    cnt = np.bincount(gid, weights=np.asarray(tbl["cnt"]), minlength=G)
+    s = np.bincount(gid, weights=np.asarray(tbl["sum"]), minlength=G)
+
+    order = np.argsort(gid, kind="stable")
+    gsort = gid[order]
+    starts = np.searchsorted(gsort, np.arange(G))
+    idx = np.minimum(starts, n - 1)
+    mn = np.minimum.reduceat(np.asarray(tbl["min"])[order], idx)
+    mx = np.maximum.reduceat(np.asarray(tbl["max"])[order], idx)
+    fk = np.minimum.reduceat(np.asarray(tbl["first_key"])[order], idx)
+    lk = np.maximum.reduceat(np.asarray(tbl["last_key"])[order], idx)
+
+    return pa.table(
+        {
+            "source": pa.array(src[first_ix], type=pa.string()),
+            "bucket": pa.array(bucket[first_ix], type=pa.int64()),
+            "cnt": pa.array(cnt),
+            "sum": pa.array(s),
+            "min": pa.array(mn),
+            "max": pa.array(mx),
+            "first_key": pa.array(fk),
+            "last_key": pa.array(lk),
+        }
+    )
+
+
+def add_partial_partition(
+    batch: pa.Table,
+    num_partitions: int,
+    finest_width_s: int = 1,
+    coarse_width_s: int = 1,
+) -> pa.Table:
+    """_part = stable_hash(source, coarse_bucket) % P for partial-state rows.
+
+    Partitioning by the COARSEST tier's bucket co-locates every finer bucket
+    of a (source, coarse-window) pair, so one shuffle serves all tiers."""
+    h = crc_hash_sources(np.asarray(batch["source"]).astype(str))
+    bucket = np.asarray(batch["bucket"]) * finest_width_s // coarse_width_s
+    part = ((h * 0x9E3779B1 + bucket * 0x85EBCA77) % num_partitions).astype(
+        np.int64
+    )
+    return batch.append_column("_part", pa.array(part))
+
+
+def merge_and_cascade(
+    tbl: pa.Table,
+    *,
+    tiers: list[tuple[str, int]],
+    aggs: list[str] | None = None,
+) -> pa.Table:
+    """One hash partition of finest-tier partial states -> finalized rollup
+    rows for EVERY tier (long format, `tier` column).
+
+    Merges the finest tier, then cascades states upward locally — no further
+    shuffle. `tiers` is [(name, width_s), ...] sorted ascending; tier 0 is
+    the finest (the one `partial_states` bucketed by)."""
+    finest_name, finest_w = tiers[0]
+    merged = merge_partial_rows(tbl)
+    out = []
+    state, state_w = merged, finest_w
+    for name, w in tiers:
+        if w != state_w:
+            state = merge_partial_rows(
+                cascade_partials(state, from_width_s=state_w, to_width_s=w)
+            )
+            state_w = w
+        fin = finalize_partials(state, width_s=w, aggs=aggs)
+        fin = fin.add_column(
+            0, "tier", pa.array([name] * len(fin), type=pa.string())
+        )
+        out.append(fin)
+    return pa.concat_tables(out)
+
+
 def finalize_partials(
-    tbl: pa.Table, *, width_s: int, out_ts_col: str = "bucket_ts"
+    tbl: pa.Table,
+    *,
+    width_s: int,
+    out_ts_col: str = "bucket_ts",
+    aggs: list[str] | None = None,
 ) -> pa.Table:
     """Merged partial states -> output columns for one tier."""
     cnt = np.asarray(tbl["cnt"], dtype=np.float64)
@@ -197,19 +299,21 @@ def finalize_partials(
     first[empty] = np.nan
     last[empty] = np.nan
     bucket = np.asarray(tbl["bucket"])
-    return pa.table(
-        {
-            "source": tbl["source"],
-            out_ts_col: pa.array(bucket * width_s * US).cast(pa.timestamp("us")),
-            "count": pa.array(cnt),
-            "sum": pa.array(s),
-            "avg": pa.array(avg),
-            "min": pa.array(mn),
-            "max": pa.array(mx),
-            "first": pa.array(first),
-            "last": pa.array(last),
-        }
-    )
+    cols = {
+        "source": tbl["source"],
+        out_ts_col: pa.array(bucket * width_s * US).cast(pa.timestamp("us")),
+        "count": pa.array(cnt),
+        "sum": pa.array(s),
+        "avg": pa.array(avg),
+        "min": pa.array(mn),
+        "max": pa.array(mx),
+        "first": pa.array(first),
+        "last": pa.array(last),
+    }
+    if aggs is not None:
+        keep = ["source", out_ts_col] + [a for a in cols if a in aggs]
+        cols = {k: v for k, v in cols.items() if k in keep}
+    return pa.table(cols)
 
 
 def cascade_partials(tbl: pa.Table, *, from_width_s: int, to_width_s: int) -> pa.Table:

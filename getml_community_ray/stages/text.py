@@ -1,0 +1,124 @@
+"""Text-analysis stages over the `documents` table: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+The reference's text machinery is a vocabulary + word-index used for
+word-occurrence features (`textmining/Vocabulary.hpp:31-67`,
+`WordIndex.hpp:27-61`, splitter `TextFieldSplitter.cpp:105-149`); these
+stages generalize it to corpus-quality signals. All are stateless
+vectorized `map_batches` (regexes precompiled at module import — an actor
+pool would also work but compiled-regex state is cheap enough to ship).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WORD_RE = r"\s+"
+_STOPWORDS_EN = {"the", "and", "of", "a", "to", "in", "is", "that", "it", "for"}
+_STOPWORDS_DE = {"der", "die", "das", "und", "ist", "ein", "zu", "den", "nicht"}
+_STOPWORDS_FR = {"le", "la", "les", "et", "est", "un", "une", "des", "que"}
+
+# BPE-ish token estimate: word pieces of <= 4 chars (compiled once per proc)
+_BPE_RE = re.compile(r"\w{1,4}|[^\w\s]")
+
+
+def token_stats(ds, *, text_col: str, id_col: str):
+    """Whitespace word count + char count per doc — DuckDB-oracle-friendly:
+    n_words == len(regexp_split_to_array(text, '\\s+')) on non-empty text."""
+
+    def f(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(b[text_col], pattern=_WORD_RE)
+        n_words = pc.cast(pc.list_value_length(words), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(b[text_col]), pa.int64())
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_words": n_words,
+                "n_chars": n_chars,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_scores(ds, *, text_col: str, id_col: str):
+    """Length/punctuation/digit/upper ratios (round to 6 dp for oracle
+    comparability)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        txt = b[text_col]
+        n = pc.cast(pc.utf8_length(txt), pa.float64())
+        def ratio(pattern):
+            c = pc.cast(
+                pc.count_substring_regex(txt, pattern=pattern), pa.float64()
+            )
+            r = np.asarray(pc.divide(c, n).combine_chunks()
+                           if isinstance(c, pa.ChunkedArray) else pc.divide(c, n),
+                           dtype=np.float64)
+            # fixed-point 6dp: bit-identical to the oracle's
+            # CAST(round(x*1e6) AS BIGINT)/1000000.0
+            return pa.array(np.rint(r * 1e6) / 1e6)
+
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "punct_ratio": ratio(r"[.,!?;:]"),
+                "digit_ratio": ratio(r"[0-9]"),
+                "upper_ratio": ratio(r"[A-Z]"),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class LangId:
+    """Stopword-voting language heuristic — stateful stage pattern: the
+    stopword tables and splitter live once per actor (`__init__`), batches
+    stream through `__call__` (SURVEY.md §2.7 actor-pool contract)."""
+
+    def __init__(self):
+        self.tables = {
+            "en": _STOPWORDS_EN,
+            "de": _STOPWORDS_DE,
+            "fr": _STOPWORDS_FR,
+        }
+        self.word = re.compile(r"[a-zA-Zäöüéèêàç]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = np.asarray(batch["text"]).astype(str)
+        langs = []
+        for t in txt:
+            words = [w.lower() for w in self.word.findall(t[:2000])]
+            scores = {
+                k: sum(1 for w in words if w in tbl)
+                for k, tbl in self.tables.items()
+            }
+            best = max(scores, key=lambda k: (scores[k], k))
+            langs.append(best if scores[best] > 0 else "unknown")
+        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+
+
+def fingerprint(ds, *, text_col: str, id_col: str, window: int = 16):
+    """Rolling-hash document fingerprint (winnowing-lite): min crc over
+    sliding byte windows — cheap near-identity signature."""
+    import zlib
+
+    def f(b: pa.Table) -> pa.Table:
+        txt = np.asarray(b[text_col]).astype(str)
+        fps = np.empty(len(txt), dtype=np.int64)
+        for i, t in enumerate(txt):
+            bb = t.encode()
+            if len(bb) <= window:
+                fps[i] = zlib.crc32(bb)
+            else:
+                fps[i] = min(
+                    zlib.crc32(bb[j : j + window])
+                    for j in range(0, len(bb) - window + 1, max(1, window // 2))
+                )
+        return pa.table({id_col: b[id_col], "fingerprint": pa.array(fps)})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,159 @@
+"""Point-in-time window features — the FastProp/TimeSeries self-join bridge.
+
+Reference semantics (cites into /root/reference):
+- a peripheral row at time `pts` matches a population row at time `t` iff
+      pts + horizon <= t  AND  t < pts + horizon + memory
+  i.e. pts in (t - horizon - memory, t - horizon]
+  (`helpers/Matchmaker.hpp:92-137`; horizon/memory ts rewrites
+  `make_placeholder.cpp:82-100,235-250`).
+- lag-window conditions partition that window into tumbling lag buckets
+  `t - (i+1)*delta < pts <= t - i*delta` (`FastProp.cpp:1255-1290`,
+  `ConditionParser.cpp:68-88`).
+- the reference recomputes the window per population row via a sorted
+  (join_key, ts) index (`tsindex/InMemoryIndex.hpp:36-47`); here each hash
+  partition is sorted once by (key, ts) and every row's window bounds come
+  from two vectorized searchsorted calls over a packed (group, ts) key —
+  O(n log n) per partition, no per-row Python.
+
+`sql_frame_mode=True` switches the window to the inclusive [t - memory, t]
+frame of SQL `RANGE BETWEEN m PRECEDING AND CURRENT ROW` (peers with equal
+ts included) so results are DuckDB-window-oracle comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .rollup import crc_hash_sources, ts_to_us
+
+US = 1_000_000
+
+
+class WindowFeatures:
+    """Per-partition vectorized window aggregation (count/sum/avg).
+
+    Input batch: one hash partition by key; complete key groups required.
+    Output: input key/ts/id columns + one float64 column per agg, named
+    `w_<agg>`.
+    """
+
+    def __init__(
+        self,
+        *,
+        key_col: str,
+        ts_col: str,
+        value_col: str,
+        id_cols: list[str],
+        horizon_s: float = 0.0,
+        memory_s: float = 600.0,
+        aggs: tuple[str, ...] = ("count", "sum", "avg"),
+        sql_frame_mode: bool = False,
+    ):
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.id_cols = id_cols
+        self.horizon_us = int(horizon_s * US)
+        self.memory_us = int(memory_s * US)
+        self.aggs = aggs
+        self.sql_frame_mode = sql_frame_mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts_us = ts_to_us(batch[self.ts_col].combine_chunks())
+        v = np.asarray(batch[self.value_col].combine_chunks(), dtype=np.float64)
+        key = np.asarray(batch[self.key_col])
+        n = len(v)
+        if n == 0:
+            return self._empty(batch)
+
+        uniq, gid = np.unique(key, return_inverse=True)
+        order = np.lexsort((ts_us, gid))
+        g_s, t_s, v_s = gid[order], ts_us[order], v[order]
+
+        # pack (gid, ts) into one int64 for global searchsorted
+        t0 = t_s.min()
+        rel = t_s - t0
+        span = int(rel.max()) + self.memory_us + self.horizon_us + 2
+        comp = g_s * span + rel
+
+        if self.sql_frame_mode:
+            lo_t = rel - self.memory_us          # inclusive lower
+            hi_t = rel + 1                       # inclusive upper (ts <= t)
+        else:
+            lo_t = rel - self.horizon_us - self.memory_us + 1  # exclusive lower
+            hi_t = rel - self.horizon_us + 1                   # inclusive upper
+        lo = np.searchsorted(comp, g_s * span + np.maximum(lo_t, 0), side="left")
+        hi = np.searchsorted(comp, g_s * span + np.maximum(hi_t, 0), side="left")
+        # windows never cross group boundaries: lo_t/hi_t clipped at >= 0 and
+        # span exceeds max rel + memory, so packed bounds stay inside group g.
+
+        cnt = (hi - lo).astype(np.float64)
+        csum = np.concatenate([[0.0], np.cumsum(v_s)])
+        s = csum[hi] - csum[lo]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            a = s / cnt
+        a[cnt == 0] = np.nan
+
+        out_cols: dict[str, pa.Array] = {}
+        for c in self.id_cols:
+            out_cols[c] = batch[c].combine_chunks().take(pa.array(order))
+        out_cols[self.key_col] = pa.array(uniq[g_s])
+        out_cols[self.ts_col] = batch[self.ts_col].combine_chunks().take(pa.array(order))
+        named = {"count": cnt, "sum": s, "avg": a}
+        for agg in self.aggs:
+            out_cols[f"w_{agg}"] = pa.array(named[agg])
+        return pa.table(out_cols)
+
+    def _empty(self, batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in self.id_cols}
+        cols[self.key_col] = batch[self.key_col]
+        cols[self.ts_col] = batch[self.ts_col]
+        for agg in self.aggs:
+            cols[f"w_{agg}"] = pa.array([], type=pa.float64())
+        return pa.table(cols)
+
+
+def window_features(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_cols: list[str],
+    horizon_s: float = 0.0,
+    memory_s: float = 600.0,
+    aggs: tuple[str, ...] = ("count", "sum", "avg"),
+    sql_frame_mode: bool = False,
+    num_partitions: int = 32,
+):
+    """Hash-partition by key, then vectorized per-partition window sweep."""
+    stage = WindowFeatures(
+        key_col=key_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        id_cols=id_cols,
+        horizon_s=horizon_s,
+        memory_s=memory_s,
+        aggs=aggs,
+        sql_frame_mode=sql_frame_mode,
+    )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col])
+        if k.dtype.kind in "iu":
+            h = k.astype(np.int64)
+        else:
+            h = crc_hash_sources(k.astype(str))
+        part = (h * 0x9E3779B1 % num_partitions).astype(np.int64)
+        return b.append_column("_part", pa.array(part))
+
+    cols = list(dict.fromkeys(id_cols + [key_col, ts_col, value_col]))
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda t: stage(t.drop_columns(["_part"])), batch_format="pyarrow"
+        )
+    )
