@@ -1,0 +1,96 @@
+"""Checkpoint/resume fixtures (FIXTURES.md F6): interrupted runs resume,
+partitions skip on matching lineage, outputs identical to uninterrupted."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from getml_community_ray.pipelines.rollup import RollupConfig
+from getml_community_ray.state.checkpoint import Manifest, checkpointed_rollup
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(ray_session, tmp_path_factory):
+    from getml_community_ray.sources.synth import generate_sequences
+
+    d = str(tmp_path_factory.mktemp("ckpt_corpus"))
+    generate_sequences(d, n_rows=10_000, n_shards=4, seed=21)
+    return d
+
+
+def _read_all(out_dir: str) -> pd.DataFrame:
+    frames = [pq.read_table(f).to_pandas() for f in sorted(glob.glob(f"{out_dir}/part-*.parquet"))]
+    df = pd.concat(frames, ignore_index=True)
+    return df.sort_values(["tier", "source", "bucket_ts"]).reset_index(drop=True)
+
+
+def test_checkpoint_run_resume_identical(corpus_dir, tmp_path):
+    cfg = RollupConfig(num_partitions=8)
+    out1 = str(tmp_path / "run1")
+    res1 = checkpointed_rollup(corpus_dir, out1, cfg)
+    assert sorted(res1["computed"] + res1["skipped"]) == list(range(8))
+    full = _read_all(out1)
+    assert len(full) > 0
+
+    # rerun: everything skips (lineage matches)
+    res2 = checkpointed_rollup(corpus_dir, out1, cfg)
+    assert res2["computed"] == []
+    assert sorted(res2["skipped"]) == list(range(8))
+
+    # simulate a crash: drop two partition files + their manifest entries
+    m = Manifest(out1)
+    victims = [p for p in res1["computed"][:2]]
+    for p in victims:
+        f = os.path.join(out1, m.records[p].file)
+        if os.path.exists(f):
+            os.remove(f)
+    res3 = checkpointed_rollup(corpus_dir, out1, cfg)
+    assert sorted(res3["computed"]) == sorted(victims)
+
+    # resumed output == a fresh uninterrupted run
+    out2 = str(tmp_path / "run2")
+    checkpointed_rollup(corpus_dir, out2, cfg)
+    pd.testing.assert_frame_equal(_read_all(out1), _read_all(out2))
+
+
+def test_checkpoint_lineage_invalidates_on_config_change(corpus_dir, tmp_path):
+    out = str(tmp_path / "run")
+    cfg = RollupConfig(num_partitions=4)
+    checkpointed_rollup(corpus_dir, out, cfg)
+
+    cfg2 = RollupConfig(num_partitions=4, aggs=["count", "sum"])
+    res = checkpointed_rollup(corpus_dir, out, cfg2)
+    assert len(res["computed"]) == 4  # config changed -> all recomputed
+
+
+def test_checkpoint_holistic_lane(corpus_dir, tmp_path):
+    out = str(tmp_path / "holo")
+    cfg = RollupConfig(num_partitions=4, aggs=["count", "median", "mode"])
+    res = checkpointed_rollup(corpus_dir, out, cfg, lane="holistic")
+    assert res["computed"]
+    df = _read_all(out)
+    assert {"tier", "source", "bucket_ts", "count", "median", "mode"} <= set(df.columns)
+    # metrics recorded per partition
+    m = Manifest(out)
+    assert all(r.wall_time_s >= 0 for r in m.records.values())
+    assert any(r.rows_in > 0 for r in m.records.values())
+
+
+def test_checkpoint_input_change_invalidates(corpus_dir, tmp_path):
+    out = str(tmp_path / "run")
+    cfg = RollupConfig(num_partitions=4)
+    checkpointed_rollup(corpus_dir, out, cfg)
+
+    # new input dir (different content) -> different fingerprint -> recompute
+    corpus2 = str(tmp_path / "corpus2")
+    shutil.copytree(corpus_dir, corpus2)
+    from getml_community_ray.sources.synth import generate_sequences
+
+    for f in glob.glob(f"{corpus2}/shard-00000.parquet"):
+        os.remove(f)
+    res = checkpointed_rollup(corpus2, out, cfg)
+    assert len(res["computed"]) == 4
