@@ -88,9 +88,13 @@ def run_once() -> dict:
     t0 = time.perf_counter()
     points = 0
 
+    # fixed partition count at every CPU level: the work decomposition must
+    # not change between scaling runs, only the parallelism
+    P = 128
+
     # lane 1: decomposable partial-merge cascade (one shuffle, all tiers)
     cfg_fast = RollupConfig(
-        retention={}, num_partitions=NUM_CPUS * 4, cache_intermediates=False
+        retention={}, num_partitions=P, cache_intermediates=False
     )
     points += _consume(rollup_decomposable_long(read(), cfg_fast)) * len(
         cfg_fast.aggs
@@ -99,7 +103,7 @@ def run_once() -> dict:
     # lane 2: holistic full vocabulary, all tiers in one shuffle
     cfg_holo = RollupConfig(
         aggs=HOLISTIC_AGGS,
-        num_partitions=NUM_CPUS * 4,
+        num_partitions=P,
         retention={},
         cache_intermediates=False,
     )

@@ -651,3 +651,355 @@ ORACLE_SQL = {
     "lang_counts_documents": SQL_LANG_COUNTS,
     "similarity_topk": SQL_SIMILARITY_TOPK,
 }
+
+
+# --------------------------------------------------------------------------
+# preprocessor coverage (Seasonal / Imputation / CategoryTrimmer /
+# TextFieldSplitter), joins, set ops, splits, top-k
+# --------------------------------------------------------------------------
+
+def q_seasonal_events(sf_dir: str):
+    """Seasonal preprocessor: hour/minute/month/weekday/year per ts."""
+    from ..stages.preprocessors import Seasonal
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    out = Seasonal(["ts"]).fit(ds).transform(ds)
+    return out.select_columns(
+        ["event_id", "ts_hour", "ts_minute", "ts_month", "ts_weekday", "ts_year"]
+    )
+
+
+SQL_SEASONAL = """
+SELECT event_id,
+       CAST(hour(ts) AS DOUBLE) AS ts_hour,
+       CAST(minute(ts) AS DOUBLE) AS ts_minute,
+       CAST(month(ts) AS DOUBLE) AS ts_month,
+       CAST(dayofweek(ts) AS DOUBLE) AS ts_weekday,
+       CAST(year(ts) AS DOUBLE) AS ts_year
+FROM events
+"""
+
+
+def q_imputation_events(sf_dir: str):
+    """Imputation: value is nulled where event_type='error', refilled with
+    the mean of the rest (cents-exact) + was_null dummy."""
+    from ..stages.preprocessors import Imputation
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def null_out(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b["value"], 100.0), ndigits=0)
+        cents = pc.if_else(
+            pc.equal(b["event_type"], "error"), pa.scalar(None, pa.float64()), cents
+        )
+        return pa.table({"event_id": b["event_id"], "cents": cents})
+
+    nulled = ds.map_batches(null_out, batch_format="pyarrow", zero_copy_batch=True)
+    imp = Imputation(["cents"]).fit(nulled)
+    out = imp.transform(nulled)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "value_imputed": pc.divide(b["cents"], 100.0),
+                "value_was_null": b["cents_was_null"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_IMPUTATION = """
+WITH stats AS (
+  SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT))
+              FILTER (event_type <> 'error') AS DOUBLE)
+         / CAST(count(*) FILTER (event_type <> 'error') AS DOUBLE) AS mean_c
+  FROM events)
+SELECT event_id,
+       (CASE WHEN event_type = 'error' THEN stats.mean_c
+             ELSE CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) END) / 100.0
+           AS value_imputed,
+       CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS value_was_null
+FROM events, stats
+"""
+
+
+def q_category_trim_parts(sf_dir: str):
+    """CategoryTrimmer: top-5 p_brand values with count >= 2; rest ->
+    '__trimmed__'. Tie-break count desc then brand asc (deterministic)."""
+    from ..stages.preprocessors import CategoryTrimmer
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    tr = CategoryTrimmer("p_brand", max_num_categories=5, min_freq=2).fit(ds)
+    return tr.transform(ds)
+
+
+SQL_CATEGORY_TRIM = """
+WITH kept AS (
+  SELECT p_brand FROM part GROUP BY p_brand
+  HAVING count(*) >= 2
+  QUALIFY row_number() OVER (ORDER BY count(*) DESC, p_brand ASC) <= 5)
+SELECT p_partkey,
+       CASE WHEN p_brand IN (SELECT p_brand FROM kept) THEN p_brand
+            ELSE '__trimmed__' END AS p_brand
+FROM part
+"""
+
+
+def q_word_counts_documents(sf_dir: str):
+    """TextFieldSplitter -> peripheral (doc_id, word) table -> counts of
+    words appearing >= 10 times (vectorized partial counts + hash merge)."""
+    from ..stages.preprocessors import TextFieldSplitter, group_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    words = TextFieldSplitter(text_col="text", id_col="doc_id").transform(ds)
+    counts = group_count(words, "word")
+    return counts.filter(expr="cnt >= 10")
+
+
+SQL_WORD_COUNTS = """
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word HAVING count(*) >= 10
+"""
+
+
+def q_join_orders_customer_nation(sf_dir: str):
+    """Staging-style many-to-one broadcast join chain: orders -> customer ->
+    nation; revenue per nation (cents-exact)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey", how="left"
+    )[["c_custkey", "n_name"]]
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b["o_custkey"],
+                "price_c": pc.round(pc.multiply(b["o_totalprice"], 100.0), ndigits=0),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = broadcast_join(ds, dim, on="c_custkey")
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("price_c", alias_name="_pc")
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": b["n_name"],
+                "n_orders": pa.array(np.asarray(b["n_orders"], dtype=np.float64)),
+                "total_price": pa.array(np.asarray(b["_pc"], dtype=np.float64) / 100.0),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_JOIN_OCN = """
+SELECT n_name,
+       CAST(count(*) AS DOUBLE) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_hash_join_lineitem_orders(sf_dir: str):
+    """Both-sides-large hash join (Ray native Dataset.join): lineitem x
+    orders -> line counts + quantity per order status."""
+    from ..stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    joined = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", how="inner",
+        num_partitions=8,
+    )
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = joined.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_lines"), Sum("l_quantity", alias_name="sum_qty")
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": b["o_orderstatus"],
+                "n_lines": pa.array(np.asarray(b["n_lines"], dtype=np.float64)),
+                "sum_qty": pa.array(np.asarray(b["sum_qty"], dtype=np.float64)),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_HASH_JOIN = """
+SELECT o_orderstatus,
+       CAST(count(*) AS DOUBLE) AS n_lines,
+       SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def q_split_orders(sf_dir: str):
+    """Deterministic hash split (scale-correct replacement for seeded row
+    sampling): counts and value sums per split."""
+    from ..stages.joins import hash_split
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ds = hash_split(ds, on="o_orderkey", frac_train=0.8)
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "price_c", pc.round(pc.multiply(b["o_totalprice"], 100.0), ndigits=0)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = ds.groupby("split").aggregate(
+        Count(alias_name="n"), Sum("price_c", alias_name="_pc")
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "split": b["split"],
+                "n": pa.array(np.asarray(b["n"], dtype=np.float64)),
+                "total_price": pa.array(np.asarray(b["_pc"], dtype=np.float64) / 100.0),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_SPLIT = """
+SELECT CASE WHEN o_orderkey % 1000 < 800 THEN 'train' ELSE 'test' END AS split,
+       CAST(count(*) AS DOUBLE) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_unique_returnflag(sf_dir: str):
+    """FloatColumn.unique analog: distinct values of a column."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag"])
+    vals = sorted(ds.unique("l_returnflag"))
+    return pa.table({"l_returnflag": pa.array(vals, type=pa.string())})
+
+
+SQL_UNIQUE = "SELECT DISTINCT l_returnflag FROM lineitem"
+
+
+def q_union_counts(sf_dir: str):
+    """DataFrame.append/concat analog: union of customer and supplier keyed
+    rows, counted per nation key."""
+    c = _read(sf_dir, "customer", columns=["c_nationkey"]).map_batches(
+        lambda b: pa.table({"nationkey": b["c_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    s = _read(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
+        lambda b: pa.table({"nationkey": b["s_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    u = c.union(s)
+
+    from ray.data.aggregate import Count
+
+    agg = u.groupby("nationkey").aggregate(Count(alias_name="n"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "nationkey": b["nationkey"],
+                "n": pa.array(np.asarray(b["n"], dtype=np.float64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_UNION = """
+SELECT nationkey, CAST(count(*) AS DOUBLE) AS n
+FROM (SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      UNION ALL
+      SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+GROUP BY nationkey
+"""
+
+
+def q_topk_brands(sf_dir: str):
+    """find_most_frequent_categories analog: top-10 brands by count
+    (count desc, brand asc — deterministic ties)."""
+    from ..stages.preprocessors import group_count
+
+    ds = _read(sf_dir, "part", columns=["p_brand"])
+    counts = group_count(ds, "p_brand").to_pandas()
+    counts = counts.sort_values(["cnt", "p_brand"], ascending=[False, True]).head(10)
+    counts["rank"] = np.arange(1, len(counts) + 1)
+    return counts.reset_index(drop=True)
+
+
+SQL_TOPK_BRANDS = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, p_brand ASC) AS BIGINT)
+           AS rank
+FROM part GROUP BY p_brand
+QUALIFY rank <= 10
+"""
+
+
+QUERIES.update(
+    {
+        "seasonal_events": q_seasonal_events,
+        "imputation_events": q_imputation_events,
+        "category_trim_parts": q_category_trim_parts,
+        "word_counts_documents": q_word_counts_documents,
+        "join_orders_customer_nation": q_join_orders_customer_nation,
+        "hash_join_lineitem_orders": q_hash_join_lineitem_orders,
+        "split_orders": q_split_orders,
+        "unique_returnflag": q_unique_returnflag,
+        "union_counts": q_union_counts,
+        "topk_brands": q_topk_brands,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "seasonal_events": SQL_SEASONAL,
+        "imputation_events": SQL_IMPUTATION,
+        "category_trim_parts": SQL_CATEGORY_TRIM,
+        "word_counts_documents": SQL_WORD_COUNTS,
+        "join_orders_customer_nation": SQL_JOIN_OCN,
+        "hash_join_lineitem_orders": SQL_HASH_JOIN,
+        "split_orders": SQL_SPLIT,
+        "unique_returnflag": SQL_UNIQUE,
+        "union_counts": SQL_UNION,
+        "topk_brands": SQL_TOPK_BRANDS,
+    }
+)
