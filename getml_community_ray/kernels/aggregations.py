@@ -143,13 +143,16 @@ def _segments(gids: np.ndarray, n_groups: int):
 
 
 def _seg_reduce(ufunc, arr: np.ndarray, starts: np.ndarray, counts: np.ndarray, empty):
-    """ufunc.reduceat over segments, with empty segments set to `empty`."""
-    n = len(arr)
+    """ufunc.reduceat over segments, with empty segments set to `empty`.
+
+    reduceat runs over the starts of NON-empty segments only: those are
+    strictly increasing and < len(arr), so each reduce spans exactly one
+    segment (clamping empty-segment starts instead would truncate a
+    preceding segment that ends at the array end)."""
     out = np.full(len(starts), empty, dtype=np.float64)
     nonempty = counts > 0
-    if n and nonempty.any():
-        red = ufunc.reduceat(arr, np.minimum(starts, n - 1))
-        out[nonempty] = red[nonempty]
+    if len(arr) and nonempty.any():
+        out[nonempty] = ufunc.reduceat(arr, starts[nonempty])
     return out
 
 

@@ -1,0 +1,238 @@
+"""FastProp-style propositionalization: population x peripheral
+point-in-time window aggregation — the reference engine's core capability
+re-expressed Ray-Data-first.
+
+Reference semantics (cites into /root/reference):
+- match rule: a peripheral row at time `pts` with the same join key as a
+  population row at time `t` matches iff
+      t - horizon - memory < pts <= t - horizon
+  (`helpers/Matchmaker.hpp:92-137`; horizon/memory rewrites
+  `make_placeholder.cpp:82-100,235-250`).
+- lag-window conditions split that window into tumbling buckets
+  `t - h - (i+1)*delta < pts <= t - h - i*delta` (`FastProp.cpp:1255-1290`,
+  `ConditionParser.cpp:68-88`).
+- a feature = (aggregation, value column, window) evaluated per population
+  row (`fastprop/containers/AbstractFeature.hpp`); the full aggregation
+  vocabulary is `helpers/enums/Aggregation.hpp:16-26` — served here by
+  `kernels.aggregations.grouped_aggregate` (exact-math kernels).
+- EWMA / TREND / TIME SINCE use dt = t_population - t_peripheral
+  (`fastprop/algorithm/Aggregator.hpp:373-427`) — here `t_out` is the
+  population row's timestamp, exactly the reference pair extraction.
+- NaN/Inf feature outputs become 0.0 in the reference's feature matrix
+  (`FastProp.cpp:100`) — opt-in via `nan_to_zero=True` (off by default so
+  SQL oracles can distinguish empty windows as NULL/NaN).
+
+Execution plan (Ray-Data-first, scale notes):
+- both tables are hash-partitioned by join key (only key/ts/value/id
+  columns are shuffled — never wide payloads), tagged with `_side`,
+  unioned, and grouped by `_part`: ONE all-to-all exchange total.
+- within a partition everything is vectorized numpy: a packed
+  (group, ts) composite key + two `searchsorted` calls give every
+  population row's window bounds (the tsindex analog,
+  `tsindex/InMemoryIndex.hpp:36-47`), windows are expanded with the
+  repeat/cumsum gather trick, and `grouped_aggregate` computes every
+  aggregation for every population row at once.
+- expansion cost is sum(window sizes) — the same work the reference does
+  per row (`FastProp.cpp:1152-1180` make_matches), but batched. For
+  bounded-memory scale, split partitions by (key, time-range) with
+  `memory` overlap replication; window sizes are bounded by memory/tick.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.rollup import crc_hash_sources, ts_to_us
+
+US = 1_000_000
+
+
+@dataclass
+class FastPropSpec:
+    """One windowed-aggregation feature set over a peripheral table."""
+
+    key_col: str
+    pop_ts_col: str
+    peri_ts_col: str
+    value_cols: list[str]
+    aggs: list[str]
+    id_cols: list[str] = field(default_factory=list)
+    horizon_s: float = 0.0
+    memory_s: float = 0.0
+    lag_delta_s: float = 0.0  # > 0 enables lag buckets
+    n_lags: int = 0  # number of tumbling lag buckets (with lag_delta_s)
+    nan_to_zero: bool = False  # FastProp.cpp:100 feature-matrix semantics
+    num_partitions: int = 32
+
+    def windows(self) -> list[tuple[str, float, float]]:
+        """(suffix, lower_offset_s, upper_offset_s): pts in
+        (t - lower, t - upper]."""
+        if self.lag_delta_s > 0 and self.n_lags > 0:
+            return [
+                (
+                    f"__lag{i}",
+                    self.horizon_s + (i + 1) * self.lag_delta_s,
+                    self.horizon_s + i * self.lag_delta_s,
+                )
+                for i in range(self.n_lags)
+            ]
+        return [("", self.horizon_s + self.memory_s, self.horizon_s)]
+
+
+def _hash_part(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    if keys.dtype.kind in "iu":
+        h = keys.astype(np.int64)
+    else:
+        h = crc_hash_sources(keys.astype(str))
+    return (h * 0x9E3779B1 % num_partitions).astype(np.int64)
+
+
+class _PartitionKernel:
+    """Vectorized per-partition FastProp sweep (complete key groups)."""
+
+    def __init__(self, spec: FastPropSpec):
+        self.spec = spec
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..kernels.aggregations import grouped_aggregate
+
+        spec = self.spec
+        side = np.asarray(t["_side"])
+        pop = t.filter(pa.array(side == 0))
+        peri = t.filter(pa.array(side == 1))
+        n_pop = len(pop)
+        if n_pop == 0:
+            return self._empty()
+
+        pop_key = np.asarray(pop[spec.key_col])
+        peri_key = np.asarray(peri[spec.key_col])
+        pop_ts = ts_to_us(pop["_ts"].combine_chunks())
+        peri_ts = ts_to_us(peri["_ts"].combine_chunks())
+
+        # dense joint group ids over both sides
+        uniq, inv = np.unique(np.concatenate([pop_key, peri_key]), return_inverse=True)
+        pop_g, peri_g = inv[:n_pop], inv[n_pop:]
+
+        # deterministic order: population by (key, ts) stable; peripheral by
+        # (key, ts, first value col) so equal-ts ties resolve to the smallest
+        # value (reference iteration-order tie-break made deterministic).
+        pop_order = np.lexsort((pop_ts, pop_g))
+        pop_g, pop_ts = pop_g[pop_order], pop_ts[pop_order]
+        vals = {
+            c: np.asarray(peri[c].combine_chunks(), dtype=np.float64)
+            for c in spec.value_cols
+        }
+        tie = vals[spec.value_cols[0]] if spec.value_cols else np.zeros(len(peri))
+        peri_order = np.lexsort((tie, peri_ts, peri_g))
+        peri_g, peri_ts = peri_g[peri_order], peri_ts[peri_order]
+        vals = {c: v[peri_order] for c, v in vals.items()}
+
+        # packed (group, relative-ts) composite for global searchsorted
+        t0 = int(min(peri_ts.min(), pop_ts.min())) if len(peri_ts) else int(pop_ts.min())
+        max_low = max(int(w[1] * US) for w in spec.windows())
+        rel_peri = peri_ts - t0
+        rel_pop = pop_ts - t0
+        span = int(max(rel_peri.max() if len(rel_peri) else 0, rel_pop.max())) + max_low + 2
+        comp = peri_g * span + rel_peri
+
+        out_cols: dict[str, pa.Array] = {}
+        for c in spec.id_cols:
+            out_cols[c] = pop[c].combine_chunks().take(pa.array(pop_order))
+        out_cols[spec.key_col] = pa.array(uniq[pop_g])
+        out_cols[spec.pop_ts_col] = (
+            pop["_ts"].combine_chunks().take(pa.array(pop_order))
+        )
+
+        t_out_sec = pop_ts / 1e6
+        for suffix, low_s, up_s in spec.windows():
+            lo_t = np.maximum(rel_pop - int(low_s * US) + 1, 0)  # exclusive lower
+            hi_t = np.maximum(rel_pop - int(up_s * US) + 1, 0)  # inclusive upper
+            lo = np.searchsorted(comp, pop_g * span + lo_t, side="left")
+            hi = np.searchsorted(comp, pop_g * span + hi_t, side="left")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            # repeat/cumsum gather: expanded peripheral indices per window
+            eg = np.repeat(np.arange(n_pop), cnt)
+            cum = np.concatenate([[0], np.cumsum(cnt)])
+            idx = np.arange(total) - np.repeat(cum[:-1], cnt) + np.repeat(lo, cnt)
+            ets = peri_ts[idx] / 1e6
+            for c in spec.value_cols:
+                res = grouped_aggregate(
+                    spec.aggs, eg, vals[c][idx], n_pop, ts=ets, t_out=t_out_sec
+                )
+                for agg, arr in res.items():
+                    if spec.nan_to_zero:
+                        arr = np.where(np.isfinite(arr), arr, 0.0)
+                    out_cols[f"{c}__{agg}{suffix}"] = pa.array(arr)
+        return pa.table(out_cols)
+
+    def _empty(self) -> pa.Table:
+        spec = self.spec
+        cols: dict[str, pa.Array] = {}
+        for c in spec.id_cols:
+            cols[c] = pa.array([], type=pa.int64())
+        cols[spec.key_col] = pa.array([], type=pa.int64())
+        cols[spec.pop_ts_col] = pa.array([], type=pa.timestamp("us"))
+        for suffix, _, _ in spec.windows():
+            for c in spec.value_cols:
+                for agg in spec.aggs:
+                    cols[f"{c}__{agg}{suffix}"] = pa.array([], type=pa.float64())
+        return pa.table(cols)
+
+
+def fastprop_features(population_ds, peripheral_ds, spec: FastPropSpec):
+    """Point-in-time windowed aggregation of `peripheral_ds` onto
+    `population_ds` (two-table FastProp). Returns a Dataset with one row per
+    population row: id_cols + key + ts + one float64 column per
+    (value_col, agg, lag)."""
+
+    def tag_pop(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[spec.key_col])
+        cols = {c: b[c] for c in spec.id_cols}
+        cols[spec.key_col] = b[spec.key_col]
+        cols["_ts"] = b[spec.pop_ts_col]
+        for c in spec.value_cols:
+            cols[c] = pa.nulls(len(b), pa.float64())
+        cols["_side"] = pa.array(np.zeros(len(b), dtype=np.int8))
+        cols["_part"] = pa.array(_hash_part(k, spec.num_partitions))
+        return pa.table(cols)
+
+    def tag_peri(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[spec.key_col])
+        cols = {}
+        for c in spec.id_cols:
+            cols[c] = pa.nulls(len(b), pa.int64())
+        cols[spec.key_col] = b[spec.key_col]
+        cols["_ts"] = b[spec.peri_ts_col]
+        for c in spec.value_cols:
+            cols[c] = b[c].cast(pa.float64())
+        cols["_side"] = pa.array(np.ones(len(b), dtype=np.int8))
+        cols["_part"] = pa.array(_hash_part(k, spec.num_partitions))
+        return pa.table(cols)
+
+    pop_cols = list(dict.fromkeys(spec.id_cols + [spec.key_col, spec.pop_ts_col]))
+    peri_cols = list(dict.fromkeys([spec.key_col, spec.peri_ts_col] + spec.value_cols))
+    pop = population_ds.select_columns(pop_cols).map_batches(
+        tag_pop, batch_format="pyarrow", zero_copy_batch=True
+    )
+    peri = peripheral_ds.select_columns(peri_cols).map_batches(
+        tag_peri, batch_format="pyarrow", zero_copy_batch=True
+    )
+    kernel = _PartitionKernel(spec)
+    return (
+        pop.union(peri)
+        .groupby("_part")
+        .map_groups(
+            lambda g: kernel(g.drop_columns(["_part"])), batch_format="pyarrow"
+        )
+    )
+
+
+def time_series_features(ds, spec: FastPropSpec):
+    """Self-join FastProp (the reference's TimeSeries sugar,
+    `getml/data/time_series.py:26-186`): every row is both a prediction
+    point and a peripheral event."""
+    return fastprop_features(ds, ds, spec)

@@ -1003,3 +1003,13 @@ ORACLE_SQL.update(
         "topk_brands": SQL_TOPK_BRANDS,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# FastProp propositionalization (point-in-time window features)
+# --------------------------------------------------------------------------
+
+from .queries_fastprop import FASTPROP_ORACLE_SQL, FASTPROP_QUERIES  # noqa: E402
+
+QUERIES.update(FASTPROP_QUERIES)
+ORACLE_SQL.update(FASTPROP_ORACLE_SQL)

@@ -1,0 +1,284 @@
+"""Driver-contract queries for the FastProp propositionalization pipeline
+(point-in-time window aggregation, `pipelines/fastprop.py`) with DuckDB
+oracles spelling the reference match rule
+`t - horizon - memory < pts <= t - horizon` as join predicates.
+
+Exactness: counts/sums/mins/maxes go through integer cents; EWMA/TREND and
+stddev are rounded 6 dp fixed-point on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _r6(x) -> pa.Array:
+    v = np.asarray(x, dtype=np.float64)
+    return pa.array(np.rint(v * 1e6) / 1e6)
+
+
+def _events_cents(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    return ds.map_batches(
+        lambda b: b.append_column(
+            "cents", pc.round(pc.multiply(b["value"], 100.0), ndigits=0)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_fastprop_self_events(sf_dir: str):
+    """Self-join FastProp (TimeSeries mode): per event, the same user's
+    events in (t - 60s - 2d, t - 60s] — count/sum/avg/min/max/median."""
+    from .fastprop import FastPropSpec, time_series_features
+
+    spec = FastPropSpec(
+        key_col="user_id",
+        pop_ts_col="ts",
+        peri_ts_col="ts",
+        value_cols=["cents"],
+        aggs=["count", "sum", "avg", "min", "max", "median"],
+        id_cols=["event_id"],
+        horizon_s=60.0,
+        memory_s=2 * 86400.0,
+        num_partitions=16,
+    )
+    out = time_series_features(_events_cents(sf_dir), spec)
+
+    def fin(b: pa.Table) -> pa.Table:
+        c = lambda n: np.asarray(b[f"cents__{n}"], dtype=np.float64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "f_count": pa.array(c("count")),
+                "f_sum": pa.array(c("sum") / 100.0),
+                "f_avg": pa.array(c("avg") / 100.0),
+                "f_min": pa.array(c("min") / 100.0),
+                "f_max": pa.array(c("max") / 100.0),
+                "f_median": pa.array(c("median") / 100.0),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FASTPROP_SELF = """
+SELECT p.event_id, p.user_id,
+       CAST(count(e.ts) AS DOUBLE) AS f_count,
+       COALESCE(CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE), 0.0)
+           / 100.0 AS f_sum,
+       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(count(e.ts) AS DOUBLE) / 100.0 AS f_avg,
+       CAST(MIN(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS f_min,
+       CAST(MAX(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS f_max,
+       quantile_cont(CAST(round(e.value * 100) AS BIGINT), 0.5) / 100.0 AS f_median
+FROM events p
+LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >  p.ts - INTERVAL '172860 seconds'
+ AND e.ts <= p.ts - INTERVAL '60 seconds'
+GROUP BY p.event_id, p.user_id
+"""
+
+
+def q_fastprop_daily_users(sf_dir: str):
+    """Two-table FastProp: population = per (user, day-end) prediction grid;
+    peripheral = events; 7-day memory."""
+    from .fastprop import FastPropSpec, fastprop_features
+
+    peri = _events_cents(sf_dir)
+
+    def to_grid(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b["ts"], unit="day")
+        pts = pc.add(day.cast(pa.int64()), 86400 * 1_000_000).cast(
+            pa.timestamp("us")
+        )
+        return pa.table({"user_id": b["user_id"], "pts": pts})
+
+    pop = (
+        _read(sf_dir, "events", columns=["ts", "user_id"])
+        .map_batches(to_grid, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "pts"])
+        .count()
+        .drop_columns(["count()"])
+    )
+
+    spec = FastPropSpec(
+        key_col="user_id",
+        pop_ts_col="pts",
+        peri_ts_col="ts",
+        value_cols=["cents"],
+        aggs=["count", "sum", "max", "stddev"],
+        horizon_s=0.0,
+        memory_s=7 * 86400.0,
+        num_partitions=16,
+    )
+    out = fastprop_features(pop, peri, spec)
+
+    def fin(b: pa.Table) -> pa.Table:
+        c = lambda n: np.asarray(b[f"cents__{n}"], dtype=np.float64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "pts": b["pts"],
+                "f_count": pa.array(c("count")),
+                "f_sum": pa.array(c("sum") / 100.0),
+                "f_max": pa.array(c("max") / 100.0),
+                "f_stddev": _r6(c("stddev") / 100.0),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FASTPROP_DAILY = """
+WITH pop AS (
+  SELECT DISTINCT user_id,
+         date_trunc('day', ts) + INTERVAL 1 DAY AS pts
+  FROM events)
+SELECT p.user_id, p.pts,
+       CAST(count(e.ts) AS DOUBLE) AS f_count,
+       COALESCE(CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE), 0.0)
+           / 100.0 AS f_sum,
+       CAST(MAX(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS f_max,
+       CAST(round(stddev_pop(CAST(round(e.value * 100) AS BIGINT) / 100.0) * 1e6)
+            AS BIGINT) / 1000000.0 AS f_stddev
+FROM pop p
+LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >  p.pts - INTERVAL 7 DAY
+ AND e.ts <= p.pts
+GROUP BY p.user_id, p.pts
+"""
+
+
+def q_fastprop_lag_buckets(sf_dir: str):
+    """Lag-window conditions (FastProp.cpp:1255-1290): two tumbling 1-day
+    lag buckets per event."""
+    from .fastprop import FastPropSpec, time_series_features
+
+    spec = FastPropSpec(
+        key_col="user_id",
+        pop_ts_col="ts",
+        peri_ts_col="ts",
+        value_cols=["cents"],
+        aggs=["count", "sum"],
+        id_cols=["event_id"],
+        lag_delta_s=86400.0,
+        n_lags=2,
+        num_partitions=16,
+    )
+    out = time_series_features(_events_cents(sf_dir), spec)
+
+    def fin(b: pa.Table) -> pa.Table:
+        cols = {"event_id": b["event_id"]}
+        for i in (0, 1):
+            cols[f"cnt_lag{i}"] = pa.array(
+                np.asarray(b[f"cents__count__lag{i}"], dtype=np.float64)
+            )
+            cols[f"sum_lag{i}"] = pa.array(
+                np.asarray(b[f"cents__sum__lag{i}"], dtype=np.float64) / 100.0
+            )
+        return pa.table(cols)
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FASTPROP_LAGS = """
+SELECT p.event_id,
+       CAST(count(e.ts) FILTER (e.ts > p.ts - INTERVAL 1 DAY) AS DOUBLE)
+           AS cnt_lag0,
+       COALESCE(CAST(SUM(CAST(round(e.value * 100) AS BIGINT))
+                 FILTER (e.ts > p.ts - INTERVAL 1 DAY) AS DOUBLE), 0.0) / 100.0
+           AS sum_lag0,
+       CAST(count(e.ts) FILTER (e.ts <= p.ts - INTERVAL 1 DAY) AS DOUBLE)
+           AS cnt_lag1,
+       COALESCE(CAST(SUM(CAST(round(e.value * 100) AS BIGINT))
+                 FILTER (e.ts <= p.ts - INTERVAL 1 DAY) AS DOUBLE), 0.0) / 100.0
+           AS sum_lag1
+FROM events p
+LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >  p.ts - INTERVAL 2 DAY
+ AND e.ts <= p.ts
+GROUP BY p.event_id
+"""
+
+
+def q_fastprop_ewma_trend(sf_dir: str):
+    """EWMA(1h) + TREND over a (t-6h, t] window — dt = t_pop - t_peri pair
+    extraction (Aggregator.hpp:373-427); 6 dp fixed-point both sides.
+    Window always contains the row itself (horizon 0), so no empty-window
+    NULL-vs-NaN divergence."""
+    from .fastprop import FastPropSpec, time_series_features
+
+    spec = FastPropSpec(
+        key_col="user_id",
+        pop_ts_col="ts",
+        peri_ts_col="ts",
+        value_cols=["value"],
+        aggs=["ewma_1h", "trend"],
+        id_cols=["event_id"],
+        horizon_s=0.0,
+        memory_s=6 * 3600.0,
+        num_partitions=16,
+    )
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = time_series_features(ds, spec)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "f_ewma_1h": _r6(b["value__ewma_1h"]),
+                "f_trend": _r6(b["value__trend"]),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FASTPROP_EWMA_TREND = """
+WITH m AS (
+  SELECT p.event_id,
+         epoch_us(p.ts) / 1000000.0 - epoch_us(e.ts) / 1000000.0 AS dt,
+         e.value AS v
+  FROM events p
+  JOIN events e
+    ON e.user_id = p.user_id
+   AND e.ts >  p.ts - INTERVAL 6 HOUR
+   AND e.ts <= p.ts)
+SELECT event_id,
+       CAST(round(SUM(v * exp(ln(0.5) * dt / 3600.0))
+                  / SUM(exp(ln(0.5) * dt / 3600.0)) * 1e6) AS BIGINT)
+           / 1000000.0 AS f_ewma_1h,
+       CAST(round((CASE WHEN var_pop(dt) = 0 THEN avg(v)
+                        ELSE regr_intercept(v, dt) END) * 1e6) AS BIGINT)
+           / 1000000.0 AS f_trend
+FROM m GROUP BY event_id
+"""
+
+
+FASTPROP_QUERIES = {
+    "fastprop_self_events": q_fastprop_self_events,
+    "fastprop_daily_users": q_fastprop_daily_users,
+    "fastprop_lag_buckets": q_fastprop_lag_buckets,
+    "fastprop_ewma_trend": q_fastprop_ewma_trend,
+}
+
+FASTPROP_ORACLE_SQL = {
+    "fastprop_self_events": SQL_FASTPROP_SELF,
+    "fastprop_daily_users": SQL_FASTPROP_DAILY,
+    "fastprop_lag_buckets": SQL_FASTPROP_LAGS,
+    "fastprop_ewma_trend": SQL_FASTPROP_EWMA_TREND,
+}

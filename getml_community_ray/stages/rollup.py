@@ -43,8 +43,12 @@ VALUE_MASK = (1 << VALUE_BITS) - 1
 
 
 def ts_to_us(arr: pa.Array) -> np.ndarray:
-    """timestamp[us] (or int64 us) column -> int64 numpy, zero-copy."""
+    """timestamp (any unit) or int64-us column -> int64 microseconds.
+
+    Zero-copy for timestamp[us]; other units are normalized first."""
     if pa.types.is_timestamp(arr.type):
+        if arr.type.unit != "us":
+            arr = arr.cast(pa.timestamp("us", tz=arr.type.tz))
         arr = arr.cast(pa.int64())
     return np.asarray(arr)
 

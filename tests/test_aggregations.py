@@ -152,3 +152,20 @@ def test_quantile_interpolation_matches_reference_formula():
     assert res["q25"][0] == pytest.approx(1.75)   # ix=0.75 -> 1*0.25+2*0.75
     assert res["median"][0] == pytest.approx(2.5)
     assert res["q75"][0] == pytest.approx(3.0 * 0.75 + 10.0 * 0.25)
+
+
+def test_trailing_empty_group_min_max():
+    """Regression: a non-empty group ending at the array end, followed by
+    empty groups, must not have its reduceat segment truncated (the
+    empty-start clamp bug found via FastProp empty windows)."""
+    gids = np.asarray([0, 0, 1, 1, 1], dtype=np.int64)
+    vals = np.asarray([5.0, 2.0, 9.0, 8.0, 1.0])
+    ts = np.asarray([1.0, 2.0, 1.0, 2.0, 3.0])
+    n_groups = 4  # groups 2 and 3 empty
+    res = grouped_aggregate(
+        ["min", "max", "count", "sum"], gids, vals, n_groups, ts,
+        np.full(n_groups, 10.0),
+    )
+    assert res["min"][1] == 1.0 and res["max"][1] == 9.0
+    assert math.isnan(res["min"][2]) and math.isnan(res["min"][3])
+    assert res["count"][2] == 0.0 and res["sum"][2] == 0.0
