@@ -1013,3 +1013,8 @@ from .queries_fastprop import FASTPROP_ORACLE_SQL, FASTPROP_QUERIES  # noqa: E40
 
 QUERIES.update(FASTPROP_QUERIES)
 ORACLE_SQL.update(FASTPROP_ORACLE_SQL)
+
+from .queries_ml import ML_ORACLE_SQL, ML_QUERIES  # noqa: E402
+
+QUERIES.update(ML_QUERIES)
+ORACLE_SQL.update(ML_ORACLE_SQL)

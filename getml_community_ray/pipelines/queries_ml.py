@@ -1,0 +1,152 @@
+"""Driver-contract queries for the predictor/metric layer, with DuckDB
+regr_* / window-rank oracles. Results are single-row tables rounded 6 dp
+fixed-point on both sides."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _r6f(x: float) -> float:
+    return float(np.rint(float(x) * 1e6) / 1e6)
+
+
+def q_linreg_lineitem(sf_dir: str):
+    """Simple OLS l_extendedprice ~ l_quantity + fit metrics; one row."""
+    from ..stages.predictors import LinearRegression, regression_metrics
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    m = LinearRegression(["l_quantity"], "l_extendedprice").fit(ds)
+    pred = m.predict(ds)
+    met = regression_metrics(
+        pred, target_col="l_extendedprice", pred_col="prediction"
+    )
+    return pd.DataFrame(
+        {
+            "slope": [_r6f(m.coef_[0])],
+            "intercept": [_r6f(m.intercept_)],
+            "r2": [_r6f(met["r2"])],
+            "rmse": [_r6f(met["rmse"])],
+            "mae": [_r6f(met["mae"])],
+        }
+    )
+
+
+SQL_LINREG = """
+WITH f AS (
+  SELECT regr_slope(l_extendedprice, l_quantity) AS s,
+         regr_intercept(l_extendedprice, l_quantity) AS b,
+         regr_r2(l_extendedprice, l_quantity) AS r
+  FROM lineitem),
+e AS (
+  SELECT l_extendedprice - (f.s * l_quantity + f.b) AS err
+  FROM lineitem, f)
+SELECT CAST(round(f.s * 1e6) AS BIGINT) / 1000000.0 AS slope,
+       CAST(round(f.b * 1e6) AS BIGINT) / 1000000.0 AS intercept,
+       CAST(round(f.r * 1e6) AS BIGINT) / 1000000.0 AS r2,
+       CAST(round(sqrt(avg(err * err)) * 1e6) AS BIGINT) / 1000000.0 AS rmse,
+       CAST(round(avg(abs(err)) * 1e6) AS BIGINT) / 1000000.0 AS mae
+FROM e, f
+GROUP BY f.s, f.b, f.r
+"""
+
+
+def q_auc_purchase_value(sf_dir: str):
+    """Exact tie-aware ROC AUC of `value` predicting event_type='purchase'
+    (distributed sort + streaming rank pass)."""
+    import pyarrow.compute as pc
+
+    from ..stages.predictors import auc
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "y": pc.cast(pc.equal(b["event_type"], "purchase"), pa.float64()),
+                "s": b["value"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pd.DataFrame({"auc": [_r6f(auc(ds, target_col="y", score_col="s"))]})
+
+
+SQL_AUC = """
+WITH d AS (
+  SELECT value AS s,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events),
+ranked AS (
+  SELECT y, AVG(rn) OVER (PARTITION BY s) AS ar
+  FROM (SELECT s, y, row_number() OVER (ORDER BY s) AS rn FROM d))
+SELECT CAST(round(
+         (SUM(ar) FILTER (y = 1.0)
+          - COUNT(*) FILTER (y = 1.0) * (COUNT(*) FILTER (y = 1.0) + 1) / 2.0)
+         / (COUNT(*) FILTER (y = 1.0) * COUNT(*) FILTER (y = 0.0)) * 1e6)
+       AS BIGINT) / 1000000.0 AS auc
+FROM ranked
+"""
+
+
+def q_logreg_purchase(sf_dir: str):
+    """Scaler -> logistic regression -> accuracy/cross-entropy/AUC; GD is
+    iterative (not SQL-expressible) -> rows-only driver check, exactness
+    covered by tests/test_predictors.py."""
+    import pyarrow.compute as pc
+
+    from ..stages.predictors import (
+        LogisticRegression,
+        StandardScaler,
+        auc,
+        classification_metrics,
+    )
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "y": pc.cast(pc.equal(b["event_type"], "purchase"), pa.float64()),
+                "value": b["value"],
+                "hour": pc.cast(pc.hour(b["ts"]), pa.float64()),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    sc = StandardScaler(["value", "hour"]).fit(ds)
+    scaled = sc.transform(ds)
+    m = LogisticRegression(["value", "hour"], "y", lr=1.0, n_iter=25).fit(scaled)
+    scored = m.predict_proba(sc.transform(ds))
+    met = classification_metrics(scored, target_col="y", proba_col="proba")
+    a = auc(scored, target_col="y", score_col="proba")
+    return pd.DataFrame(
+        {
+            "coef_value": [float(m.coef_[0])],
+            "coef_hour": [float(m.coef_[1])],
+            "intercept": [float(m.intercept_)],
+            "accuracy": [met["accuracy"]],
+            "cross_entropy": [met["cross_entropy"]],
+            "auc": [a],
+        }
+    )
+
+
+ML_QUERIES = {
+    "linreg_lineitem": q_linreg_lineitem,
+    "auc_purchase_value": q_auc_purchase_value,
+    "logreg_purchase": q_logreg_purchase,
+}
+
+ML_ORACLE_SQL = {
+    "linreg_lineitem": SQL_LINREG,
+    "auc_purchase_value": SQL_AUC,
+}
