@@ -1018,3 +1018,8 @@ from .queries_ml import ML_ORACLE_SQL, ML_QUERIES  # noqa: E402
 
 QUERIES.update(ML_QUERIES)
 ORACLE_SQL.update(ML_ORACLE_SQL)
+
+from .queries_corpus import CORPUS_ORACLE_SQL, CORPUS_QUERIES  # noqa: E402
+
+QUERIES.update(CORPUS_QUERIES)
+ORACLE_SQL.update(CORPUS_ORACLE_SQL)

@@ -1,0 +1,153 @@
+"""Driver-contract queries for the corpus / training-data operators:
+BPE-ish token counting, binary payload lane, embedding near-dup, n-gram
+Jaccard dedup, IVF ANN, multimodal feature plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q_token_count_bpe(sf_dir: str):
+    from ..stages.text import token_count_bpe
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_count_bpe(ds, text_col="text", id_col="doc_id")
+
+
+SQL_TOKEN_COUNT_BPE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\w{1,4}|[^\w\s]')) AS BIGINT)
+           AS n_tokens
+FROM documents
+"""
+
+
+def q_payload_bytes(sf_dir: str):
+    """Binary-payload lane: text -> binary column -> per-payload byte
+    length computed from the binary buffer (proves the opaque-binary
+    plumbing against a SQL oracle)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        payload = b["text"].cast(pa.binary())
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_bytes": pc.cast(pc.binary_length(payload), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_PAYLOAD_BYTES = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def q_cosine_neardup_embeddings(sf_dir: str):
+    from ..stages.dedup import cosine_neardup_exact
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_neardup_exact(ds, threshold=0.4)
+
+
+SQL_COSINE_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) * 1e6)
+            AS BIGINT) / 1000000.0 AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def q_ngram_jaccard_documents(sf_dir: str):
+    """MinHash-LSH candidates -> exact 5-gram Jaccard verify (>= 0.3);
+    iterative shingle-set math is not SQL-expressible at reasonable cost ->
+    rows-only driver check (exactness in tests/test_dedup_extra.py)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(
+        ds, text_col="text", id_col="doc_id", threshold=0.3
+    )
+
+
+def q_fingerprint_documents(sf_dir: str):
+    from ..stages.text import fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return fingerprint(ds, text_col="text", id_col="doc_id")
+
+
+def q_ivf_topk_embeddings(sf_dir: str):
+    """IVF approximate ANN (scale path of similarity_topk); recall floor
+    asserted in tests."""
+    import ray
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from ..stages.similarity import ivf_topk
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qt = qt.filter(pc.less(qt["vec_id"], 5))
+    qids = np.asarray(qt["vec_id"], dtype=np.int64)
+    Q = np.stack(
+        [np.asarray(x, dtype=np.float64) for x in qt["embedding"].to_pylist()]
+    )
+    ref = ray.put((qids, Q))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, query_ref=ref, k=10, n_clusters=16, n_probe=4)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Documents -> binary payloads -> actor-pool byte-histogram features
+    (decode/resize plumbing covered in tests; stubbed codec)."""
+    from ..stages.multimodal import ByteHistogramFeatures
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id": b["doc_id"], "payload": b["text"].cast(pa.binary())}
+        )
+
+    return ds.map_batches(
+        to_payload, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        ByteHistogramFeatures,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+
+
+CORPUS_QUERIES = {
+    "token_count_bpe_documents": q_token_count_bpe,
+    "payload_bytes_documents": q_payload_bytes,
+    "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
+    "ngram_jaccard_documents": q_ngram_jaccard_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "ivf_topk_embeddings": q_ivf_topk_embeddings,
+    "multimodal_features_documents": q_multimodal_features,
+}
+
+CORPUS_ORACLE_SQL = {
+    "token_count_bpe_documents": SQL_TOKEN_COUNT_BPE,
+    "payload_bytes_documents": SQL_PAYLOAD_BYTES,
+    "cosine_neardup_embeddings": SQL_COSINE_NEARDUP,
+}

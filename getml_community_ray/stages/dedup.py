@@ -186,3 +186,225 @@ def simhash_signatures(ds, *, text_col: str, id_col: str, shingle: int = 5):
         return pa.table({id_col: b[id_col], "simhash": pa.array(out.astype(np.int64))})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_jaccard_pairs(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+    threshold: float = 0.5,
+):
+    """Exact n-gram Jaccard over MinHash-LSH candidate pairs.
+
+    Stage 1 = `minhash_lsh_candidates` (signatures + band buckets — the only
+    shuffle, of small hash columns). Stage 2 re-reads ONLY candidate docs'
+    texts via a broadcast id-set filter and verifies each pair exactly with
+    its shingle sets. Candidate volume is the LSH output (tiny vs corpus);
+    at 100 TB the verify stage would hash-join texts to pairs instead of
+    broadcasting — here candidates fit one ray.put object.
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
+    """
+    import ray
+
+    cands = minhash_lsh_candidates(
+        ds, text_col=text_col, id_col=id_col,
+        num_perm=num_perm, bands=bands, shingle=shingle,
+    )
+    pair_set: set[tuple] = set()
+    for b in cands.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for ids in b["ids"].to_pylist():
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pair_set.add((ids[i], ids[j]))
+    if not pair_set:
+        return _empty_pairs()
+    cand_ids = sorted({x for p in pair_set for x in p})
+    id_ref = ray.put(frozenset(cand_ids))
+
+    def keep(b: pa.Table) -> pa.Table:
+        wanted = ray.get(id_ref)
+        ids = np.asarray(b[id_col])
+        mask = np.array([i in wanted for i in ids.tolist()], dtype=bool)
+        return b.filter(pa.array(mask))
+
+    texts = {}
+    small = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    for b in small.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            texts[i] = t
+
+    def shingles(t: str) -> frozenset:
+        bb = t.encode()
+        if len(bb) < shingle:
+            return frozenset([bb])
+        return frozenset(bb[j : j + shingle] for j in range(len(bb) - shingle + 1))
+
+    rows_a, rows_b, rows_j = [], [], []
+    sh_cache = {i: shingles(texts[i]) for i in cand_ids}
+    for a, b_ in sorted(pair_set):
+        sa, sb = sh_cache[a], sh_cache[b_]
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        j = inter / union if union else 1.0
+        if j >= threshold:
+            rows_a.append(a)
+            rows_b.append(b_)
+            rows_j.append(np.rint(j * 1e6) / 1e6)
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(rows_a, type=pa.int64()),
+                "id_b": pa.array(rows_b, type=pa.int64()),
+                "jaccard": pa.array(rows_j, type=pa.float64()),
+            }
+        )
+    )
+
+
+def _empty_pairs():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+    )
+
+
+def cosine_neardup_exact(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+):
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b).
+
+    The (normalized) full matrix is broadcast once via ray.put; each batch
+    does one matmul against it — O(n^2 d / B) per batch but zero shuffle.
+    This is the small-reference-set lane; at corpus scale use
+    `cosine_neardup_lsh` (bucketed candidates, then this as the verifier
+    within buckets).
+    """
+    import ray
+
+    from .similarity import _stack_embeddings
+
+    rows = []
+    ids_all = []
+    for b in ds.select_columns([id_col, emb_col]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        rows.append(_stack_embeddings(b[emb_col]))
+        ids_all.append(np.asarray(b[id_col], dtype=np.int64))
+    X = np.concatenate(rows).astype(np.float64)
+    ids = np.concatenate(ids_all)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((ids, Xn))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        all_ids, M = ray.get(ref)
+        bx = _stack_embeddings(b[emb_col]).astype(np.float64)
+        bids = np.asarray(b[id_col], dtype=np.int64)
+        bn = bx / np.maximum(np.linalg.norm(bx, axis=1, keepdims=True), 1e-30)
+        sims = bn @ M.T
+        ii, jj = np.nonzero(sims >= threshold)
+        a, c = bids[ii], all_ids[jj]
+        keep = a < c
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep]),
+                "id_b": pa.array(c[keep]),
+                "cosine": pa.array(np.rint(sims[ii, jj][keep] * 1e6) / 1e6),
+            }
+        )
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def cosine_neardup_lsh(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+):
+    """Scale path: random-hyperplane LSH buckets -> exact cosine verify
+    within each bucket (groupby on the bucket signature; only (id, vector)
+    columns shuffle). Approximate: recall measured in tests."""
+    from .similarity import _stack_embeddings
+
+    def _planes(dim: int):
+        # regenerated per batch from the fixed seed: deterministic on every
+        # worker, no broadcast needed, dim inferred from the data
+        rng = np.random.default_rng(seed)
+        return [rng.standard_normal((dim, n_planes)) for _ in range(n_tables)]
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        X = _stack_embeddings(b[emb_col]).astype(np.float64)
+        planes = _planes(X.shape[1])
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        n = len(ids)
+        out_t, out_sig, out_id, out_vec = [], [], [], []
+        for t, P in enumerate(planes):
+            bits = (X @ P) > 0
+            sig = np.zeros(n, dtype=np.int64)
+            for k in range(n_planes):
+                sig |= bits[:, k].astype(np.int64) << k
+            out_t.append(np.full(n, t, dtype=np.int64))
+            out_sig.append(sig)
+            out_id.append(ids)
+            out_vec.append(b[emb_col].combine_chunks())
+        return pa.table(
+            {
+                "table_id": pa.array(np.concatenate(out_t)),
+                "sig": pa.array(np.concatenate(out_sig)),
+                id_col: pa.array(np.concatenate(out_id)),
+                emb_col: pa.concat_arrays(
+                    [v.cast(v.type) for v in out_vec]
+                ),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        X = _stack_embeddings(group[emb_col]).astype(np.float64)
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        sims = Xn @ Xn.T
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = ids[ii] < ids[jj]
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ii][keep]),
+                "id_b": pa.array(ids[jj][keep]),
+                "cosine": pa.array(np.rint(sims[ii, jj][keep] * 1e6) / 1e6),
+            }
+        )
+
+    pairs = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["table_id", "sig"])
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    # dedupe pairs found in multiple tables
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("cosine", alias_name="cosine")
+    )

@@ -15,8 +15,15 @@ import numpy as np
 import pyarrow as pa
 
 
-def _stack_embeddings(col: pa.ChunkedArray) -> np.ndarray:
-    arr = col.combine_chunks()
+def _stack_embeddings(col) -> np.ndarray:
+    """(chunked) list<float> / fixed_size_list / Ray tensor-extension column
+    -> (n, d) float32 matrix, zero-copy where the layout allows."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr.type, pa.ExtensionType):  # Ray ArrowTensorArray
+        return np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.float32)
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+        return np.asarray(arr.values, dtype=np.float32).reshape(len(arr), dim)
     values = np.asarray(arr.values, dtype=np.float32)
     dim = len(arr[0]) if len(arr) else 0
     return values.reshape(len(arr), dim)
@@ -126,3 +133,133 @@ def lsh_bucket_topk(
     )
     tbl["rank"] = tbl.groupby("query_id").cumcount() + 1
     return tbl[tbl["rank"] <= k].reset_index(drop=True)
+
+
+def ivf_topk(
+    ds,
+    *,
+    query_ref,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+):
+    """IVF (inverted-file) approximate top-k: the scale path for ANN.
+
+    1. Train centroids by k-means on a bounded sample (driver-side,
+       deterministic seed) — the coarse quantizer is tiny state.
+    2. Assign every vector to its nearest centroid inside `map_batches`
+       (broadcast centroids) — no shuffle of the embedding table beyond the
+       groupby on cluster id.
+    3. For each query, probe the `n_probe` nearest clusters only; exact
+       cosine within probed clusters; tiny final merge.
+    Approximate; recall vs brute force is measured in tests.
+    """
+    import ray
+
+    # ---- 1. train coarse quantizer on a sample
+    sample = []
+    seen = 0
+    for b in ds.select_columns([emb_col]).iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        sample.append(_stack_embeddings(b[emb_col]).astype(np.float64))
+        seen += len(b)
+        if seen >= train_sample:
+            break
+    X = np.concatenate(sample)[:train_sample]
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(len(Xn), size=min(n_clusters, len(Xn)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(Xn @ C.T, axis=1)  # cosine on normalized = dot
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-30)
+    cent_ref = ray.put(C)
+
+    qids, Q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]  # (m, n_probe)
+    probed_clusters = ray.put(
+        {int(c): [int(qi) for qi in np.flatnonzero((probe == c).any(axis=1))]
+         for c in np.unique(probe)}
+    )
+    q_ref = ray.put((qids, Qn))
+
+    # ---- 2. assign vectors to clusters
+    def assign_batch(b: pa.Table) -> pa.Table:
+        Cm = ray.get(cent_ref)
+        Xb = _stack_embeddings(b[emb_col]).astype(np.float64)
+        Xbn = Xb / np.maximum(np.linalg.norm(Xb, axis=1, keepdims=True), 1e-30)
+        cl = np.argmax(Xbn @ Cm.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(cl),
+                id_col: b[id_col],
+                emb_col: b[emb_col],
+            }
+        )
+
+    # ---- 3. per-cluster exact search over probing queries
+    def search(group: pa.Table) -> pa.Table:
+        cmap = ray.get(probed_clusters)
+        cl = int(group["cluster"][0].as_py())
+        qlist = cmap.get(cl, [])
+        if not qlist:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        all_qids, Qm = ray.get(q_ref)
+        Xg = _stack_embeddings(group[emb_col]).astype(np.float64)
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        Xgn = Xg / np.maximum(np.linalg.norm(Xg, axis=1, keepdims=True), 1e-30)
+        sims = Qm[qlist] @ Xgn.T  # (nq, n)
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rq, rn, rs = [], [], []
+        for r, qi in enumerate(qlist):
+            for c in top[r]:
+                rq.append(int(all_qids[qi]))
+                rn.append(int(ids[c]))
+                rs.append(float(sims[r, c]))
+        return pa.table(
+            {
+                "query_id": pa.array(rq, type=pa.int64()),
+                "neighbor_id": pa.array(rn, type=pa.int64()),
+                "cosine": pa.array(rs, type=pa.float64()),
+            }
+        )
+
+    partials = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(assign_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(search, batch_format="pyarrow")
+    )
+
+    # final tiny merge on the driver: global top-k per query
+    import pandas as pd
+
+    df = partials.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+        )
+    df = df.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k].reset_index(drop=True)
+    df["cosine"] = np.rint(df["cosine"].to_numpy() * 1e6) / 1e6
+    return df

@@ -122,3 +122,24 @@ def fingerprint(ds, *, text_col: str, id_col: str, window: int = 16):
         return pa.table({id_col: b[id_col], "fingerprint": pa.array(fps)})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ASCII-classed so Python `re` agrees with RE2 (DuckDB) on \w/\s
+_BPE_ASCII_RE = re.compile(r"\w{1,4}|[^\w\s]", re.ASCII)
+
+
+def token_count_bpe(ds, *, text_col: str, id_col: str):
+    """BPE-ish token estimate: count of word pieces (<=4 word chars) +
+    punctuation marks. ASCII char classes so the DuckDB RE2 oracle
+    `len(regexp_extract_all(text, '\\w{1,4}|[^\\w\\s]'))` matches exactly."""
+
+    def f(b: pa.Table) -> pa.Table:
+        txt = np.asarray(b[text_col]).astype(str)
+        n = np.fromiter(
+            (len(_BPE_ASCII_RE.findall(t)) for t in txt),
+            count=len(txt),
+            dtype=np.int64,
+        )
+        return pa.table({id_col: b[id_col], "n_tokens": pa.array(n)})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

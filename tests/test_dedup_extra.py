@@ -1,0 +1,141 @@
+"""n-gram Jaccard verify, cosine near-dup (exact + LSH recall), IVF ANN
+recall, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the journey home",
+        "sphinx of black quartz judge my vow before the winter comes",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        rows.append((i, b)); i += 1
+        rows.append((i, b + " extra")); i += 1          # near-dup
+        rows.append((i, b.replace("the", "a"))); i += 1  # near-dup-ish
+    rows.append((i, "completely unrelated text about nothing at all")); i += 1
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def _brute_jaccard(a: str, b: str, k=5):
+    sa = {a.encode()[j:j+k] for j in range(max(1, len(a)-k+1))}
+    sb = {b.encode()[j:j+k] for j in range(max(1, len(b)-k+1))}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    import ray.data as rd
+    from getml_community_ray.stages.dedup import ngram_jaccard_pairs
+
+    df = _docs()
+    out = ngram_jaccard_pairs(
+        rd.from_pandas(df), text_col="text", id_col="doc_id", threshold=0.5
+    ).to_pandas()
+    # every reported jaccard must equal the brute-force value (6 dp)
+    texts = dict(zip(df.doc_id, df.text))
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        want = _brute_jaccard(texts[r.id_a], texts[r.id_b])
+        assert r.jaccard == pytest.approx(np.rint(want * 1e6) / 1e6, abs=1e-12)
+        assert r.id_a < r.id_b
+    # the 'doc + extra' pairs are near-dups and must be found
+    assert {(0, 1), (3, 4), (6, 7)} <= set(zip(out.id_a, out.id_b))
+
+
+def _vectors(n=300, dim=32, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, dim))
+    # plant near-duplicates: vector i+n/2 = slightly perturbed copy of i
+    X[n // 2:] = X[: n // 2] + 0.01 * rng.standard_normal((n - n // 2, dim))
+    ids = np.arange(n, dtype=np.int64)
+    return pd.DataFrame({"vec_id": ids, "embedding": [r.astype(np.float32) for r in X]})
+
+
+def test_cosine_neardup_exact_and_lsh(ray_session):
+    import ray.data as rd
+    from getml_community_ray.stages.dedup import (
+        cosine_neardup_exact,
+        cosine_neardup_lsh,
+    )
+
+    df = _vectors()
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    exact = cosine_neardup_exact(ds, threshold=0.99).to_pandas()
+    planted = {(i, i + 150) for i in range(150)}
+    got = set(zip(exact.id_a, exact.id_b))
+    assert planted <= got
+
+    lsh = cosine_neardup_lsh(
+        rd.from_pandas(df, override_num_blocks=4),
+        threshold=0.99, n_planes=12, n_tables=6,
+    ).to_pandas()
+    got_lsh = set(zip(lsh.id_a.astype(int), lsh.id_b.astype(int)))
+    recall = len(got_lsh & planted) / len(planted)
+    assert recall >= 0.8, recall
+    assert got_lsh <= got  # no false positives beyond exact threshold set
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray
+    import ray.data as rd
+    from getml_community_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    df = _vectors(n=500, dim=32, seed=1)
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    qids = np.arange(5, dtype=np.int64)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in df.embedding[:5]])
+    ref = ray.put((qids, Q))
+    brute = brute_force_topk(
+        rd.from_pandas(df, override_num_blocks=4), query_ref=ref, k=10
+    )
+    if not isinstance(brute, pd.DataFrame):
+        brute = brute.to_pandas()
+    approx = ivf_topk(ds, query_ref=ref, k=10, n_clusters=8, n_probe=3)
+    rec = []
+    for q in qids:
+        want = set(brute[brute.query_id == q].neighbor_id)
+        got = set(approx[approx.query_id == q].neighbor_id)
+        rec.append(len(want & got) / len(want))
+    assert np.mean(rec) >= 0.8, rec
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+    from getml_community_ray.stages.multimodal import (
+        DecodeImage,
+        SampleFrames,
+        decode_features_pipeline,
+        make_payload_table,
+    )
+
+    blobs = [bytes([i % 256 for i in range(100 + 13 * j)]) for j in range(20)]
+    t = make_payload_table(list(range(20)), blobs, width=16, height=12)
+    ds = rd.from_arrow(t)
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(real=True)
+
+    feats, resized = decode_features_pipeline(ds, out_w=4, out_h=4)
+    f = feats.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(f.columns) == ["id", "n_bytes", "crc32", "byte_hist"]
+    assert (f.n_bytes.to_numpy() == np.array([len(b) for b in blobs])).all()
+    # bins are 6 dp fixed-point, so the sum drifts by <= bins * 5e-7
+    assert all(abs(sum(h) - 1.0) < 1e-5 for h in f.byte_hist)
+
+    r = resized.to_pandas().sort_values("id").reset_index(drop=True)
+    assert all(len(p) == 16 for p in r.pixels_resized)
+    # determinism: run twice, byte-identical
+    r2 = decode_features_pipeline(rd.from_arrow(t), out_w=4, out_h=4)[1] \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert all(list(a) == list(b) for a, b in zip(r.pixels_resized, r2.pixels_resized))
+
+    frames = ds.map_batches(
+        SampleFrames, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).to_pandas()
+    assert (frames.frame_ix % 4 == 0).all()
