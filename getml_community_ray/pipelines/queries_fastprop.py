@@ -282,3 +282,106 @@ FASTPROP_ORACLE_SQL = {
     "fastprop_lag_buckets": SQL_FASTPROP_LAGS,
     "fastprop_ewma_trend": SQL_FASTPROP_EWMA_TREND,
 }
+
+
+def q_rollup_1h_shape(sf_dir: str):
+    """Shape/order statistics lane: skew, kurtosis (non-excess),
+    variation coefficient (= var/mean), num_max/num_min, deterministic
+    tie-broken mode, count_distinct_over_count, count above/below mean —
+    cents-exact where integral, 6 dp fixed-point for the moments."""
+    from .rollup import RollupConfig, rollup_holistic
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+                "cents": pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cfg = RollupConfig(
+        source_col="event_type",
+        ts_col="ts",
+        value_col="cents",
+        tiers={"1h": 3600},
+        aggs=[
+            "skew", "kurtosis", "variation_coefficient", "num_max", "num_min",
+            "mode", "count_distinct_over_count", "count_above_mean",
+            "count_below_mean",
+        ],
+        num_partitions=16,
+    )
+    out = rollup_holistic(ds, cfg)["1h"]
+
+    def fin(b: pa.Table) -> pa.Table:
+        g = lambda n: np.asarray(b[n], dtype=np.float64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": b["bucket_ts"],
+                "skew": _r6(g("skew")),
+                "kurtosis": _r6(g("kurtosis")),
+                "vc": _r6(g("variation_coefficient") / 100.0),
+                "num_max": pa.array(g("num_max")),
+                "num_min": pa.array(g("num_min")),
+                "mode": pa.array(g("mode") / 100.0),
+                "cdoc": _r6(g("count_distinct_over_count")),
+                "n_above_mean": pa.array(g("count_above_mean")),
+                "n_below_mean": pa.array(g("count_below_mean")),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ROLLUP_1H_SHAPE = """
+WITH base AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+stats AS (
+  SELECT source, bucket_ts,
+         avg(c) AS mu, stddev_pop(c) AS sigma, var_pop(c) AS v,
+         CAST(count(*) AS DOUBLE) AS n, min(c) AS mn, max(c) AS mx,
+         CAST(count(DISTINCT c) AS DOUBLE) AS nd
+  FROM base GROUP BY 1, 2),
+modes AS (
+  SELECT source, bucket_ts, c,
+         row_number() OVER (PARTITION BY source, bucket_ts
+                            ORDER BY count(*) DESC, c ASC) AS rn
+  FROM base GROUP BY source, bucket_ts, c)
+SELECT s.source, s.bucket_ts,
+       CASE WHEN s.mn = s.mx THEN 0.0
+            ELSE CAST(round(SUM(pow((b.c - s.mu) / s.sigma, 3)) / s.n * 1e6)
+                 AS BIGINT) / 1000000.0 END AS skew,
+       CASE WHEN s.mn = s.mx THEN 0.0
+            ELSE CAST(round(SUM(pow((b.c - s.mu) / s.sigma, 4)) / s.n * 1e6)
+                 AS BIGINT) / 1000000.0 END AS kurtosis,
+       CAST(round(s.v / s.mu / 100.0 * 1e6) AS BIGINT) / 1000000.0 AS vc,
+       CAST(count(*) FILTER (b.c = s.mx) AS DOUBLE) AS num_max,
+       CAST(count(*) FILTER (b.c = s.mn) AS DOUBLE) AS num_min,
+       (SELECT m.c FROM modes m
+        WHERE m.source = s.source AND m.bucket_ts = s.bucket_ts AND m.rn = 1)
+           / 100.0 AS mode,
+       CAST(round(s.nd / s.n * 1e6) AS BIGINT) / 1000000.0 AS cdoc,
+       CASE WHEN s.mn = s.mx THEN 0.0
+            ELSE CAST(count(*) FILTER (b.c > s.mu) AS DOUBLE) END
+           AS n_above_mean,
+       CASE WHEN s.mn = s.mx THEN 0.0
+            ELSE CAST(count(*) FILTER (b.c < s.mu) AS DOUBLE) END
+           AS n_below_mean
+FROM base b
+JOIN stats s USING (source, bucket_ts)
+GROUP BY s.source, s.bucket_ts, s.mu, s.sigma, s.v, s.n, s.mn, s.mx, s.nd
+"""
+
+FASTPROP_QUERIES["rollup_1h_shape"] = q_rollup_1h_shape
+FASTPROP_ORACLE_SQL["rollup_1h_shape"] = SQL_ROLLUP_1H_SHAPE
