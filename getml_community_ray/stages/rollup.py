@@ -163,13 +163,16 @@ def partial_states(
     mx = np.full(G, -np.inf)
     first_key = np.full(G, np.iinfo(np.int64).max, dtype=np.int64)
     last_key = np.full(G, np.iinfo(np.int64).min, dtype=np.int64)
-    if len(gsort):
-        idx = np.minimum(starts, len(gsort) - 1)
-        ne = cnt > 0
-        mn[ne] = np.minimum.reduceat(v_f[order_f], idx)[ne]
-        mx[ne] = np.maximum.reduceat(v_f[order_f], idx)[ne]
-        first_key[ne] = np.minimum.reduceat(fk[order_f], idx)[ne]
-        last_key[ne] = np.maximum.reduceat(lk[order_f], idx)[ne]
+    ne = cnt > 0
+    if len(gsort) and ne.any():
+        # reduceat over NON-empty segment starts only (strictly increasing,
+        # < len): clamping empty starts would truncate a preceding segment
+        # that ends at the array end
+        idx = starts[ne]
+        mn[ne] = np.minimum.reduceat(v_f[order_f], idx)
+        mx[ne] = np.maximum.reduceat(v_f[order_f], idx)
+        first_key[ne] = np.minimum.reduceat(fk[order_f], idx)
+        last_key[ne] = np.maximum.reduceat(lk[order_f], idx)
 
     return pa.table(
         {
@@ -430,3 +433,139 @@ def holistic_supported(aggs: list[str]) -> bool:
 
 def decomposable_only(aggs: list[str]) -> bool:
     return all(a in DECOMPOSABLE for a in aggs)
+
+
+# ---------------------------------------------------------------------------
+# clustered (event-time-local) lane: shuffle ONLY boundary buckets
+# ---------------------------------------------------------------------------
+
+def _validate_clustered(src: np.ndarray, ts_us: np.ndarray) -> None:
+    """Raise unless the batch is event-time clustered: rows grouped into
+    contiguous per-source runs, ts non-decreasing within each run, and a
+    source's successive runs (a batch may span shard/file boundaries)
+    time-ordered — i.e. each source's rows in the batch cover ONE contiguous
+    time range. This is the layout of source-blocked, time-partitioned
+    Parquet; arbitrary interleavings fail loudly here instead of silently
+    double-counting in the boundary-only merge."""
+    if len(src) < 2:
+        return
+    change = src[1:] != src[:-1]
+    viol = (ts_us[1:] < ts_us[:-1]) & ~change
+    if viol.any():
+        raise ValueError(
+            "clustered rollup requires ts-monotonic rows within each source "
+            "run; use the unclustered lane for unsorted input"
+        )
+
+
+def tiered_partials_clustered(
+    batch: pa.Table,
+    *,
+    source_col: str,
+    ts_col: str,
+    value_col: str,
+    tiers: list[tuple[str, int]],
+    first_last: bool = True,
+) -> pa.Table:
+    """Per-tier partial states with a `_boundary` flag.
+
+    Exploits the ingest layout of time-series Parquet (rows clustered by
+    (source, event-time) — true of this corpus's shard layout and of any
+    time-partitioned lake): a (source, bucket) group strictly inside ONE
+    contiguous source-run of this batch cannot receive rows from any other
+    batch, so its partial state is FINAL and never needs the shuffle. Only
+    the first/last bucket of each run (per tier) may straddle a batch,
+    block or shard edge — those few rows are the entire exchange. The rule
+    is applied PER RUN, so it stays correct even when the streaming
+    executor delivers blocks out of logical order (preserve_order=False):
+    any bucket fragment at a run edge is boundary by construction.
+    Within-run monotonicity is CHECKED (_validate_clustered) — unsorted
+    input fails loudly instead of silently double-counting."""
+    src_all = np.asarray(batch[source_col]).astype(str)
+    ts_all = ts_to_us(batch[ts_col].combine_chunks())
+    _validate_clustered(src_all, ts_all)
+
+    n = len(src_all)
+    if n == 0:
+        change = np.zeros(0, dtype=bool)
+        run_starts = np.zeros(0, dtype=np.int64)
+    else:
+        change = src_all[1:] != src_all[:-1]
+        run_starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    run_ends = (
+        np.append(run_starts[1:], n) if n else np.zeros(0, dtype=np.int64)
+    )
+
+    out = []
+    for name, w in tiers:
+        p = partial_states(
+            batch,
+            source_col=source_col,
+            ts_col=ts_col,
+            value_col=value_col,
+            width_s=w,
+            first_last=first_last,
+        )
+        psrc = np.asarray(p["source"]).astype(str)
+        pbucket = np.asarray(p["bucket"])
+        if len(p):
+            w_us = w * US
+            uniq = np.unique(psrc)
+            bmin = int(pbucket.min())
+            span = int(pbucket.max()) - bmin + 1
+            run_src_ix = np.searchsorted(uniq, src_all[run_starts])
+            first_b = ts_all[run_starts] // w_us - bmin
+            last_b = ts_all[run_ends - 1] // w_us - bmin
+            edge_keys = np.concatenate(
+                [run_src_ix * span + first_b, run_src_ix * span + last_b]
+            )
+            pinv = np.searchsorted(uniq, psrc)
+            pkeys = pinv * span + (pbucket - bmin)
+            boundary = np.isin(pkeys, edge_keys)
+        else:
+            boundary = np.zeros(0, dtype=bool)
+        p = p.append_column("tier", pa.array([name] * len(p), type=pa.string()))
+        p = p.append_column("width_s", pa.array(np.full(len(p), w, dtype=np.int64)))
+        p = p.append_column("_boundary", pa.array(boundary))
+        out.append(p)
+    return pa.concat_tables(out)
+
+
+def finalize_tiered(tbl: pa.Table, *, aggs: list[str] | None = None) -> pa.Table:
+    """Long-format mixed-tier partial states -> finalized rollup rows."""
+    widths = np.asarray(tbl["width_s"])
+    out = []
+    for w in np.unique(widths):
+        sl = tbl.filter(pa.array(widths == w))
+        tier_name = sl["tier"][0].as_py()
+        fin = finalize_partials(
+            sl.drop_columns(["tier", "width_s", "_boundary"]),
+            width_s=int(w),
+            aggs=aggs,
+        )
+        fin = fin.add_column(
+            0, "tier", pa.array([tier_name] * len(fin), type=pa.string())
+        )
+        out.append(fin)
+    if not out:
+        return None
+    return pa.concat_tables(out)
+
+
+def merge_tiered(tbl: pa.Table, *, aggs: list[str] | None = None) -> pa.Table:
+    """Merge boundary partials of one hash partition (mixed tiers), then
+    finalize. Volume is O(runs x tiers) — a few rows per input batch."""
+    widths = np.asarray(tbl["width_s"])
+    out = []
+    for w in np.unique(widths):
+        sl = tbl.filter(pa.array(widths == w))
+        tier_name = sl["tier"][0].as_py()
+        merged = merge_partial_rows(
+            sl.drop_columns(["tier", "width_s", "_boundary"])
+        )
+        fin = finalize_partials(merged, width_s=int(w), aggs=aggs)
+        fin = fin.add_column(
+            0, "tier", pa.array([tier_name] * len(fin), type=pa.string())
+        )
+        out.append(fin)
+    return pa.concat_tables(out)

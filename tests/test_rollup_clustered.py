@@ -1,0 +1,93 @@
+"""Clustered (boundary-only-shuffle) lanes must equal the unclustered lanes
+exactly on the event-time-clustered synthetic corpus, and must reject
+unsorted input instead of silently double-counting."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from getml_community_ray.pipelines.rollup import (
+    RollupConfig,
+    rollup_decomposable_clustered_long,
+    rollup_decomposable_long,
+    rollup_holistic_clustered_long,
+    rollup_holistic_long,
+)
+
+HOL_AGGS = [
+    "count", "sum", "avg", "min", "max", "median", "q90", "stddev", "mode",
+    "count_distinct", "first", "last", "trend", "ewma_1h",
+]
+
+
+def _sorted_df(ds):
+    df = ds.to_pandas()
+    key = [c for c in ("tier", "source", "bucket_ts") if c in df.columns]
+    return df.sort_values(key).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    from getml_community_ray.sources.synth import generate_sequences
+
+    d = str(tmp_path_factory.mktemp("clustered_corpus"))
+    generate_sequences(d, n_rows=60_000, n_shards=6, seed=7, with_tokens=False)
+    return d
+
+
+def _read(corpus):
+    import ray.data as rd
+
+    return rd.read_parquet(corpus, columns=["source", "event_ts", "n_tok"])
+
+
+def test_decomposable_clustered_equals_unclustered(ray_session, corpus):
+    cfg = RollupConfig(retention={}, num_partitions=8, combine_batch_size=8192,
+                       cache_intermediates=False)
+    a = _sorted_df(rollup_decomposable_long(_read(corpus), cfg))
+    b = _sorted_df(rollup_decomposable_clustered_long(_read(corpus), cfg))
+    assert len(a) == len(b)
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.allclose(av, bv, rtol=0, atol=0, equal_nan=True), c
+        else:
+            assert (av == bv).all(), c
+
+
+def test_holistic_clustered_equals_unclustered(ray_session, corpus):
+    cfg = RollupConfig(aggs=HOL_AGGS, retention={}, num_partitions=8,
+                       combine_batch_size=8192, cache_intermediates=False)
+    a = _sorted_df(rollup_holistic_long(_read(corpus), cfg))
+    b = _sorted_df(rollup_holistic_clustered_long(_read(corpus), cfg))
+    assert len(a) == len(b)
+    assert sorted(a.columns) == sorted(b.columns)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.allclose(av, bv, rtol=1e-12, atol=1e-12, equal_nan=True), c
+        else:
+            assert (av == bv).all(), c
+
+
+def test_clustered_rejects_unsorted(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "source": rng.choice(["a", "b", "c"], n),  # interleaved sources
+            "event_ts": (1_700_000_000_000_000 + rng.integers(0, 10**9, n)).astype(
+                "datetime64[us]"
+            ),
+            "n_tok": rng.integers(8, 100, n).astype(np.int32),
+        }
+    )
+    cfg = RollupConfig(retention={}, num_partitions=4, combine_batch_size=2048,
+                       cache_intermediates=False)
+    with pytest.raises(Exception, match="clustered"):
+        rollup_decomposable_clustered_long(
+            rd.from_pandas(df), cfg
+        ).count()
