@@ -1023,3 +1023,13 @@ from .queries_corpus import CORPUS_ORACLE_SQL, CORPUS_QUERIES  # noqa: E402
 
 QUERIES.update(CORPUS_QUERIES)
 ORACLE_SQL.update(CORPUS_ORACLE_SQL)
+
+from .queries_series import SERIES_ORACLE_SQL, SERIES_QUERIES  # noqa: E402
+
+QUERIES.update(SERIES_QUERIES)
+ORACLE_SQL.update(SERIES_ORACLE_SQL)
+
+from .queries_io import IO_ORACLE_SQL, IO_QUERIES  # noqa: E402
+
+QUERIES.update(IO_QUERIES)
+ORACLE_SQL.update(IO_ORACLE_SQL)

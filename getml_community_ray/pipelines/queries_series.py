@@ -1,0 +1,179 @@
+"""Driver-contract queries for the series stages: gap-fill (forward-fill +
+linear interpolation on an inferred per-source grid) and the Gorilla XOR /
+delta-of-delta codec round-trip, both oracle-checked."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _hourly_avg(sf_dir: str):
+    """(source, hour_ts, v = avg cents) series per event_type."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["event_type"],
+                "hour_ts": pc.floor_temporal(b["ts"], unit="hour"),
+                "cents": pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "hour_ts"])
+        .aggregate(Sum("cents", alias_name="_s"), Count(alias_name="_n"))
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["_s"], dtype=np.float64) / np.asarray(
+            b["_n"], dtype=np.float64
+        )
+        return pa.table(
+            {"source": b["source"], "hour_ts": b["hour_ts"], "v": pa.array(v)}
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_gapfill_hourly_events(sf_dir: str):
+    """Per-source hourly average series -> grid inference (median tick
+    delta = 1h) -> forward-fill + linear interpolation. ff is exact (same
+    doubles as the oracle's window ffill); lin rounded 6 dp (np.interp vs
+    the SQL two-point formula differ at ~1e-13)."""
+    from ..stages.gapfill import gapfill
+
+    out = gapfill(
+        _hourly_avg(sf_dir),
+        source_col="source",
+        ts_col="hour_ts",
+        value_col="v",
+        num_partitions=8,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        lin = np.asarray(b["v_lin"], dtype=np.float64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "grid_ts": b["grid_ts"],
+                "ff": b["v_ff"],
+                "lin": pa.array(np.rint(lin * 1e6) / 1e6),
+                "was_filled": b["was_filled"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_GAPFILL_HOURLY = """
+WITH obs AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT source, min(h) AS mn, max(h) AS mx FROM obs GROUP BY 1),
+grid AS (
+  SELECT b.source, g.g AS grid_ts
+  FROM bounds b,
+       LATERAL (SELECT unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR))
+                AS g) g),
+j AS (SELECT g.source, g.grid_ts, o.v
+      FROM grid g LEFT JOIN obs o ON o.source = g.source AND o.h = g.grid_ts),
+f AS (
+  SELECT source, grid_ts, v,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY source ORDER BY grid_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+         last_value(CASE WHEN v IS NOT NULL THEN grid_ts END IGNORE NULLS)
+             OVER (PARTITION BY source ORDER BY grid_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(v IGNORE NULLS) OVER (PARTITION BY source ORDER BY grid_ts
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN grid_ts END IGNORE NULLS)
+             OVER (PARTITION BY source ORDER BY grid_ts
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j)
+SELECT source, grid_ts, ff,
+       CAST(round((CASE WHEN v IS NOT NULL THEN v
+            ELSE ff + (nv - ff) * (epoch_us(grid_ts) - epoch_us(pt))
+                 / (epoch_us(nt) - epoch_us(pt)) END) * 1e6) AS BIGINT)
+           / 1000000.0 AS lin,
+       v IS NULL AS was_filled
+FROM f
+"""
+
+
+def q_codec_roundtrip_events(sf_dir: str):
+    """Gorilla XOR (values) + delta-of-delta (timestamps) compression of
+    each event_type's (ts, cents) series, then decode inside the same
+    pipeline: output per-source point count and decoded-value sum. Matching
+    the oracle's count/sum over the RAW table proves the round-trip is
+    exact end-to-end."""
+    from ..stages.codec import compress_series, decompress_chunks
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["event_type"],
+                "event_ts": b["ts"],
+                "cents": pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+            }
+        )
+
+    chunks = compress_series(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        source_col="source",
+        ts_col="event_ts",
+        value_col="cents",
+        num_partitions=8,
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        raw = decompress_chunks(b)
+        src = np.asarray(raw["source"]).astype(str)
+        v = np.asarray(raw["value"], dtype=np.float64)
+        uniq, inv = np.unique(src, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.bincount(inv, weights=v, minlength=len(uniq)) / 100.0
+        return pa.table(
+            {
+                "source": pa.array(uniq, type=pa.string()),
+                "n_points": pa.array(n),
+                "value_sum": pa.array(s),
+            }
+        )
+
+    return chunks.map_batches(verify, batch_format="pyarrow", batch_size=None)
+
+
+SQL_CODEC_ROUNDTRIP = """
+SELECT event_type AS source,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS value_sum
+FROM events GROUP BY 1
+"""
+
+
+SERIES_QUERIES = {
+    "gapfill_hourly_events": q_gapfill_hourly_events,
+    "codec_roundtrip_events": q_codec_roundtrip_events,
+}
+
+SERIES_ORACLE_SQL = {
+    "gapfill_hourly_events": SQL_GAPFILL_HOURLY,
+    "codec_roundtrip_events": SQL_CODEC_ROUNDTRIP,
+}
