@@ -171,3 +171,119 @@ IO_ORACLE_SQL = {
     "partitioned_write_lineitem": SQL_PARTITIONED_WRITE,
     "from_items_join_orders": SQL_FROM_ITEMS,
 }
+
+
+def q_email_domain_customer(sf_dir: str):
+    """EMailDomain preprocessor (EMailDomain.cpp:61-80): synthesize an
+    email column (name@segment.example.com, every 7th row invalid), then
+    extract the '@domain' (must contain a dot; empty when invalid)."""
+    from ..stages.preprocessors import EMailDomain
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def mk_email(b: pa.Table) -> pa.Table:
+        key = np.asarray(b["c_custkey"], dtype=np.int64)
+        seg = np.asarray(b["c_mktsegment"]).astype(str)
+        name = np.asarray(b["c_name"]).astype(str)
+        email = np.where(
+            key % 7 == 0,
+            name,  # no @domain -> invalid
+            np.char.add(
+                np.char.add(name, "@"),
+                np.char.add(np.char.lower(seg), ".example.com"),
+            ),
+        )
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "email": pa.array(email, type=pa.string()),
+            }
+        )
+
+    withmail = ds.map_batches(mk_email, batch_format="pyarrow", zero_copy_batch=True)
+    out = EMailDomain(["email"]).fit(withmail).transform(withmail)
+    return out.select_columns(["c_custkey", "email_domain"])
+
+
+SQL_EMAIL_DOMAIN = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 7 = 0 THEN ''
+            ELSE lower(c_mktsegment) || '.example.com' END AS email_domain
+FROM customer
+"""
+
+
+def q_column_aggregates_lineitem(sf_dir: str):
+    """Column-level eager aggregate vocabulary (AggOpParser.cpp:38-111):
+    avg/count/max/median/min/stddev/sum/var + count_distinct over one
+    column, as a one-row table (cents-exact sums, 6 dp moments)."""
+    from ..kernels.aggregations import grouped_aggregate
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+
+    # partial pass: per-batch (sorted values would be needed for exact
+    # median at scale — here the column is modest, collect per-batch partial
+    # lists via a single-group grouped_aggregate per batch then merge by
+    # recomputation over the gathered raw values; l_quantity is small-domain
+    # integer-valued so the driver-side merge is a histogram)
+    import collections
+
+    hist: collections.Counter = collections.Counter()
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        v = np.asarray(b["l_quantity"], dtype=np.float64)
+        vals, cnts = np.unique(v, return_counts=True)
+        for x, c in zip(vals, cnts):
+            hist[float(x)] += int(c)
+
+    vals = np.array(sorted(hist))
+    cnts = np.array([hist[x] for x in sorted(hist)], dtype=np.int64)
+    expanded = np.repeat(vals, cnts)  # small domain -> fine
+    gids = np.zeros(len(expanded), dtype=np.int64)
+    res = grouped_aggregate(
+        ["count", "sum", "avg", "min", "max", "median", "stddev", "var",
+         "count_distinct"],
+        gids, expanded, 1,
+    )
+    import pandas as pd
+
+    r6 = lambda x: float(np.rint(float(x) * 1e6) / 1e6)
+    return pd.DataFrame(
+        {
+            "count": [float(res["count"][0])],
+            "sum": [float(res["sum"][0])],
+            "avg": [r6(res["avg"][0])],
+            "min": [float(res["min"][0])],
+            "max": [float(res["max"][0])],
+            "median": [float(res["median"][0])],
+            "stddev": [r6(res["stddev"][0])],
+            "var": [r6(res["var"][0])],
+            "count_distinct": [float(res["count_distinct"][0])],
+        }
+    )
+
+
+SQL_COLUMN_AGGS = """
+SELECT CAST(count(l_quantity) AS DOUBLE) AS count,
+       SUM(l_quantity) AS sum,
+       CAST(round(AVG(l_quantity) * 1e6) AS BIGINT) / 1000000.0 AS avg,
+       MIN(l_quantity) AS min,
+       MAX(l_quantity) AS max,
+       quantile_cont(l_quantity, 0.5) AS median,
+       CAST(round(stddev_pop(l_quantity) * 1e6) AS BIGINT) / 1000000.0 AS stddev,
+       CAST(round(var_pop(l_quantity) * 1e6) AS BIGINT) / 1000000.0 AS var,
+       CAST(count(DISTINCT l_quantity) AS DOUBLE) AS count_distinct
+FROM lineitem
+"""
+
+IO_QUERIES.update(
+    {
+        "email_domain_customer": q_email_domain_customer,
+        "column_aggregates_lineitem": q_column_aggregates_lineitem,
+    }
+)
+IO_ORACLE_SQL.update(
+    {
+        "email_domain_customer": SQL_EMAIL_DOMAIN,
+        "column_aggregates_lineitem": SQL_COLUMN_AGGS,
+    }
+)
