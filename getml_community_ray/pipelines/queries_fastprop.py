@@ -385,3 +385,74 @@ GROUP BY s.source, s.bucket_ts, s.mu, s.sigma, s.v, s.n, s.mn, s.mx, s.nd
 
 FASTPROP_QUERIES["rollup_1h_shape"] = q_rollup_1h_shape
 FASTPROP_ORACLE_SQL["rollup_1h_shape"] = SQL_ROLLUP_1H_SHAPE
+
+
+def q_fastprop_categorical(sf_dir: str):
+    """Categorical features of the FastProp grammar (FastProp.cpp:556-644):
+    COUNT DISTINCT over a categorical column + a top-category indicator
+    (val == 'purchase' -> 1.0) aggregated numerically, per point-in-time
+    window. Categoricals ride as integer codes / 0-1 indicator columns."""
+    from .fastprop import FastPropSpec, time_series_features
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    _CODES = {"click": 0, "signup": 1, "error": 2, "view": 3, "purchase": 4}
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = np.asarray(b["event_type"]).astype(str)
+        codes = np.array([_CODES[x] for x in et], dtype=np.float64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "user_id": b["user_id"],
+                "type_code": pa.array(codes),
+                "is_purchase": pa.array((et == "purchase").astype(np.float64)),
+            }
+        )
+
+    spec = FastPropSpec(
+        key_col="user_id",
+        pop_ts_col="ts",
+        peri_ts_col="ts",
+        value_cols=["type_code", "is_purchase"],
+        aggs=["count_distinct", "sum"],
+        id_cols=["event_id"],
+        horizon_s=60.0,
+        memory_s=2 * 86400.0,
+        num_partitions=16,
+    )
+    out = time_series_features(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True), spec
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        cd = np.asarray(b["type_code__count_distinct"], dtype=np.float64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "n_distinct_types": pa.array(np.where(np.isnan(cd), 0.0, cd)),
+                "n_purchases": pa.array(
+                    np.asarray(b["is_purchase__sum"], dtype=np.float64)
+                ),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FASTPROP_CATEGORICAL = """
+SELECT p.event_id,
+       CAST(count(DISTINCT e.event_type) AS DOUBLE) AS n_distinct_types,
+       CAST(count(*) FILTER (e.event_type = 'purchase') AS DOUBLE)
+           AS n_purchases
+FROM events p
+LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >  p.ts - INTERVAL '172860 seconds'
+ AND e.ts <= p.ts - INTERVAL '60 seconds'
+GROUP BY p.event_id
+"""
+
+FASTPROP_QUERIES["fastprop_categorical"] = q_fastprop_categorical
+FASTPROP_ORACLE_SQL["fastprop_categorical"] = SQL_FASTPROP_CATEGORICAL
