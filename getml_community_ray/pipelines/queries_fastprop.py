@@ -456,3 +456,108 @@ GROUP BY p.event_id
 
 FASTPROP_QUERIES["fastprop_categorical"] = q_fastprop_categorical
 FASTPROP_ORACLE_SQL["fastprop_categorical"] = SQL_FASTPROP_CATEGORICAL
+
+
+def q_fastprop_snowflake(sf_dir: str):
+    """Snowflake subfeatures (FastProp.cpp:930-980, recursive FastProp):
+    child stage computes per-event `sub_count` = same user's events in the
+    trailing hour; parent stage aggregates avg/max of that subfeature onto
+    a per-(user, day-end) population grid over a 1-day window. Two chained
+    fastprop_features calls — a rollup whose input is another rollup."""
+    from .fastprop import FastPropSpec, fastprop_features, time_series_features
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    # child: per-event trailing-hour count (needs a value column; count
+    # ignores the values, so reuse `value`)
+    child_spec = FastPropSpec(
+        key_col="user_id",
+        pop_ts_col="ts",
+        peri_ts_col="ts",
+        value_cols=["value"],
+        aggs=["count"],
+        id_cols=["event_id"],
+        horizon_s=0.0,
+        memory_s=3600.0,
+        num_partitions=16,
+    )
+    sub = time_series_features(ds, child_spec)
+    sub = sub.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "sub_count": b["value__count"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    # population grid: (user, day-end)
+    def to_grid(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b["ts"], unit="day")
+        pts = pc.add(day.cast(pa.int64()), 86400 * 1_000_000).cast(
+            pa.timestamp("us")
+        )
+        return pa.table({"user_id": b["user_id"], "pts": pts})
+
+    pop = (
+        _read(sf_dir, "events", columns=["ts", "user_id"])
+        .map_batches(to_grid, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "pts"])
+        .count()
+        .drop_columns(["count()"])
+    )
+
+    parent_spec = FastPropSpec(
+        key_col="user_id",
+        pop_ts_col="pts",
+        peri_ts_col="ts",
+        value_cols=["sub_count"],
+        aggs=["avg", "max"],
+        horizon_s=0.0,
+        memory_s=86400.0,
+        num_partitions=16,
+    )
+    out = fastprop_features(pop, sub, parent_spec)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "pts": b["pts"],
+                "sub_avg": b["sub_count__avg"],
+                "sub_max": b["sub_count__max"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FASTPROP_SNOWFLAKE = """
+WITH sub AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         CAST(count(e.ts) AS DOUBLE) AS sub_count
+  FROM events p
+  LEFT JOIN events e
+    ON e.user_id = p.user_id
+   AND e.ts >  p.ts - INTERVAL 1 HOUR
+   AND e.ts <= p.ts
+  GROUP BY p.event_id, p.user_id, p.ts),
+pop AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS pts
+  FROM events)
+SELECT g.user_id, g.pts,
+       SUM(s.sub_count) / CAST(count(s.ts) AS DOUBLE) AS sub_avg,
+       MAX(s.sub_count) AS sub_max
+FROM pop g
+LEFT JOIN sub s
+  ON s.user_id = g.user_id
+ AND s.ts >  g.pts - INTERVAL 1 DAY
+ AND s.ts <= g.pts
+GROUP BY g.user_id, g.pts
+"""
+
+FASTPROP_QUERIES["fastprop_snowflake"] = q_fastprop_snowflake
+FASTPROP_ORACLE_SQL["fastprop_snowflake"] = SQL_FASTPROP_SNOWFLAKE

@@ -150,3 +150,44 @@ ML_ORACLE_SQL = {
     "linreg_lineitem": SQL_LINREG,
     "auc_purchase_value": SQL_AUC,
 }
+
+
+def q_feature_selection_lineitem(sf_dir: str):
+    """select_features: rank lineitem numeric columns by R² against
+    l_extendedprice, keep top 3 (rounded 6 dp; rank ties broken by name)."""
+    from ..stages.predictors import select_features
+
+    feats = ["l_quantity", "l_discount", "l_tax", "l_suppkey"]
+    ds = _read(sf_dir, "lineitem", columns=feats + ["l_extendedprice"])
+    top = select_features(
+        ds, feature_cols=feats, target_col="l_extendedprice", k=3
+    )
+    return pd.DataFrame(
+        {
+            "feature": [f for f, _ in top],
+            "r2": [_r6f(r) for _, r in top],
+            "rank": [float(i + 1) for i in range(len(top))],
+        }
+    )
+
+
+SQL_FEATURE_SELECTION = """
+WITH scores AS (
+  SELECT 'l_quantity' AS feature,
+         regr_r2(l_extendedprice, l_quantity) AS r2 FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', regr_r2(l_extendedprice, l_discount) FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', regr_r2(l_extendedprice, l_tax) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', regr_r2(l_extendedprice, l_suppkey) FROM lineitem)
+SELECT feature,
+       CAST(round(r2 * 1e6) AS BIGINT) / 1000000.0 AS r2,
+       CAST(row_number() OVER (ORDER BY r2 DESC, feature ASC) AS DOUBLE)
+           AS rank
+FROM scores
+QUALIFY rank <= 3
+"""
+
+ML_QUERIES["feature_selection_lineitem"] = q_feature_selection_lineitem
+ML_ORACLE_SQL["feature_selection_lineitem"] = SQL_FEATURE_SELECTION

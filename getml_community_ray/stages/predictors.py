@@ -381,3 +381,44 @@ class XGBoostPredictor:
 
     def predict(self, ds):  # pragma: no cover
         raise NotImplementedError
+
+
+def select_features(ds, *, feature_cols: list[str], target_col: str, k: int):
+    """Top-k features by R² against the target (FastProp feature selection,
+    `FastProp.cpp:1479-1509` select_features; R² math `RSquared.cpp:17-110`).
+
+    For a single feature, OLS R² = corr(x, y)² — computed for ALL features
+    in one streaming partial-moment pass (sums, squares, cross products).
+    Deterministic tie-break: r2 desc, then feature name asc. Returns a list
+    of (feature, r2) of length <= k.
+    """
+    fc = list(feature_cols)
+
+    def build(b: pa.Table) -> dict[str, float]:
+        y = np.asarray(b[target_col], dtype=np.float64)
+        out = {
+            "n": float(len(b)),
+            "sy": float(y.sum()),
+            "qy": float((y * y).sum()),
+        }
+        for c in fc:
+            x = np.asarray(b[c], dtype=np.float64)
+            out[f"s_{c}"] = float(x.sum())
+            out[f"q_{c}"] = float((x * x).sum())
+            out[f"p_{c}"] = float((x * y).sum())
+        return out
+
+    names = ["n", "sy", "qy"] + [
+        f"{p}_{c}" for c in fc for p in ("s", "q", "p")
+    ]
+    s = _sum_table(ds, build, names)
+    n = s["n"]
+    var_y = s["qy"] - s["sy"] ** 2 / n
+    scored = []
+    for c in fc:
+        var_x = s[f"q_{c}"] - s[f"s_{c}"] ** 2 / n
+        cov = s[f"p_{c}"] - s[f"s_{c}"] * s["sy"] / n
+        r2 = (cov * cov) / (var_x * var_y) if var_x > 0 and var_y > 0 else 0.0
+        scored.append((c, float(r2)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
