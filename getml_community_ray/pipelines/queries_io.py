@@ -287,3 +287,111 @@ IO_ORACLE_SQL.update(
         "column_aggregates_lineitem": SQL_COLUMN_AGGS,
     }
 )
+
+
+def q_float_funcs_lineitem(sf_dir: str):
+    """Float unary/binary vocabulary (FloatOpParser.cpp:152-191,344-474):
+    abs/sqrt/ln/exp/floor/ceil/round + plus/minus/multiplies/divides/fmod/
+    pow over lineitem measures, 6 dp fixed-point."""
+    from ..functions.scalar import FLOAT_BINARY, FLOAT_UNARY
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber",
+                                            "l_quantity", "l_discount"])
+
+    def f(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].combine_chunks()
+        d = b["l_discount"].combine_chunks()
+        r6 = lambda arr: pa.array(
+            np.rint(np.asarray(arr, dtype=np.float64) * 1e6) / 1e6
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"],
+                "f_abs": r6(FLOAT_UNARY["abs"](pc.subtract(q, 25.0))),
+                "f_sqrt": r6(FLOAT_UNARY["sqrt"](q)),
+                "f_ln": r6(FLOAT_UNARY["log"](q)),
+                "f_exp": r6(FLOAT_UNARY["exp"](d)),
+                "f_floor": pa.array(np.asarray(FLOAT_UNARY["floor"](pc.multiply(q, 0.3)), dtype=np.float64)),
+                "f_ceil": pa.array(np.asarray(FLOAT_UNARY["ceil"](pc.multiply(q, 0.3)), dtype=np.float64)),
+                "f_plus": pa.array(np.asarray(FLOAT_BINARY["plus"](q, d), dtype=np.float64)),
+                "f_mult": r6(FLOAT_BINARY["multiplies"](q, d)),
+                "f_fmod": pa.array(np.asarray(FLOAT_BINARY["fmod"](q, pa.scalar(7.0)), dtype=np.float64)),
+                "f_pow": r6(FLOAT_BINARY["pow"](q, pa.scalar(2.0))),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+import pyarrow.compute as pc  # noqa: E402
+
+SQL_FLOAT_FUNCS = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(abs(l_quantity - 25.0) * 1e6) AS BIGINT) / 1000000.0 AS f_abs,
+       CAST(round(sqrt(l_quantity) * 1e6) AS BIGINT) / 1000000.0 AS f_sqrt,
+       CAST(round(ln(l_quantity) * 1e6) AS BIGINT) / 1000000.0 AS f_ln,
+       CAST(round(exp(l_discount) * 1e6) AS BIGINT) / 1000000.0 AS f_exp,
+       floor(l_quantity * 0.3) AS f_floor,
+       ceil(l_quantity * 0.3) AS f_ceil,
+       l_quantity + l_discount AS f_plus,
+       CAST(round(l_quantity * l_discount * 1e6) AS BIGINT) / 1000000.0 AS f_mult,
+       l_quantity - trunc(l_quantity / 7.0) * 7.0 AS f_fmod,
+       CAST(round(pow(l_quantity, 2.0) * 1e6) AS BIGINT) / 1000000.0 AS f_pow
+FROM lineitem
+"""
+
+
+def q_ts_parse_update_orders(sf_dir: str):
+    """as_ts multi-format parse (FloatOpParser.cpp:86-111) round-trip +
+    update/if_else conditional overwrite (:478-495) + boolean_as_num."""
+    from ..functions.scalar import as_ts, boolean_as_num, update
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderdate", "o_orderstatus",
+                        "o_totalprice"])
+
+    def f(b: pa.Table) -> pa.Table:
+        # ts -> string -> as_ts round trip
+        # NOTE: Arrow's %S emits fractional seconds, which %S cannot re-parse;
+        # the date-only format is in the as_ts cascade
+        s = pc.strftime(b["o_orderdate"].combine_chunks(), format="%Y-%m-%d")
+        parsed = as_ts(s)
+        is_f = pc.equal(b["o_orderstatus"], "F")
+        price_c = pc.round(pc.multiply(b["o_totalprice"], 100.0), ndigits=0)
+        capped = update(price_c, pa.scalar(0.0), is_f)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_year": pc.cast(pc.year(parsed), pa.float64()),
+                "is_finished": boolean_as_num(is_f),
+                "price_or_zero": pc.divide(capped, 100.0),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TS_PARSE_UPDATE = """
+SELECT o_orderkey,
+       CAST(year(CAST(strftime(o_orderdate, '%Y-%m-%d') AS TIMESTAMP))
+            AS DOUBLE) AS o_year,
+       CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS is_finished,
+       CASE WHEN o_orderstatus = 'F' THEN 0.0
+            ELSE CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                 / 100.0 END AS price_or_zero
+FROM orders
+"""
+
+IO_QUERIES.update(
+    {
+        "float_funcs_lineitem": q_float_funcs_lineitem,
+        "ts_parse_update_orders": q_ts_parse_update_orders,
+    }
+)
+IO_ORACLE_SQL.update(
+    {
+        "float_funcs_lineitem": SQL_FLOAT_FUNCS,
+        "ts_parse_update_orders": SQL_TS_PARSE_UPDATE,
+    }
+)
