@@ -151,3 +151,26 @@ CORPUS_ORACLE_SQL = {
     "payload_bytes_documents": SQL_PAYLOAD_BYTES,
     "cosine_neardup_embeddings": SQL_COSINE_NEARDUP,
 }
+
+
+def q_salted_word_counts(sf_dir: str):
+    """word_counts via the two-level SALTED merge (stages/skew.py): exact
+    for any distribution, spreads Zipf-hot words over `salt` reducers."""
+    from ..stages.preprocessors import TextFieldSplitter
+    from ..stages.skew import salted_group_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    words = TextFieldSplitter(text_col="text", id_col="doc_id").transform(ds)
+    counts = salted_group_count(words, "word", salt=8)
+    return counts.filter(expr="cnt >= 10")
+
+
+SQL_SALTED_WORD_COUNTS = r"""
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word HAVING count(*) >= 10
+"""
+
+CORPUS_QUERIES["salted_word_counts_documents"] = q_salted_word_counts
+CORPUS_ORACLE_SQL["salted_word_counts_documents"] = SQL_SALTED_WORD_COUNTS

@@ -139,3 +139,28 @@ def test_multimodal_plumbing(ray_session):
         SampleFrames, batch_format="pyarrow", batch_size=8, concurrency=2
     ).to_pandas()
     assert (frames.frame_ix % 4 == 0).all()
+
+
+def test_salted_group_count_matches_unsalted(ray_session):
+    import ray.data as rd
+    from getml_community_ray.stages.preprocessors import group_count
+    from getml_community_ray.stages.skew import salted_group_count
+
+    rng = np.random.default_rng(5)
+    # Zipf-hot keys: key0 ~ half of all rows
+    n = 50_000
+    z = rng.zipf(1.5, n)
+    keys = np.minimum(z, 50).astype(str)
+    df = pd.DataFrame({"k": keys})
+    a = (
+        group_count(rd.from_pandas(df, override_num_blocks=8), "k")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    b = (
+        salted_group_count(rd.from_pandas(df, override_num_blocks=8), "k",
+                           salt=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert (a["k"] == b["k"]).all()
+    assert (a["cnt"] == b["cnt"]).all()
+    assert int(b["cnt"].sum()) == n
