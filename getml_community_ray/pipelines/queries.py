@@ -240,15 +240,16 @@ def q_tpch_q1(sf_dir: str):
             }
         )
 
-    agg = (
-        ds.map_batches(measures, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price_c", alias_name="_pc"),
-            Sum("disc_price_c4", alias_name="_dpc"),
-            Count(alias_name="_n"),
-        )
+    from ..stages.groupby import grouped_sums
+
+    agg = grouped_sums(
+        ds.map_batches(measures, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        ["qty", "price_c", "disc_price_c4"],
+        cnt_col="_n",
+        num_partitions=4,
+    ).rename_columns(
+        {"qty": "sum_qty", "price_c": "_pc", "disc_price_c4": "_dpc"}
     )
 
     def fin(b: pa.Table) -> pa.Table:

@@ -1,0 +1,96 @@
+"""Vectorized distributed group-by for sum/count aggregates.
+
+Ray Data's generic `groupby().aggregate()` sort-aggregates whole rows; for
+the common sum/count case this stage is several times faster: per-batch
+numpy partials (one row per distinct key per batch — the combiner), then a
+hash-partitioned vectorized merge. Exact for any key distribution (integer
+sums merge associatively; float sums follow partial order like any
+distributed sum).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .rollup import crc_hash_sources
+
+
+def _group_codes(batch: pa.Table, key_cols: list[str]):
+    """Dense group codes for multi-column keys + per-key first row index."""
+    code = None
+    for c in key_cols:
+        vals = np.asarray(batch[c])
+        if vals.dtype.kind not in "iu":
+            vals = vals.astype(str)
+        _, inv = np.unique(vals, return_inverse=True)
+        n = inv.max() + 1 if len(inv) else 1
+        code = inv if code is None else code * n + inv
+    uniq, first_ix, gid = np.unique(code, return_index=True, return_inverse=True)
+    return gid, first_ix, len(uniq)
+
+
+def _reduce(batch: pa.Table, key_cols: list[str], sum_cols: list[str],
+            cnt_col: str) -> pa.Table:
+    if len(batch) == 0:
+        cols = {c: batch[c] for c in key_cols}
+        for c in sum_cols:
+            cols[c] = pa.array([], type=pa.float64())
+        cols[cnt_col] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+    gid, first_ix, G = _group_codes(batch, key_cols)
+    cols = {c: batch[c].combine_chunks().take(pa.array(first_ix)) for c in key_cols}
+    for c in sum_cols:
+        v = np.asarray(batch[c], dtype=np.float64)
+        cols[c] = pa.array(np.bincount(gid, weights=v, minlength=G))
+    if cnt_col in batch.column_names:  # merging partials: sum the counts
+        cnt = np.asarray(batch[cnt_col], dtype=np.int64)
+        cols[cnt_col] = pa.array(np.bincount(gid, weights=cnt, minlength=G).astype(np.int64))
+    else:
+        cols[cnt_col] = pa.array(np.bincount(gid, minlength=G).astype(np.int64))
+    return pa.table(cols)
+
+
+def grouped_sums(
+    ds,
+    key_cols: list[str],
+    sum_cols: list[str],
+    *,
+    cnt_col: str = "n",
+    num_partitions: int = 16,
+    combine_batch_size: int = 65536,
+):
+    """groupby(key_cols) computing SUM(sum_cols) + COUNT(*) as `cnt_col`."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _reduce(b, key_cols, sum_cols, cnt_col)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = np.zeros(len(b), dtype=np.int64)
+        for c in key_cols:
+            vals = np.asarray(b[c])
+            if vals.dtype.kind in "iu":
+                hv = vals.astype(np.int64)
+            else:
+                hv = crc_hash_sources(vals.astype(str))
+            h = h * 0x9E3779B1 + hv
+        return b.append_column(
+            "_part", pa.array((h % num_partitions + num_partitions) % num_partitions)
+        )
+
+    return (
+        ds.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=combine_batch_size,
+        )
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda t: _reduce(
+                t.drop_columns(["_part"]), key_cols, sum_cols, cnt_col
+            ),
+            batch_format="pyarrow",
+        )
+    )
