@@ -1,0 +1,94 @@
+"""Resumable tiered-rollup job — the `ray job submit` entry point.
+
+    ray job submit -- python tools/run_job.py \
+        --input /data/corpus --output /data/rollups --lane decomposable
+
+Each output hash partition is one Parquet file; `_manifest.json` records
+per-partition lineage IDs and stage metrics. A rerun (after a crash or with
+new input shards) recomputes only partitions whose lineage is missing or
+stale — skipped partitions are filtered out BEFORE the shuffle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="directory of parquet shards")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lane", choices=["decomposable", "holistic"],
+                    default="decomposable")
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--tiers", default="1m:60,1h:3600,1d:86400")
+    ap.add_argument("--aggs", default="")
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--ts-col", default="event_ts")
+    ap.add_argument("--value-col", default="n_tok")
+    ap.add_argument("--num-cpus", type=int, default=0,
+                    help="only for standalone runs; ray job submit sets this")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR", **kw)
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    from ray.data.context import ShuffleStrategy
+
+    rd.DataContext.get_current().shuffle_strategy = (
+        ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    )
+
+    from getml_community_ray.pipelines.rollup import RollupConfig
+    from getml_community_ray.state.checkpoint import checkpointed_rollup
+
+    tiers = {}
+    for part in args.tiers.split(","):
+        name, w = part.split(":")
+        tiers[name] = int(w)
+    cfg_kwargs = dict(
+        source_col=args.source_col,
+        ts_col=args.ts_col,
+        value_col=args.value_col,
+        tiers=tiers,
+        num_partitions=args.partitions,
+        cache_intermediates=False,
+    )
+    if args.aggs:
+        cfg_kwargs["aggs"] = args.aggs.split(",")
+    cfg = RollupConfig(**cfg_kwargs)
+
+    t0 = time.perf_counter()
+    res = checkpointed_rollup(args.input, args.output, cfg, lane=args.lane)
+    wall = time.perf_counter() - t0
+    m = res["manifest"]
+    rows_out = sum(r.rows_out for r in m.records.values())
+    print(
+        json.dumps(
+            {
+                "lane": args.lane,
+                "computed": len(res["computed"]),
+                "skipped": len(res["skipped"]),
+                "rows_out": rows_out,
+                "wall_s": round(wall, 2),
+                "manifest": m.path,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
