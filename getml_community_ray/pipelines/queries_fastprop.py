@@ -561,3 +561,78 @@ GROUP BY g.user_id, g.pts
 
 FASTPROP_QUERIES["fastprop_snowflake"] = q_fastprop_snowflake
 FASTPROP_ORACLE_SQL["fastprop_snowflake"] = SQL_FASTPROP_SNOWFLAKE
+
+
+def q_fastprop_ewma_trend_weighted(sf_dir: str):
+    """EWMA_TREND_1h (weighted OLS intercept, Aggregator.hpp:212-278) and
+    TIME SINCE LAST MAXIMUM (tie-break: latest max-value row,
+    Aggregations.hpp:524-615) over a (t-6h, t] self-join window; cents for
+    the exact max-equality, 6 dp fixed-point for the results."""
+    from .fastprop import FastPropSpec, time_series_features
+
+    spec = FastPropSpec(
+        key_col="user_id",
+        pop_ts_col="ts",
+        peri_ts_col="ts",
+        value_cols=["cents"],
+        aggs=["ewma_trend_1h", "time_since_last_maximum"],
+        id_cols=["event_id"],
+        horizon_s=0.0,
+        memory_s=6 * 3600.0,
+        num_partitions=16,
+    )
+    out = time_series_features(_events_cents(sf_dir), spec)
+
+    def fin(b: pa.Table) -> pa.Table:
+        et = np.asarray(b["cents__ewma_trend_1h"], dtype=np.float64) / 100.0
+        tslm = np.asarray(
+            b["cents__time_since_last_maximum"], dtype=np.float64
+        )
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "f_ewma_trend": _r6(et),
+                "f_ts_last_max": _r6(tslm),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FASTPROP_EWMA_TREND_W = """
+WITH m AS (
+  SELECT p.event_id,
+         epoch_us(p.ts) / 1000000.0 - epoch_us(e.ts) / 1000000.0 AS x,
+         CAST(round(e.value * 100) AS BIGINT) AS c,
+         exp(ln(0.5) * (epoch_us(p.ts) / 1000000.0
+                        - epoch_us(e.ts) / 1000000.0) / 3600.0) AS w
+  FROM events p
+  JOIN events e
+    ON e.user_id = p.user_id
+   AND e.ts >  p.ts - INTERVAL 6 HOUR
+   AND e.ts <= p.ts),
+s AS (
+  SELECT event_id,
+         SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * c) AS swy,
+         SUM(w * x * x) AS swxx, SUM(w * x * c) AS swxy,
+         MAX(c) AS mx
+  FROM m GROUP BY event_id),
+tsl AS (
+  SELECT m.event_id, MIN(m.x) AS dt_last_max
+  FROM m JOIN s ON s.event_id = m.event_id AND m.c = s.mx
+  GROUP BY m.event_id)
+SELECT s.event_id,
+       CAST(round((CASE WHEN s.swxx - s.swx * s.swx / s.sw = 0
+                        THEN s.swy / s.sw
+                        ELSE s.swy / s.sw
+                             - (s.swxy - s.swx * s.swy / s.sw)
+                               / (s.swxx - s.swx * s.swx / s.sw)
+                               * (s.swx / s.sw) END) / 100.0 * 1e6) AS BIGINT)
+           / 1000000.0 AS f_ewma_trend,
+       CAST(round(tsl.dt_last_max * 1e6) AS BIGINT) / 1000000.0
+           AS f_ts_last_max
+FROM s JOIN tsl ON tsl.event_id = s.event_id
+"""
+
+FASTPROP_QUERIES["fastprop_ewma_trend_weighted"] = q_fastprop_ewma_trend_weighted
+FASTPROP_ORACLE_SQL["fastprop_ewma_trend_weighted"] = SQL_FASTPROP_EWMA_TREND_W
