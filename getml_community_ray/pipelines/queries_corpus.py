@@ -174,3 +174,18 @@ GROUP BY word HAVING count(*) >= 10
 
 CORPUS_QUERIES["salted_word_counts_documents"] = q_salted_word_counts
 CORPUS_ORACLE_SQL["salted_word_counts_documents"] = SQL_SALTED_WORD_COUNTS
+
+
+def q_near_dedup_clusters(sf_dir: str):
+    """End-to-end near-dedup: LSH -> exact Jaccard verify -> connected
+    components -> canonical (min-id) per cluster. Rows-only driver check;
+    cluster semantics asserted in tests/test_dedup_extra.py."""
+    from ..stages.dedup import near_dedup_clusters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return near_dedup_clusters(
+        ds, text_col="text", id_col="doc_id", threshold=0.3
+    )
+
+
+CORPUS_QUERIES["near_dedup_clusters_documents"] = q_near_dedup_clusters

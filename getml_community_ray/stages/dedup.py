@@ -408,3 +408,77 @@ def cosine_neardup_lsh(
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Max("cosine", alias_name="cosine")
     )
+
+
+def near_dedup_clusters(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+):
+    """End-to-end near-duplicate clustering: MinHash-LSH candidates ->
+    exact n-gram Jaccard verify -> connected components -> one canonical
+    (smallest) id per cluster.
+
+    The verified edge list is tiny relative to the corpus (it is the output
+    of `ngram_jaccard_pairs`), so components are resolved with driver-side
+    union-find — at larger edge volumes swap in iterative label
+    propagation (hash-join the label table to the edge list until fixed
+    point). Returns (doc_id, canonical_id, cluster_size); docs with no
+    near-dup edge map to themselves with size 1.
+    """
+    import ray.data as rd
+
+    pairs = ngram_jaccard_pairs(
+        ds, text_col=text_col, id_col=id_col, threshold=threshold,
+        num_perm=num_perm, bands=bands, shingle=shingle,
+    ).to_pandas()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # smaller id wins -> canonical = min of cluster
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        parent.setdefault(int(a), int(a))
+        parent.setdefault(int(b), int(b))
+        union(int(a), int(b))
+
+    canon = {x: find(x) for x in parent}
+    sizes: dict = {}
+    for x, c in canon.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    import ray
+
+    ref = ray.put((canon, sizes))
+
+    def assign(b: pa.Table) -> pa.Table:
+        cmap, smap = ray.get(ref)
+        ids = np.asarray(b[id_col])
+        cid = np.array([cmap.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        sz = np.array([smap.get(int(c), 1) for c in cid], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "canonical_id": pa.array(cid),
+                "cluster_size": pa.array(sz),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )

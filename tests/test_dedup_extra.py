@@ -164,3 +164,30 @@ def test_salted_group_count_matches_unsalted(ray_session):
     assert (a["k"] == b["k"]).all()
     assert (a["cnt"] == b["cnt"]).all()
     assert int(b["cnt"].sum()) == n
+
+
+def test_near_dedup_clusters(ray_session):
+    import ray.data as rd
+    from getml_community_ray.stages.dedup import near_dedup_clusters
+
+    df = _docs()
+    out = (
+        near_dedup_clusters(
+            rd.from_pandas(df), text_col="text", id_col="doc_id", threshold=0.5
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(df)
+    # 'base' and 'base + extra' must share a canonical id (= the smaller)
+    for a, b in [(0, 1), (3, 4), (6, 7)]:
+        assert out.loc[a, "canonical_id"] == out.loc[b, "canonical_id"] == a
+        assert out.loc[a, "cluster_size"] >= 2
+    # the unrelated doc is its own cluster
+    last = len(df) - 1
+    assert out.loc[last, "canonical_id"] == last
+    assert out.loc[last, "cluster_size"] == 1
+    # canonical ids are cluster minima
+    for _, r in out.iterrows():
+        assert r.canonical_id <= r.doc_id
