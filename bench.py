@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "rollup_1h_quantiles",
     "tpch_q1",
     "window_600s_user",
+    "fastprop_self_events",
+    "gapfill_hourly_events",
     "dedup_exact_documents",
     "text_stats_documents",
     "similarity_topk",
