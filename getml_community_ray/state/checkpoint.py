@@ -243,3 +243,226 @@ def checkpointed_rollup(
         "skipped": sorted(done),
         "manifest": manifest,
     }
+
+
+# ---------------------------------------------------------------------------
+# time-range partitioning: late data re-rolls only the affected partitions
+# ---------------------------------------------------------------------------
+
+def file_ts_ranges(paths: list[str], ts_col: str) -> dict[str, tuple[int, int]]:
+    """(min_us, max_us) per file from Parquet row-group statistics — a
+    metadata-only read, no data pages touched."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        ix = md.schema.to_arrow_schema().get_field_index(ts_col)
+        mn, mx = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ix).statistics
+            if st is None or not st.has_min_max:
+                mn = None
+                break
+            lo = st.min.value if hasattr(st.min, "value") else st.min
+            hi = st.max.value if hasattr(st.max, "value") else st.max
+            lo = int(lo.timestamp() * 1e6) if hasattr(lo, "timestamp") else int(lo)
+            hi = int(hi.timestamp() * 1e6) if hasattr(hi, "timestamp") else int(hi)
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        if mn is None:
+            # no stats: conservatively treat as overlapping everything
+            mn, mx = -(2**62), 2**62
+        out[p] = (mn, mx)
+    return out
+
+
+def checkpointed_rollup_timerange(
+    input_dir: str,
+    out_dir: str,
+    cfg,
+    *,
+    lane: str = "decomposable",
+) -> dict:
+    """Like `checkpointed_rollup`, but partitions are CONTIGUOUS ranges of
+    the coarsest-tier bucket, and each partition's lineage is derived from
+    ONLY the input files whose (min_ts, max_ts) ranges overlap it. Late or
+    appended shards therefore invalidate exactly the partitions whose time
+    ranges they touch — the idempotent late-data path of the north rule.
+
+    Trade-off vs hash partitioning: time-range partitions skew with data
+    density over time (hash spreads evenly). Use this variant for
+    incremental/append-mostly corpora, the hash variant for one-shot runs.
+    """
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages import rollup as R
+
+    US = 1_000_000
+    paths = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    ranges = file_ts_ranges(paths, cfg.ts_col)
+    config_fp = fingerprint_config(cfg) + f"/{lane}/timerange"
+
+    ordered = sorted(cfg.tiers.items(), key=lambda kv: kv[1])
+    finest_w = ordered[0][1]
+    coarse_w = ordered[-1][1]
+    coarse_us = coarse_w * US
+
+    gmin = min(r[0] for r in ranges.values()) // coarse_us
+    gmax = max(r[1] for r in ranges.values()) // coarse_us
+    P = cfg.num_partitions
+    span = int(gmax - gmin + 1)
+    per_part = max(1, -(-span // P))  # ceil
+
+    def part_of_bucket(bucket):
+        return np.minimum((bucket - gmin) // per_part, P - 1)
+
+    # per-partition input fingerprint: the files overlapping its bucket range
+    part_fps: dict[int, str] = {}
+    for part in range(P):
+        lo_b = gmin + part * per_part
+        hi_b = min(gmin + (part + 1) * per_part - 1, gmax)
+        lo_us, hi_us = lo_b * coarse_us, (hi_b + 1) * coarse_us - 1
+        touching = [
+            p for p, (mn, mx) in ranges.items() if mn <= hi_us and mx >= lo_us
+        ]
+        part_fps[part] = fingerprint_paths(touching)
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = Manifest(out_dir)
+    done = {
+        part
+        for part, rec in manifest.records.items()
+        if rec.lineage_id == lineage_id(part_fps.get(part, ""), config_fp, part)
+        and (not rec.file or os.path.exists(os.path.join(out_dir, rec.file)))
+    }
+    pending = sorted(set(range(P)) - done)
+    if not pending:
+        return {"computed": [], "skipped": sorted(done), "manifest": manifest}
+    pending_arr = np.array(pending, dtype=np.int64)
+
+    # prune the read to files overlapping some pending partition: a late
+    # shard triggers a re-read of only the shards sharing its time range,
+    # not a full corpus rescan
+    pend_set = set(pending)
+    paths_needed = [
+        p
+        for p, (mn, mx) in ranges.items()
+        if any(
+            int(pb) in pend_set
+            for pb in np.unique(
+                part_of_bucket(
+                    np.arange(mn // coarse_us, mx // coarse_us + 1)
+                )
+            )
+        )
+    ]
+    ds = rd.read_parquet(
+        paths_needed, columns=[cfg.source_col, cfg.ts_col, cfg.value_col]
+    )
+
+    if lane == "decomposable":
+        need_fl = "first" in cfg.aggs or "last" in cfg.aggs
+
+        def stage_batches(b: pa.Table) -> pa.Table:
+            p0 = R.partial_states(
+                b,
+                source_col=cfg.source_col,
+                ts_col=cfg.ts_col,
+                value_col=cfg.value_col,
+                width_s=finest_w,
+                first_last=need_fl,
+            )
+            bucket = np.asarray(p0["bucket"]) * finest_w // coarse_w
+            return p0.append_column("_part", pa.array(part_of_bucket(bucket)))
+
+        def compute(t: pa.Table) -> pa.Table:
+            return R.merge_and_cascade(t, tiers=ordered, aggs=cfg.aggs)
+
+    else:
+        stage = R.HolisticRollup(
+            source_col=cfg.source_col,
+            ts_col=cfg.ts_col,
+            value_col=cfg.value_col,
+            tiers=dict(ordered),
+            aggs=cfg.aggs,
+        )
+
+        def stage_batches(b: pa.Table) -> pa.Table:
+            ts_us = R.ts_to_us(b[cfg.ts_col].combine_chunks())
+            bucket = ts_us // coarse_us
+            return b.append_column("_part", pa.array(part_of_bucket(bucket)))
+
+        def compute(t: pa.Table) -> pa.Table:
+            return stage(t)
+
+    def keep_pending(b: pa.Table) -> pa.Table:
+        part = np.asarray(b["_part"])
+        return b.filter(pa.array(np.isin(part, pending_arr)))
+
+    def run_partition(t: pa.Table) -> pa.Table:
+        part = int(t["_part"][0].as_py())
+        t0 = time.perf_counter()
+        out = compute(t.drop_columns(["_part"]))
+        fname = f"part-{part:05d}.parquet"
+        fpath = os.path.join(out_dir, fname)
+        pq.write_table(out, fpath + ".tmp", row_group_size=100_000)
+        os.replace(fpath + ".tmp", fpath)
+        return pa.table(
+            {
+                "partition": pa.array([part], type=pa.int64()),
+                "lineage_id": pa.array(
+                    [lineage_id(part_fps[part], config_fp, part)],
+                    type=pa.string(),
+                ),
+                "rows_in": pa.array([len(t)], type=pa.int64()),
+                "rows_out": pa.array([len(out)], type=pa.int64()),
+                "wall_time_s": pa.array(
+                    [round(time.perf_counter() - t0, 4)], type=pa.float64()
+                ),
+                "file": pa.array([fname], type=pa.string()),
+            }
+        )
+
+    metrics = (
+        ds.map_batches(stage_batches, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(keep_pending, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(run_partition, batch_format="pyarrow")
+        .to_pandas()
+    )
+    recs = [
+        PartitionRecord(
+            partition=int(r.partition),
+            lineage_id=r.lineage_id,
+            rows_in=int(r.rows_in),
+            rows_out=int(r.rows_out),
+            wall_time_s=float(r.wall_time_s),
+            file=r.file,
+        )
+        for r in metrics.itertuples()
+    ]
+    seen = {r.partition for r in recs}
+    for part in pending:
+        if part not in seen:
+            recs.append(
+                PartitionRecord(
+                    partition=part,
+                    lineage_id=lineage_id(part_fps[part], config_fp, part),
+                    rows_in=0,
+                    rows_out=0,
+                    wall_time_s=0.0,
+                    file="",
+                )
+            )
+    manifest.update(recs)
+    return {
+        "computed": [r.partition for r in recs],
+        "skipped": sorted(done),
+        "manifest": manifest,
+    }

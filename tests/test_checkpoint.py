@@ -94,3 +94,67 @@ def test_checkpoint_input_change_invalidates(corpus_dir, tmp_path):
         os.remove(f)
     res = checkpointed_rollup(corpus2, out, cfg)
     assert len(res["computed"]) == 4
+
+
+def test_timerange_late_data_partial_recompute(ray_session, tmp_path):
+    """Late-data path: appending a shard that touches one time range must
+    recompute ONLY the overlapping partitions, and the result must equal a
+    from-scratch run."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from getml_community_ray.pipelines.rollup import RollupConfig
+    from getml_community_ray.sources.synth import generate_shard
+    from getml_community_ray.state.checkpoint import (
+        checkpointed_rollup_timerange,
+    )
+
+    src_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src_dir)
+    # base corpus: 4 shards
+    for k in range(4):
+        t = generate_shard(k, 4, 40_000, n_sources=5, seed=3, with_tokens=False)
+        pq.write_table(t, f"{src_dir}/shard-{k:05d}.parquet")
+
+    cfg = RollupConfig(retention={}, num_partitions=8, cache_intermediates=False)
+    r1 = checkpointed_rollup_timerange(src_dir, out_dir, cfg)
+    assert len(r1["computed"]) == 8 and not r1["skipped"]
+
+    # idempotent rerun: everything skipped
+    r2 = checkpointed_rollup_timerange(src_dir, out_dir, cfg)
+    assert not r2["computed"] and len(r2["skipped"]) == 8
+
+    # late shard: a NARROW time slice (one source's early ticks re-emitted
+    # with new values) — write rows only within the global range
+    late = generate_shard(0, 16, 40_000, n_sources=5, seed=99, with_tokens=False)
+    pq.write_table(late, f"{src_dir}/shard-late.parquet")
+    r3 = checkpointed_rollup_timerange(src_dir, out_dir, cfg)
+    assert r3["computed"], "late shard must trigger recompute"
+    assert r3["skipped"], "partitions outside the late range must be skipped"
+
+    # equivalence with a from-scratch run on the full corpus
+    fresh_dir = str(tmp_path / "fresh")
+    r4 = checkpointed_rollup_timerange(src_dir, fresh_dir, cfg)
+    a = (
+        rd.read_parquet(sorted(glob.glob(f"{out_dir}/part-*.parquet")))
+        .to_pandas().sort_values(["tier", "source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    b = (
+        rd.read_parquet(sorted(glob.glob(f"{fresh_dir}/part-*.parquet")))
+        .to_pandas().sort_values(["tier", "source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            import numpy as np
+
+            assert np.allclose(av, bv, equal_nan=True), c
+        else:
+            assert (av == bv).all(), c
