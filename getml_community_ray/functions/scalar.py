@@ -183,3 +183,45 @@ def with_columns(ds, exprs: dict[str, Callable], batch_format: str = "pyarrow"):
         return batch
 
     return ds.map_batches(f, batch_format=batch_format, zero_copy_batch=True)
+
+
+def arange_dataset(start: float, stop: float, step: float = 1.0):
+    """FloatColumn.arange analog (FloatOpParser.cpp:22-62) as a Dataset."""
+    import ray.data as rd
+
+    n = max(0, int((stop - start) / step))
+    return rd.range(n).map_batches(
+        lambda b: pa.table(
+            {"value": pc.add(pc.multiply(pc.cast(b["id"], pa.float64()), step), start)}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def random_by_key(ds, key_col: str, seed: int = 5849, out_col: str = "random"):
+    """Deterministic uniform [0,1) per key — the scale-correct analog of the
+    reference's seeded mt19937 column (`FloatOpParser.hpp:155-165`): the
+    reference's values depend on single-node row order, which has no
+    distributed meaning, so the contract here is hash(key, seed) -> uniform,
+    reproducible at any parallelism."""
+    import numpy as np
+
+    def f(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col])
+        if k.dtype.kind in "iu":
+            h = k.astype(np.uint64)
+        else:
+            import zlib
+
+            h = np.array(
+                [zlib.crc32(str(x).encode()) for x in k], dtype=np.uint64
+            )
+        x = h + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        u = (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        return b.append_column(out_col, pa.array(u))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

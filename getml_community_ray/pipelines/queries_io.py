@@ -395,3 +395,59 @@ IO_ORACLE_SQL.update(
         "ts_parse_update_orders": SQL_TS_PARSE_UPDATE,
     }
 )
+
+
+def q_rowid_orders(sf_dir: str):
+    """Distributed rowid (rank by unique key, FloatOpParser.cpp:286-288
+    analog): bucket histogram -> per-bucket sort + global offsets."""
+    from ..stages.groupby import add_rank_by_key
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+    return add_rank_by_key(ds, "o_orderkey", out_col="rowid").map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b["o_orderkey"],
+             "rowid": pa.array(np.asarray(b["rowid"], dtype=np.float64))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_ROWID = """
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS DOUBLE) AS rowid
+FROM orders
+"""
+
+
+def q_arange(sf_dir: str):
+    """FloatColumn.arange (start=2.5, stop=1000, step=3.25)."""
+    from ..functions.scalar import arange_dataset
+
+    return arange_dataset(2.5, 1000.0, 3.25)
+
+
+SQL_ARANGE = """
+SELECT 2.5 + CAST(g AS DOUBLE) * 3.25 AS value
+FROM generate_series(0, CAST(floor((1000.0 - 2.5) / 3.25) AS BIGINT) - 1) t(g)
+"""
+
+
+def q_random_by_key_orders(sf_dir: str):
+    """Deterministic seeded random column (mt19937-analog, scale-correct
+    hash contract) — rows-only; determinism across parallelism is the
+    invariant (same values at any block count)."""
+    from ..functions.scalar import random_by_key
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+    return random_by_key(ds, "o_orderkey", seed=5849)
+
+
+IO_QUERIES.update(
+    {
+        "rowid_orders": q_rowid_orders,
+        "arange": q_arange,
+        "random_by_key_orders": q_random_by_key_orders,
+    }
+)
+IO_ORACLE_SQL.update({"rowid_orders": SQL_ROWID, "arange": SQL_ARANGE})

@@ -94,3 +94,73 @@ def grouped_sums(
             batch_format="pyarrow",
         )
     )
+
+
+def add_rank_by_key(ds, key_col: str, *, num_buckets: int = 64,
+                    out_col: str = "rowid"):
+    """Distributed zipWithIndex by key: rank = position of the row's key in
+    the global ascending key order (0-based; ties get consecutive ranks in
+    arbitrary-but-deterministic order, unique keys get exact ranks).
+
+    The reference's `rowid` numbers rows in their (single-node) physical
+    order (`FloatOpParser.cpp:286-288`); block order is not meaningful in a
+    distributed Dataset, so the scale-correct contract is rank-by-key:
+    pass 1 histograms keys into fixed buckets (one tiny driver reduction),
+    pass 2 shuffles rows by bucket, sorts within the bucket, and adds the
+    bucket's global offset.
+    """
+    import ray
+
+    # pass 1: global min/max + per-bucket counts
+    def mm(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col], dtype=np.float64)
+        return pa.table({"mn": pa.array([k.min()]), "mx": pa.array([k.max()])})
+
+    agg = ds.map_batches(mm, batch_format="pyarrow", zero_copy_batch=True)
+    mn = agg.min("mn")
+    mx = agg.max("mx")
+    width = (mx - mn) / num_buckets or 1.0
+
+    def bucket_of(k):
+        return np.clip(((k - mn) / width).astype(np.int64), 0, num_buckets - 1)
+
+    def hist(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col], dtype=np.float64)
+        c = np.bincount(bucket_of(k), minlength=num_buckets)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(num_buckets, dtype=np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .sum("c")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    full = np.zeros(num_buckets, dtype=np.int64)
+    full[counts["bucket"].to_numpy()] = counts["sum(c)"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col], dtype=np.float64)
+        return b.append_column("_bucket", pa.array(bucket_of(k)))
+
+    def rank_bucket(t: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        bkt = int(t["_bucket"][0].as_py())
+        k = np.asarray(t[key_col], dtype=np.float64)
+        order = np.argsort(k, kind="stable")
+        rank = np.empty(len(k), dtype=np.int64)
+        rank[order] = off[bkt] + np.arange(len(k))
+        return t.drop_columns(["_bucket"]).append_column(out_col, pa.array(rank))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
