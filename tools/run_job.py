@@ -26,6 +26,9 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--lane", choices=["decomposable", "holistic"],
                     default="decomposable")
+    ap.add_argument("--timerange", action="store_true",
+                    help="time-range partitions: late shards re-roll only "
+                         "the partitions they overlap")
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--tiers", default="1m:60,1h:3600,1d:86400")
     ap.add_argument("--aggs", default="")
@@ -52,7 +55,10 @@ def main() -> None:
     )
 
     from getml_community_ray.pipelines.rollup import RollupConfig
-    from getml_community_ray.state.checkpoint import checkpointed_rollup
+    from getml_community_ray.state.checkpoint import (
+        checkpointed_rollup,
+        checkpointed_rollup_timerange,
+    )
 
     tiers = {}
     for part in args.tiers.split(","):
@@ -71,7 +77,8 @@ def main() -> None:
     cfg = RollupConfig(**cfg_kwargs)
 
     t0 = time.perf_counter()
-    res = checkpointed_rollup(args.input, args.output, cfg, lane=args.lane)
+    runner = checkpointed_rollup_timerange if args.timerange else checkpointed_rollup
+    res = runner(args.input, args.output, cfg, lane=args.lane)
     wall = time.perf_counter() - t0
     m = res["manifest"]
     rows_out = sum(r.rows_out for r in m.records.values())
