@@ -177,3 +177,53 @@ SERIES_ORACLE_SQL = {
     "gapfill_hourly_events": SQL_GAPFILL_HOURLY,
     "codec_roundtrip_events": SQL_CODEC_ROUNDTRIP,
 }
+
+
+def q_sessionize_events(sf_dir: str):
+    """30-minute-gap sessionization per user (session index + position
+    within session)."""
+    from ..stages.windows import sessionize
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = sessionize(
+        ds, key_col="user_id", ts_col="ts", id_cols=["event_id"],
+        gap_s=1800.0, num_partitions=16,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "session_ix": pa.array(
+                    np.asarray(b["session_ix"], dtype=np.float64)
+                ),
+                "session_event_ix": pa.array(
+                    np.asarray(b["session_event_ix"], dtype=np.float64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL '1800 seconds'
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT event_id, user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_ix
+  FROM g)
+SELECT event_id,
+       CAST(session_ix AS DOUBLE) AS session_ix,
+       CAST(row_number() OVER (PARTITION BY user_id, session_ix ORDER BY ts)
+            - 1 AS DOUBLE) AS session_event_ix
+FROM s
+"""
+
+SERIES_QUERIES["sessionize_events"] = q_sessionize_events
+SERIES_ORACLE_SQL["sessionize_events"] = SQL_SESSIONIZE

@@ -157,3 +157,75 @@ def window_features(
             lambda t: stage(t.drop_columns(["_part"])), batch_format="pyarrow"
         )
     )
+
+
+def sessionize(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_cols: list[str],
+    gap_s: float = 1800.0,
+    num_partitions: int = 32,
+):
+    """Sessionization: per key, a new session starts when the gap to the
+    previous event exceeds `gap_s`. Output adds `session_ix` (0-based per
+    key) and `session_event_ix` (0-based within session).
+
+    Hash-partition by key, one vectorized pass per partition (sort by
+    (key, ts), gap > threshold -> cumsum) — the standard training-data
+    sessionize, absent from the reference (its windows are horizon/memory
+    per prediction row) but required corpus surface."""
+    gap_us = int(gap_s * US)
+
+    def part_fn(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch[key_col])
+        ts_us = ts_to_us(batch[ts_col].combine_chunks())
+        uniq, gid = np.unique(key, return_inverse=True)
+        order = np.lexsort((ts_us, gid))
+        g_s, t_s = gid[order], ts_us[order]
+        n = len(g_s)
+        new_sess = np.ones(n, dtype=np.int64)
+        if n > 1:
+            same = g_s[1:] == g_s[:-1]
+            close = (t_s[1:] - t_s[:-1]) <= gap_us
+            new_sess[1:] = (~(same & close)).astype(np.int64)
+        sess_global = np.cumsum(new_sess) - 1
+        # per-key session index: subtract the key's first session id
+        first_per_key = np.zeros(len(uniq), dtype=np.int64)
+        kstart = np.searchsorted(g_s, np.arange(len(uniq)))
+        first_per_key = sess_global[np.minimum(kstart, n - 1)]
+        session_ix = sess_global - first_per_key[g_s]
+        # index within session
+        sess_start_pos = np.where(new_sess == 1)[0]
+        start_of = sess_start_pos[sess_global]
+        session_event_ix = np.arange(n) - start_of
+
+        cols = {}
+        for c in id_cols:
+            cols[c] = batch[c].combine_chunks().take(pa.array(order))
+        cols[key_col] = pa.array(uniq[g_s])
+        cols[ts_col] = batch[ts_col].combine_chunks().take(pa.array(order))
+        cols["session_ix"] = pa.array(session_ix)
+        cols["session_event_ix"] = pa.array(session_event_ix)
+        return pa.table(cols)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col])
+        if k.dtype.kind in "iu":
+            h = k.astype(np.int64)
+        else:
+            h = crc_hash_sources(k.astype(str))
+        return b.append_column(
+            "_part", pa.array((h * 0x9E3779B1 % num_partitions).astype(np.int64))
+        )
+
+    cols = list(dict.fromkeys(id_cols + [key_col, ts_col]))
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda t: part_fn(t.drop_columns(["_part"])), batch_format="pyarrow"
+        )
+    )
