@@ -344,3 +344,24 @@ def rollup_holistic_clustered_long(ds, cfg: RollupConfig):
         )
     )
     return interior.union(boundary)
+
+
+def apply_retention_long(tbl: pa.Table, cfg: RollupConfig) -> pa.Table:
+    """Per-tier TTL filter for LONG-format rollup rows (tier column):
+    drop buckets whose END falls before (watermark - ttl). Used by the
+    checkpointed runners, which produce long-format partitions."""
+    if cfg.watermark_us is None or not cfg.retention:
+        return tbl
+    import numpy as np
+
+    tier = np.asarray(tbl["tier"]).astype(str)
+    end_us = np.asarray(tbl["bucket_ts"].cast(pa.int64()))
+    keep = np.ones(len(tbl), dtype=bool)
+    for name, width in cfg.tiers.items():
+        ttl = cfg.retention.get(name)
+        if ttl is None:
+            continue
+        cutoff = cfg.watermark_us - ttl * US
+        m = tier == name
+        keep[m] = (end_us[m] + width * US) >= cutoff
+    return tbl.filter(pa.array(keep))

@@ -187,6 +187,9 @@ def checkpointed_rollup(
         part = int(t["_part"][0].as_py())
         t0 = time.perf_counter()
         out = compute(t.drop_columns(["_part"]))
+        from ..pipelines.rollup import apply_retention_long
+
+        out = apply_retention_long(out, cfg)
         fname = f"part-{part:05d}.parquet"
         fpath = os.path.join(out_dir, fname)
         pq.write_table(out, fpath + ".tmp", row_group_size=100_000)
@@ -409,6 +412,9 @@ def checkpointed_rollup_timerange(
         part = int(t["_part"][0].as_py())
         t0 = time.perf_counter()
         out = compute(t.drop_columns(["_part"]))
+        from ..pipelines.rollup import apply_retention_long
+
+        out = apply_retention_long(out, cfg)
         fname = f"part-{part:05d}.parquet"
         fpath = os.path.join(out_dir, fname)
         pq.write_table(out, fpath + ".tmp", row_group_size=100_000)

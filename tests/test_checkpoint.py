@@ -158,3 +158,36 @@ def test_timerange_late_data_partial_recompute(ray_session, tmp_path):
             assert np.allclose(av, bv, equal_nan=True), c
         else:
             assert (av == bv).all(), c
+
+
+def test_checkpointed_retention(ray_session, tmp_path):
+    """TTL drop applies inside the checkpointed runner (long format)."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from getml_community_ray.pipelines.rollup import RollupConfig
+    from getml_community_ray.sources.synth import generate_shard
+    from getml_community_ray.state.checkpoint import checkpointed_rollup
+
+    src_dir = str(tmp_path / "corpus")
+    os.makedirs(src_dir)
+    t = generate_shard(0, 1, 20_000, n_sources=3, seed=4, with_tokens=False)
+    pq.write_table(t, f"{src_dir}/shard-00000.parquet")
+    wm = int(np.asarray(t["event_ts"].cast("int64")).max())
+
+    cfg = RollupConfig(
+        retention={"1m": 600, "1h": None, "1d": None},
+        watermark_us=wm,
+        num_partitions=4,
+        cache_intermediates=False,
+    )
+    out_dir = str(tmp_path / "out")
+    checkpointed_rollup(src_dir, out_dir, cfg)
+    df = rd.read_parquet(sorted(glob.glob(f"{out_dir}/part-*.parquet"))).to_pandas()
+    m1 = df[df.tier == "1m"]
+    end_us = m1.bucket_ts.astype("int64") + 60 * 1_000_000
+    assert (end_us >= wm - 600 * 1_000_000).all()
+    assert len(df[df.tier == "1h"]) > 0  # other tiers untrimmed

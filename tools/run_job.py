@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--source-col", default="source")
     ap.add_argument("--ts-col", default="event_ts")
     ap.add_argument("--value-col", default="n_tok")
+    ap.add_argument("--retention", default="",
+                    help="per-tier TTL seconds, e.g. 1m:86400,1h:604800 "
+                         "(requires --watermark)")
+    ap.add_argument("--watermark", type=int, default=0,
+                    help="watermark as epoch MICROseconds; buckets ending "
+                         "before watermark - ttl are dropped per tier")
     ap.add_argument("--num-cpus", type=int, default=0,
                     help="only for standalone runs; ray job submit sets this")
     args = ap.parse_args()
@@ -74,6 +80,13 @@ def main() -> None:
     )
     if args.aggs:
         cfg_kwargs["aggs"] = args.aggs.split(",")
+    if args.retention:
+        ret = {}
+        for part in args.retention.split(","):
+            name, ttl = part.split(":")
+            ret[name] = int(ttl)
+        cfg_kwargs["retention"] = ret
+        cfg_kwargs["watermark_us"] = args.watermark or None
     cfg = RollupConfig(**cfg_kwargs)
 
     t0 = time.perf_counter()
