@@ -145,6 +145,7 @@ def checkpointed_rollup(
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
+            batch_size=cfg.combine_batch_size,
         ).map_batches(
             lambda b: R.add_partial_partition(
                 b, cfg.num_partitions, finest_width_s=finest_w, coarse_width_s=coarse_w
@@ -174,6 +175,7 @@ def checkpointed_rollup(
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
+            batch_size=cfg.combine_batch_size,
         )
 
         def compute(t: pa.Table) -> pa.Table:
@@ -436,7 +438,10 @@ def checkpointed_rollup_timerange(
         )
 
     metrics = (
-        ds.map_batches(stage_batches, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(
+            stage_batches, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=cfg.combine_batch_size,
+        )
         .map_batches(keep_pending, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_part")
         .map_groups(run_partition, batch_format="pyarrow")
