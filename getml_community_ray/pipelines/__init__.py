@@ -13,3 +13,4 @@ from .rollup import (  # noqa: F401
     rollup_holistic_long,
 )
 from .transpile import fastprop_to_sql  # noqa: F401
+from .pipeline import Pipeline  # noqa: F401
