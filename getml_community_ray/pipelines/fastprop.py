@@ -189,6 +189,14 @@ def fastprop_features(population_ds, peripheral_ds, spec: FastPropSpec):
     population row: id_cols + key + ts + one float64 column per
     (value_col, agg, lag)."""
 
+    clash = set(spec.id_cols) & set(spec.value_cols)
+    if clash:
+        raise ValueError(
+            f"id_cols and value_cols overlap ({sorted(clash)}): the "
+            "peripheral value lane would null out the population column — "
+            "alias one of them"
+        )
+
     def tag_pop(b: pa.Table) -> pa.Table:
         k = np.asarray(b[spec.key_col])
         cols = {c: b[c] for c in spec.id_cols}

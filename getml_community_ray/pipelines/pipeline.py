@@ -66,9 +66,32 @@ class Pipeline:
 
     # -- API ---------------------------------------------------------------
 
+    def _carry_target(self, population_ds, target_col: str):
+        """Carry the target through feature generation under an alias when
+        its name collides with a peripheral value column (tag_pop would
+        otherwise null it out)."""
+        spec = self.feature_spec
+        if target_col not in spec.value_cols and target_col != spec.key_col:
+            return population_ds, target_col
+        alias = f"__target_{target_col}"
+
+        def add_alias(b: pa.Table) -> pa.Table:
+            return b.append_column(alias, b[target_col])
+
+        return (
+            population_ds.map_batches(
+                add_alias, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            alias,
+        )
+
     def fit(self, population_ds, peripheral_ds, *, target_col: str | None = None):
         """Fit preprocessors, generate features and (optionally) fit the
         predictor against `target_col` carried on the population table."""
+        if target_col:
+            population_ds, target_col = self._carry_target(
+                population_ds, target_col
+            )
         extra = [target_col] if target_col else []
         feats = self._features(population_ds, peripheral_ds, fit=True,
                                extra_cols=extra)
@@ -107,6 +130,7 @@ class Pipeline:
             regression_metrics,
         )
 
+        population_ds, target_col = self._carry_target(population_ds, target_col)
         extra = [target_col]
         feats = self._features(population_ds, peripheral_ds, fit=False,
                                extra_cols=extra)

@@ -191,3 +191,37 @@ QUALIFY rank <= 3
 
 ML_QUERIES["feature_selection_lineitem"] = q_feature_selection_lineitem
 ML_ORACLE_SQL["feature_selection_lineitem"] = SQL_FEATURE_SELECTION
+
+
+def q_pipeline_e2e_events(sf_dir: str):
+    """Full Pipeline facade through the driver contract: FastProp features
+    (trailing 2h count/avg/max per user) -> linear regression predicting
+    the event's own value -> per-event predictions + fit R^2. Iterative
+    fit -> rows-only check; facade exactness covered by
+    tests/test_pipeline_facade.py."""
+    from .fastprop import FastPropSpec
+    from .pipeline import Pipeline
+    from ..stages.predictors import LinearRegression
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    spec = FastPropSpec(
+        key_col="user_id",
+        pop_ts_col="ts",
+        peri_ts_col="ts",
+        value_cols=["value"],
+        aggs=["count", "avg", "max"],
+        id_cols=["event_id"],
+        horizon_s=60.0,
+        memory_s=2 * 3600.0,
+        num_partitions=16,
+    )
+    pipe = Pipeline(feature_spec=spec, predictor=LinearRegression([], ""))
+    pipe.fit(ds, ds, target_col="value")
+    scores = pipe.score(ds, ds, target_col="value")
+    preds = pipe.predict(ds, ds).to_pandas()
+    out = preds[["event_id", "prediction"]].sort_values("event_id")
+    out["fit_r2"] = float(scores["r2"])
+    return out.reset_index(drop=True)
+
+
+ML_QUERIES["pipeline_e2e_events"] = q_pipeline_e2e_events
