@@ -147,27 +147,76 @@ class _PartitionKernel:
         )
 
         t_out_sec = pop_ts / 1e6
+        # prefix-sum fast lane: count/sum/avg need only cumulative sums over
+        # the sorted peripheral — O(n) memory regardless of window size (the
+        # expansion lane costs sum(window sizes), which a hot key with long
+        # memory can blow up). Other aggs fall back to expansion.
+        PREFIX = {"count", "sum", "avg"}
+        prefix_aggs = [a for a in spec.aggs if a in PREFIX]
+        expand_aggs = [a for a in spec.aggs if a not in PREFIX]
+        if prefix_aggs:
+            # per-column prefixes (NaN patterns can differ per column)
+            pcsum = {
+                c: np.concatenate(
+                    [[0.0], np.cumsum(np.where(np.isfinite(vals[c]), vals[c], 0.0))]
+                )
+                for c in spec.value_cols
+            }
+            pccnt = {
+                c: np.concatenate(
+                    [[0], np.cumsum(np.isfinite(vals[c]).astype(np.int64))]
+                )
+                for c in spec.value_cols
+            }
+
         for suffix, low_s, up_s in spec.windows():
             lo_t = np.maximum(rel_pop - int(low_s * US) + 1, 0)  # exclusive lower
             hi_t = np.maximum(rel_pop - int(up_s * US) + 1, 0)  # inclusive upper
             lo = np.searchsorted(comp, pop_g * span + lo_t, side="left")
             hi = np.searchsorted(comp, pop_g * span + hi_t, side="left")
-            cnt = hi - lo
-            total = int(cnt.sum())
-            # repeat/cumsum gather: expanded peripheral indices per window
-            eg = np.repeat(np.arange(n_pop), cnt)
-            cum = np.concatenate([[0], np.cumsum(cnt)])
-            idx = np.arange(total) - np.repeat(cum[:-1], cnt) + np.repeat(lo, cnt)
-            ets = peri_ts[idx] / 1e6
+            if prefix_aggs:
+                for c in spec.value_cols:
+                    wcnt = (pccnt[c][hi] - pccnt[c][lo]).astype(np.float64)
+                    wsum = pcsum[c][hi] - pcsum[c][lo]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        wavg = wsum / wcnt
+                    wavg = np.where(wcnt == 0, np.nan, wavg)
+                    named = {"count": wcnt, "sum": wsum, "avg": wavg}
+                    for agg in prefix_aggs:
+                        arr = named[agg]
+                        if spec.nan_to_zero:
+                            arr = np.where(np.isfinite(arr), arr, 0.0)
+                        out_cols[f"{c}__{agg}{suffix}"] = pa.array(arr)
+            if expand_aggs:
+                cnt = hi - lo
+                total = int(cnt.sum())
+                # repeat/cumsum gather: expanded peripheral indices per window
+                eg = np.repeat(np.arange(n_pop), cnt)
+                cum = np.concatenate([[0], np.cumsum(cnt)])
+                idx = np.arange(total) - np.repeat(cum[:-1], cnt) + np.repeat(lo, cnt)
+                ets = peri_ts[idx] / 1e6
+                for c in spec.value_cols:
+                    res = grouped_aggregate(
+                        expand_aggs, eg, vals[c][idx], n_pop, ts=ets,
+                        t_out=t_out_sec,
+                    )
+                    for agg, arr in res.items():
+                        if spec.nan_to_zero:
+                            arr = np.where(np.isfinite(arr), arr, 0.0)
+                        out_cols[f"{c}__{agg}{suffix}"] = pa.array(arr)
+        # restore the spec's column order (prefix/expand lanes interleave)
+        ordered_cols = {
+            k: out_cols[k]
+            for k in list(
+                dict.fromkeys(spec.id_cols + [spec.key_col, spec.pop_ts_col])
+            )
+        }
+        for suffix, _, _ in spec.windows():
             for c in spec.value_cols:
-                res = grouped_aggregate(
-                    spec.aggs, eg, vals[c][idx], n_pop, ts=ets, t_out=t_out_sec
-                )
-                for agg, arr in res.items():
-                    if spec.nan_to_zero:
-                        arr = np.where(np.isfinite(arr), arr, 0.0)
-                    out_cols[f"{c}__{agg}{suffix}"] = pa.array(arr)
-        return pa.table(out_cols)
+                for agg in spec.aggs:
+                    name = f"{c}__{agg}{suffix}"
+                    ordered_cols[name] = out_cols[name]
+        return pa.table(ordered_cols)
 
     def _empty(self) -> pa.Table:
         spec = self.spec
