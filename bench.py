@@ -194,8 +194,15 @@ def run_lane(lane: str) -> None:
     )
     # warm the page cache (untimed): measure compute+exchange, not disk
     rd.read_parquet(CORPUS_DIR, columns=["source", "event_ts", "n_tok"]).count()
+    # per-lane read granularity (measured): the holistic lane wants ONE
+    # block per file — longer source runs shrink the run-edge (boundary)
+    # fraction that must shuffle (16.8s -> 9.1s at 20M rows); the
+    # decomposable lane prefers the reader's finer default split (more
+    # parallel combiner tasks, boundary is per-tier partials and tiny
+    # either way).
+    kw = {"override_num_blocks": N_SHARDS} if lane == "holo" else {}
     read = lambda: rd.read_parquet(
-        CORPUS_DIR, columns=["source", "event_ts", "n_tok"]
+        CORPUS_DIR, columns=["source", "event_ts", "n_tok"], **kw
     )
 
     # fixed partition count at every CPU level: the work decomposition must
