@@ -134,8 +134,15 @@ def run_once() -> dict:
         logging_level="ERROR",
     )
 
-    # testdata-backed query sample
+    # testdata-backed query sample; warm the page cache over the tables the
+    # sample touches (untimed), mirroring the corpus warm-up above
     from getml_community_ray.pipelines.queries import QUERIES
+
+    for tbl in ("events", "lineitem", "documents", "embeddings"):
+        try:
+            rd.read_parquet(f"{SF_DIR}/{tbl}.parquet").count()
+        except Exception:
+            pass
 
     qsecs = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

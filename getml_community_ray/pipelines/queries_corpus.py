@@ -189,3 +189,45 @@ def q_near_dedup_clusters(sf_dir: str):
 
 
 CORPUS_QUERIES["near_dedup_clusters_documents"] = q_near_dedup_clusters
+
+
+def q_tokens_passthrough(sf_dir: str):
+    """BASELINE per-row invariant through the driver contract: pre-tokenized
+    sequences flow through a filter+project pipeline with the `tokens`
+    list<int32> untouched (zero-copy lane, never shuffled); output carries a
+    per-row CRC of the token bytes plus n_tok so the driver's value-hash
+    check pins the payload. Byte-level equality vs the source is asserted
+    in tests/test_codec.py."""
+    import os
+    import zlib
+
+    import ray.data as rd
+
+    from ..sources.synth import generate_sequences
+
+    corpus = "/tmp/graft_seq_smoke_tokens"
+    if not os.path.isdir(corpus) or not os.listdir(corpus):
+        generate_sequences(corpus, n_rows=5_000, n_shards=4, seed=123)
+    ds = rd.read_parquet(corpus, columns=["doc_id", "tokens", "n_tok", "source"])
+    ds = ds.filter(expr="n_tok >= 16")
+
+    def crc(b: pa.Table) -> pa.Table:
+        toks = b["tokens"].combine_chunks()
+        out = np.empty(len(b), dtype=np.int64)
+        for i in range(len(b)):
+            out[i] = zlib.crc32(
+                np.asarray(toks[i].values, dtype=np.int32).tobytes()
+            )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "n_tok": b["n_tok"],
+                "token_crc": pa.array(out),
+            }
+        )
+
+    return ds.map_batches(crc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CORPUS_QUERIES["tokens_passthrough_sequences"] = q_tokens_passthrough
