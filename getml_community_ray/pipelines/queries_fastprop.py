@@ -636,3 +636,80 @@ FROM s JOIN tsl ON tsl.event_id = s.event_id
 
 FASTPROP_QUERIES["fastprop_ewma_trend_weighted"] = q_fastprop_ewma_trend_weighted
 FASTPROP_ORACLE_SQL["fastprop_ewma_trend_weighted"] = SQL_FASTPROP_EWMA_TREND_W
+
+
+def q_rollup_1h_time_stats(sf_dir: str):
+    """Time-based vocabulary over 1h buckets: AVG TIME BETWEEN
+    ((max_ts-min_ts)/(count-1), 0.0 when count<=1, Aggregator.hpp:428-446)
+    and TIME SINCE FIRST MAXIMUM (dt of the EARLIEST max-value row,
+    Aggregations.hpp:524-559); dt measured from the bucket END."""
+    from .rollup import RollupConfig, rollup_holistic
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+                "cents": pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cfg = RollupConfig(
+        source_col="event_type",
+        ts_col="ts",
+        value_col="cents",
+        tiers={"1h": 3600},
+        aggs=["avg_time_between", "time_since_first_maximum"],
+        num_partitions=16,
+    )
+    out = rollup_holistic(ds, cfg)["1h"]
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": b["bucket_ts"],
+                "avg_tb": _r6(b["avg_time_between"]),
+                "ts_first_max": _r6(b["time_since_first_maximum"]),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ROLLUP_1H_TIME_STATS = """
+WITH base AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts, ts,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         epoch_us(date_trunc('hour', ts)) / 1000000.0 + 3600.0
+           - epoch_us(ts) / 1000000.0 AS dt
+  FROM events),
+s AS (
+  SELECT source, bucket_ts,
+         CAST(count(*) AS BIGINT) AS n,
+         epoch_us(MAX(ts)) / 1000000.0 - epoch_us(MIN(ts)) / 1000000.0
+             AS span,
+         MAX(c) AS mx
+  FROM base GROUP BY 1, 2),
+fm AS (
+  SELECT b.source, b.bucket_ts, MAX(b.dt) AS dt_first_max
+  FROM base b JOIN s ON s.source = b.source AND s.bucket_ts = b.bucket_ts
+                     AND b.c = s.mx
+  GROUP BY 1, 2)
+SELECT s.source, s.bucket_ts,
+       CAST(round((CASE WHEN s.n <= 1 THEN 0.0 ELSE s.span / (s.n - 1) END)
+            * 1e6) AS BIGINT) / 1000000.0 AS avg_tb,
+       CAST(round(fm.dt_first_max * 1e6) AS BIGINT) / 1000000.0
+           AS ts_first_max
+FROM s JOIN fm ON fm.source = s.source AND fm.bucket_ts = s.bucket_ts
+"""
+
+FASTPROP_QUERIES["rollup_1h_time_stats"] = q_rollup_1h_time_stats
+FASTPROP_ORACLE_SQL["rollup_1h_time_stats"] = SQL_ROLLUP_1H_TIME_STATS
