@@ -91,3 +91,57 @@ def test_clustered_rejects_unsorted(ray_session):
         rollup_decomposable_clustered_long(
             rd.from_pandas(df), cfg
         ).count()
+
+
+@pytest.mark.parametrize("seed,shards", [(1, 3), (13, 10)])
+def test_clustered_equality_more_layouts(ray_session, tmp_path_factory, seed, shards):
+    """Clustered == unclustered across different shard layouts/seeds."""
+    from getml_community_ray.sources.synth import generate_sequences
+
+    d = str(tmp_path_factory.mktemp(f"cl_{seed}_{shards}"))
+    generate_sequences(d, n_rows=30_000, n_shards=shards, seed=seed,
+                       with_tokens=False)
+    cfg = RollupConfig(retention={}, num_partitions=5,
+                       cache_intermediates=False)
+    a = _sorted_df(rollup_decomposable_long(_read(d), cfg))
+    b = _sorted_df(rollup_decomposable_clustered_long(_read(d), cfg))
+    assert len(a) == len(b)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.allclose(av, bv, rtol=0, atol=0, equal_nan=True), c
+        else:
+            assert (av == bv).all(), c
+
+
+def test_clustered_single_source_and_tiny(ray_session, tmp_path_factory):
+    """Edge shapes: one source; tiny corpus smaller than one bucket."""
+    import pandas as pd
+    import ray.data as rd
+
+    # single source, ts-sorted
+    n = 5000
+    ts = (1_700_000_000_000_000 + np.arange(n, dtype=np.int64) * 7_000_000)
+    df = pd.DataFrame(
+        {
+            "source": np.repeat("only", n),
+            "event_ts": ts.astype("datetime64[us]"),
+            "n_tok": (np.arange(n) % 300 + 8).astype(np.int32),
+        }
+    )
+    cfg = RollupConfig(retention={}, num_partitions=4, cache_intermediates=False)
+    a = _sorted_df(rollup_decomposable_long(rd.from_pandas(df, override_num_blocks=4), cfg))
+    b = _sorted_df(
+        rollup_decomposable_clustered_long(rd.from_pandas(df, override_num_blocks=4), cfg)
+    )
+    assert len(a) == len(b)
+    assert np.allclose(
+        a.select_dtypes("number").to_numpy(),
+        b.select_dtypes("number").to_numpy(),
+        equal_nan=True,
+    )
+
+    tiny = df.head(3)
+    at = _sorted_df(rollup_decomposable_long(rd.from_pandas(tiny), cfg))
+    bt = _sorted_df(rollup_decomposable_clustered_long(rd.from_pandas(tiny), cfg))
+    assert len(at) == len(bt) == 3 * 1  # 3 tiers x 1 bucket each
