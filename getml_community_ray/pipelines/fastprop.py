@@ -91,18 +91,26 @@ def _hash_part(keys: np.ndarray, num_partitions: int) -> np.ndarray:
 
 
 class _PartitionKernel:
-    """Vectorized per-partition FastProp sweep (complete key groups)."""
+    """Vectorized per-partition FastProp sweep (complete key groups).
 
-    def __init__(self, spec: FastPropSpec):
+    `self_join=True` (the TimeSeries mode) takes ONE tagged copy of the
+    table as both sides — half the shuffle volume and one read instead of
+    two."""
+
+    def __init__(self, spec: FastPropSpec, self_join: bool = False):
         self.spec = spec
+        self.self_join = self_join
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from ..kernels.aggregations import grouped_aggregate
 
         spec = self.spec
-        side = np.asarray(t["_side"])
-        pop = t.filter(pa.array(side == 0))
-        peri = t.filter(pa.array(side == 1))
+        if self.self_join:
+            pop = peri = t
+        else:
+            side = np.asarray(t["_side"])
+            pop = t.filter(pa.array(side == 0))
+            peri = t.filter(pa.array(side == 1))
         n_pop = len(pop)
         if n_pop == 0:
             return self._empty()
@@ -291,5 +299,32 @@ def fastprop_features(population_ds, peripheral_ds, spec: FastPropSpec):
 def time_series_features(ds, spec: FastPropSpec):
     """Self-join FastProp (the reference's TimeSeries sugar,
     `getml/data/time_series.py:26-186`): every row is both a prediction
-    point and a peripheral event."""
-    return fastprop_features(ds, ds, spec)
+    point and a peripheral event. One tagged pass — half the shuffle
+    volume and a single read vs the generic two-table union."""
+    if spec.pop_ts_col != spec.peri_ts_col:
+        return fastprop_features(ds, ds, spec)
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[spec.key_col])
+        cols = {c: b[c] for c in spec.id_cols}
+        cols[spec.key_col] = b[spec.key_col]
+        cols["_ts"] = b[spec.pop_ts_col]
+        for c in spec.value_cols:
+            cols[c] = b[c].cast(pa.float64())
+        cols["_part"] = pa.array(_hash_part(k, spec.num_partitions))
+        return pa.table(cols)
+
+    need = list(
+        dict.fromkeys(
+            spec.id_cols + [spec.key_col, spec.pop_ts_col] + spec.value_cols
+        )
+    )
+    kernel = _PartitionKernel(spec, self_join=True)
+    return (
+        ds.select_columns(need)
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda g: kernel(g.drop_columns(["_part"])), batch_format="pyarrow"
+        )
+    )
