@@ -245,21 +245,26 @@ def rollup_decomposable_clustered_long(ds, cfg: RollupConfig):
         zero_copy_batch=True,
     )
 
-    # Boundary volume is O(blocks x tiers x 2) — a distributed shuffle here
-    # costs more in fixed overhead than it parallelizes (measured ~10s for
-    # 38k rows), so coalesce to one block and merge in a single task. If
-    # boundary rows ever outgrow one task (millions of blocks), swap this
-    # for the hash groupby the unclustered lane uses.
-    boundary = (
-        parts.filter(expr="_boundary == True")
-        .repartition(1)
-        .map_batches(
-            lambda t: R.merge_tiered(t, aggs=cfg.aggs),
-            batch_format="pyarrow",
-            batch_size=None,
+    # Boundary volume is O(blocks x tiers x 2) — tiny at any scale (188k
+    # rows for a 200M-row corpus). A distributed merge here costs more in
+    # fixed overhead than it parallelizes (repartition(1) over the large
+    # filtered parent measured 200s at 200M rows; a lazy two-branch union
+    # of the shared parent stalled the executor similarly), so gather the
+    # filtered rows eagerly and merge once on the driver — `parts` is
+    # already materialized, the gather is one distributed filter scan. If
+    # boundary rows ever outgrow driver memory (millions of blocks), swap
+    # in the unclustered lane's hash-partitioned merge.
+    batches = list(
+        parts.filter(expr="_boundary == True").iter_batches(
+            batch_size=65536, batch_format="pyarrow"
         )
     )
-    return interior.union(boundary)
+    if not batches:
+        return interior
+    import ray.data as rd
+
+    merged = R.merge_tiered(pa.concat_tables(batches), aggs=cfg.aggs)
+    return interior.union(rd.from_arrow(merged))
 
 
 def _run_boundary_mask(src, ts_us, coarse_w):
