@@ -288,7 +288,8 @@ def _run_boundary_mask(src, ts_us, coarse_w):
     return (bucket == first_b) | (bucket == last_b)
 
 
-def rollup_holistic_clustered_long(ds, cfg: RollupConfig):
+def rollup_holistic_clustered_long(ds, cfg: RollupConfig,
+                                   max_boundary_fraction: float = 0.35):
     """Holistic lane for event-time-clustered input.
 
     Two per-block passes (block formation is deterministic, so both passes
@@ -299,9 +300,35 @@ def rollup_holistic_clustered_long(ds, cfg: RollupConfig):
     hash-partition shuffle. The shuffle carries ~2 coarse buckets per
     (block, source) run instead of the whole table. The double read is the
     price of streaming both lanes without materializing a wide union
-    schema; reads are column-pruned to (source, ts, value)."""
+    schema; reads are column-pruned to (source, ts, value).
+
+    The win depends on runs being long relative to the COARSEST tier; when
+    files are so fragmented that most rows sit in run-edge coarse buckets
+    (measured 54% on a 200M-row corpus cut into 780k-row files), the
+    boundary shuffle degenerates into the full exchange plus overhead. A
+    cheap counting pre-pass measures the fraction and falls back to the
+    unclustered lane above `max_boundary_fraction` (pass None to skip the
+    probe)."""
     ordered = _tier_widths_ok(cfg.tiers)
     coarse_w = ordered[-1][1]
+
+    if max_boundary_fraction is not None:
+        import numpy as np
+
+        def frac(b: pa.Table) -> pa.Table:
+            src = np.asarray(b[cfg.source_col]).astype(str)
+            ts_us = R.ts_to_us(b[cfg.ts_col].combine_chunks())
+            m = _run_boundary_mask(src, ts_us, coarse_w)
+            return pa.table(
+                {"b": pa.array([int(m.sum())]), "n": pa.array([len(b)])}
+            )
+
+        agg = ds.select_columns([cfg.source_col, cfg.ts_col]).map_batches(
+            frac, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ).sum(["b", "n"])
+        total = agg["sum(n)"] or 1
+        if agg["sum(b)"] / total > max_boundary_fraction:
+            return rollup_holistic_long(ds, cfg)
     stage = R.HolisticRollup(
         source_col=cfg.source_col,
         ts_col=cfg.ts_col,
