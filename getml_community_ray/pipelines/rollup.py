@@ -289,7 +289,7 @@ def _run_boundary_mask(src, ts_us, coarse_w):
 
 
 def rollup_holistic_clustered_long(ds, cfg: RollupConfig,
-                                   max_boundary_fraction: float = 0.35):
+                                   max_boundary_fraction: float | None = None):
     """Holistic lane for event-time-clustered input.
 
     Two per-block passes (block formation is deterministic, so both passes
@@ -307,8 +307,11 @@ def rollup_holistic_clustered_long(ds, cfg: RollupConfig,
     (measured 54% on a 200M-row corpus cut into 780k-row files), the
     boundary shuffle degenerates into the full exchange plus overhead. A
     cheap counting pre-pass measures the fraction and falls back to the
-    unclustered lane above `max_boundary_fraction` (pass None to skip the
-    probe)."""
+    unclustered lane above `max_boundary_fraction` when set. The probe is
+    OPT-IN: on this corpus family the clustered lane still beat the full
+    shuffle at fractions as high as 0.7, so fraction alone under-predicts
+    its advantage — enable the probe (e.g. 0.6) for corpora whose file
+    run length is comparable to the coarsest tier."""
     ordered = _tier_widths_ok(cfg.tiers)
     coarse_w = ordered[-1][1]
 
