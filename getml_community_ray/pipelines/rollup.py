@@ -367,6 +367,11 @@ def rollup_holistic_clustered_long(ds, cfg: RollupConfig,
         interior_pass, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
+    # The boundary branch is MATERIALIZED before the union: a lazy union of
+    # two multi-operator branches stalls Ray's streaming executor at scale
+    # (139s + 19s branches ran >580s unioned at 200M rows; the decomposable
+    # lane hit the same pathology). Its size is bounded by the run-edge
+    # fraction of the corpus; the interior branch stays streaming.
     boundary = (
         ds.select_columns(cols)
         .map_batches(
@@ -377,7 +382,7 @@ def rollup_holistic_clustered_long(ds, cfg: RollupConfig,
         .map_groups(
             lambda t: stage(t.drop_columns(["_part"])), batch_format="pyarrow"
         )
-    )
+    ).materialize()
     return interior.union(boundary)
 
 
