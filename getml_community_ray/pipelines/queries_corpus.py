@@ -231,3 +231,17 @@ def q_tokens_passthrough(sf_dir: str):
 
 
 CORPUS_QUERIES["tokens_passthrough_sequences"] = q_tokens_passthrough
+
+
+def q_simhash_candidates(sf_dir: str):
+    """SimHash banded near-dup candidate pairs (pigeonhole-complete for
+    hamming <= 3); rows-only, pair semantics tested."""
+    from ..stages.dedup import simhash_candidates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_candidates(
+        ds, text_col="text", id_col="doc_id", max_hamming=10
+    )
+
+
+CORPUS_QUERIES["simhash_candidates_documents"] = q_simhash_candidates

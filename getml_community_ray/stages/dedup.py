@@ -482,3 +482,77 @@ def near_dedup_clusters(
     return ds.select_columns([id_col]).map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def simhash_candidates(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    shingle: int = 5,
+):
+    """SimHash near-dup pairs: 64-bit signatures -> 4x16-bit band buckets
+    (pigeonhole: any pair with hamming distance <= 3 shares at least one
+    exact band) -> exact hamming verify within buckets. Only (id, signature)
+    columns shuffle. Returns (id_a, id_b, hamming) with id_a < id_b."""
+    sigs = simhash_signatures(ds, text_col=text_col, id_col=id_col)
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["simhash"]).astype(np.uint64)
+        ids = np.asarray(b[id_col])
+        n = len(s)
+        band_ix, band_val, out_id, out_sig = [], [], [], []
+        for k in range(4):
+            band_ix.append(np.full(n, k, dtype=np.int64))
+            band_val.append(
+                ((s >> np.uint64(16 * k)) & np.uint64(0xFFFF)).astype(np.int64)
+            )
+            out_id.append(ids)
+            out_sig.append(s.astype(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(band_ix)),
+                "band_val": pa.array(np.concatenate(band_val)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "simhash": pa.array(np.concatenate(out_sig)),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col])
+        s = np.asarray(group["simhash"]).astype(np.uint64)
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        x = s[:, None] ^ s[None, :]
+        ham = np.zeros(x.shape, dtype=np.int64)
+        v = x.copy()
+        for _ in range(64):
+            ham += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+        ii, jj = np.nonzero((ham <= max_hamming) & (ids[:, None] < ids[None, :]))
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ii].astype(np.int64)),
+                "id_b": pa.array(ids[jj].astype(np.int64)),
+                "hamming": pa.array(ham[ii, jj]),
+            }
+        )
+
+    pairs = (
+        sigs.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "band_val"])
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Min
+
+    # dedupe pairs discovered via multiple bands
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )

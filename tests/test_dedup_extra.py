@@ -191,3 +191,36 @@ def test_near_dedup_clusters(ray_session):
     # canonical ids are cluster minima
     for _, r in out.iterrows():
         assert r.canonical_id <= r.doc_id
+
+
+def test_simhash_candidates(ray_session):
+    import ray.data as rd
+    from getml_community_ray.stages.dedup import (
+        simhash_candidates,
+        simhash_signatures,
+    )
+
+    df = _docs()
+    out = simhash_candidates(
+        rd.from_pandas(df), text_col="text", id_col="doc_id", max_hamming=12
+    ).to_pandas()
+    got = set(zip(out.id_a.astype(int), out.id_b.astype(int)))
+    # near-dup 'base + extra' pairs must surface
+    assert {(0, 1), (3, 4), (6, 7)} <= got
+    # verify reported hamming against signatures
+    sigs = dict(
+        zip(
+            *(
+                lambda d: (d.doc_id.astype(int), d.simhash.astype(np.int64))
+            )(
+                simhash_signatures(
+                    rd.from_pandas(df), text_col="text", id_col="doc_id"
+                ).to_pandas()
+            )
+        )
+    )
+    for _, r in out.iterrows():
+        want = bin(
+            np.uint64(sigs[int(r.id_a)]) ^ np.uint64(sigs[int(r.id_b)])
+        ).count("1")
+        assert int(r.hamming) == want
