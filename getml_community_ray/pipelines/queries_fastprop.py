@@ -713,3 +713,62 @@ FROM s JOIN fm ON fm.source = s.source AND fm.bucket_ts = s.bucket_ts
 
 FASTPROP_QUERIES["rollup_1h_time_stats"] = q_rollup_1h_time_stats
 FASTPROP_ORACLE_SQL["rollup_1h_time_stats"] = SQL_ROLLUP_1H_TIME_STATS
+
+
+def q_rollup_1h_multimetric(sf_dir: str):
+    """Multi-value-column rollup: ONE grouping pass computes metrics over
+    both `value` (median, cents-exact) and `user_id` (count_distinct) per
+    (source, hour)."""
+    from .rollup import RollupConfig, rollup_holistic
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id", "value"]
+    )
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+                "cents": pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                "uid": b["user_id"].cast(pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cfg = RollupConfig(
+        source_col="event_type",
+        ts_col="ts",
+        value_col=["cents", "uid"],
+        tiers={"1h": 3600},
+        aggs=["median", "count_distinct"],
+        num_partitions=16,
+    )
+    out = rollup_holistic(ds, cfg)["1h"]
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": b["bucket_ts"],
+                "value_median": pc.divide(b["cents__median"], 100.0),
+                "n_users": b["uid__count_distinct"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ROLLUP_1H_MULTI = """
+SELECT event_type AS source,
+       date_trunc('hour', ts) AS bucket_ts,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0
+           AS value_median,
+       CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+FASTPROP_QUERIES["rollup_1h_multimetric"] = q_rollup_1h_multimetric
+FASTPROP_ORACLE_SQL["rollup_1h_multimetric"] = SQL_ROLLUP_1H_MULTI

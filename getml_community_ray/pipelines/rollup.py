@@ -143,7 +143,7 @@ def rollup_holistic_long(ds, cfg: RollupConfig):
     )
 
     parted = ds.select_columns(
-        [cfg.source_col, cfg.ts_col, cfg.value_col]
+        [cfg.source_col, cfg.ts_col] + (list(cfg.value_col) if isinstance(cfg.value_col, (list, tuple)) else [cfg.value_col])
     ).map_batches(
         lambda b: R.assign_partition(
             b,
@@ -224,7 +224,7 @@ def rollup_decomposable_clustered_long(ds, cfg: RollupConfig):
     need_fl = "first" in cfg.aggs or "last" in cfg.aggs
 
     parts = ds.select_columns(
-        [cfg.source_col, cfg.ts_col, cfg.value_col]
+        [cfg.source_col, cfg.ts_col] + (list(cfg.value_col) if isinstance(cfg.value_col, (list, tuple)) else [cfg.value_col])
     ).map_batches(
         lambda b: R.tiered_partials_clustered(
             b,
@@ -339,7 +339,7 @@ def rollup_holistic_clustered_long(ds, cfg: RollupConfig,
         tiers=dict(ordered),
         aggs=cfg.aggs,
     )
-    cols = [cfg.source_col, cfg.ts_col, cfg.value_col]
+    cols = [cfg.source_col, cfg.ts_col] + (list(cfg.value_col) if isinstance(cfg.value_col, (list, tuple)) else [cfg.value_col])
 
     def interior_pass(b: pa.Table) -> pa.Table:
         import numpy as np

@@ -392,7 +392,19 @@ class HolisticRollup:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ts_us = ts_to_us(batch[self.ts_col].combine_chunks())
-        v = np.asarray(batch[self.value_col].combine_chunks(), dtype=np.float64)
+        # value_col may be one column or a list — multi-metric rollups share
+        # one grouping/sort pass; agg columns are prefixed `<col>__<agg>`
+        # when multiple.
+        vcols = (
+            self.value_col
+            if isinstance(self.value_col, (list, tuple))
+            else [self.value_col]
+        )
+        multi = len(vcols) > 1
+        vs = {
+            c: np.asarray(batch[c].combine_chunks(), dtype=np.float64)
+            for c in vcols
+        }
         src = np.asarray(batch[self.source_col]).astype(str)
 
         uniq_src, src_ix = np.unique(src, return_inverse=True)
@@ -406,21 +418,25 @@ class HolisticRollup:
             uniq_key, gid = np.unique(key, return_inverse=True)
             G = len(uniq_key)
 
-            order = np.lexsort((v, ts_us, gid))
-            g_s, t_s, v_s = gid[order], ts_us[order] / US, v[order]
+            tie = vs[vcols[0]]
+            order = np.lexsort((tie, ts_us, gid))
+            g_s, t_s = gid[order], ts_us[order] / US
 
             g_src = (uniq_key // span).astype(np.int64)
             g_bucket = uniq_key % span + bmin
             t_out = ((g_bucket + 1) * width_us) / US  # bucket END drives dt
 
-            res = grouped_aggregate(self.aggs, g_s, v_s, G, t_s, t_out)
             cols: dict[str, pa.Array] = {
                 "tier": pa.array([tier_name] * G, type=pa.string()),
                 "source": pa.array(uniq_src[g_src], type=pa.string()),
                 "bucket_ts": pa.array(g_bucket * width_us).cast(pa.timestamp("us")),
             }
-            for a in self.aggs:
-                cols[a] = pa.array(res[a])
+            for c in vcols:
+                res = grouped_aggregate(
+                    self.aggs, g_s, vs[c][order], G, t_s, t_out
+                )
+                for a in self.aggs:
+                    cols[f"{c}__{a}" if multi else a] = pa.array(res[a])
             out_tables.append(pa.table(cols))
 
         out = pa.concat_tables(out_tables)
