@@ -33,16 +33,29 @@ US = 1_000_000
 
 
 def infer_period_us(ts_us: np.ndarray) -> int:
-    """Median of consecutive deltas, rounded to whole seconds (grid periods
-    are integral seconds in this corpus); falls back to the raw median when
-    sub-second."""
+    """Sparse-robust period estimator.
+
+    The median of consecutive deltas fails when >50% of grid ticks are
+    unobserved (the median delta is then a *multiple* of the true period and
+    the grid comes out too coarse). Instead, anchor on the smallest positive
+    delta m (any two adjacent observed ticks yield exactly one period, up to
+    <0.5% jitter), snap every delta to its implied multiple k = round(d/m),
+    and take the median of the per-delta base estimates d/k — this averages
+    the jitter back out while being immune to arbitrarily sparse gaps.
+    Rounded to whole seconds when >= 1s (grid periods are integral seconds
+    in this corpus)."""
     if len(ts_us) < 2:
         return 0
-    d = np.diff(ts_us)
-    med = float(np.median(d))
-    if med >= US:
-        return int(round(med / US)) * US
-    return int(round(med))
+    d = np.diff(ts_us).astype(np.float64)
+    d = d[d > 0]
+    if len(d) == 0:
+        return 0
+    m = float(d.min())
+    k = np.maximum(np.rint(d / m), 1.0)
+    est = float(np.median(d / k))
+    if est >= US:
+        return int(round(est / US)) * US
+    return int(round(est))
 
 
 def gapfill_group(

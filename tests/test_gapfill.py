@@ -34,6 +34,39 @@ def test_gapfill_group_basic():
     np.testing.assert_array_equal(lin[~filled], v)
 
 
+def test_gapfill_sparse_series():
+    """>50% of ticks unobserved (the sf0.001 regime): the median delta is a
+    multiple of the true period, so a median-based estimator builds a coarser
+    grid. The min-delta-anchored estimator must still recover the base
+    period — regression for the verified sf0.001 wrong answer."""
+    period = 3600 * US  # hourly grid
+    rng = np.random.default_rng(7)
+    ks = np.flatnonzero(rng.random(400) < 0.35)  # ~65% of ticks missing
+    # make sure at least one adjacent pair exists
+    ks = np.union1d(ks, [10, 11])
+    t0 = 1_700_000_000 * US
+    ts = t0 + ks.astype(np.int64) * period
+    assert np.median(np.diff(ts)) > period  # the old estimator's failure mode
+    assert infer_period_us(ts) == period
+
+    v = rng.normal(size=len(ks))
+    gts, ff, lin, filled = gapfill_group(ts, v)
+    assert len(gts) == ks[-1] - ks[0] + 1
+    assert filled.sum() == len(gts) - len(ks)
+    np.testing.assert_array_equal(ff[~filled], v)
+
+
+def test_gapfill_sparse_with_jitter():
+    """Sparse grid + <0.5% jitter: per-delta base estimates d/round(d/min)
+    still median out to the true period."""
+    period = 60 * US
+    rng = np.random.default_rng(13)
+    ks = np.union1d(np.flatnonzero(rng.random(300) < 0.4), [5, 6])
+    jitter = rng.integers(-period // 250, period // 250, size=len(ks))
+    ts = 1_600_000_000 * US + ks.astype(np.int64) * period + jitter
+    assert infer_period_us(ts) == period
+
+
 def test_gapfiller_stage_on_synthetic_corpus():
     from getml_community_ray.sources.synth import generate_shard
 
