@@ -186,10 +186,20 @@ def with_columns(ds, exprs: dict[str, Callable], batch_format: str = "pyarrow"):
 
 
 def arange_dataset(start: float, stop: float, step: float = 1.0):
-    """FloatColumn.arange analog (FloatOpParser.cpp:22-62) as a Dataset."""
+    """FloatColumn.arange analog (FloatOpParser.cpp:22-62) as a Dataset.
+
+    Row count matches the reference exactly: (stop-start)/step rows when the
+    span divides evenly, +1 otherwise (FloatOpParser.cpp:56-59) — i.e. ceil
+    semantics, half-open [start, stop)."""
+    import math
+
     import ray.data as rd
 
-    n = max(0, int((stop - start) / step))
+    if step == 0.0:
+        raise ValueError("arange: step cannot be zero.")
+    if (stop - start) * step < 0.0:
+        raise ValueError("arange: stop - start must have the same sign as step.")
+    n = max(0, math.ceil((stop - start) / step))
     return rd.range(n).map_batches(
         lambda b: pa.table(
             {"value": pc.add(pc.multiply(pc.cast(b["id"], pa.float64()), step), start)}

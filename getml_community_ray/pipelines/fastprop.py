@@ -113,7 +113,7 @@ class _PartitionKernel:
             peri = t.filter(pa.array(side == 1))
         n_pop = len(pop)
         if n_pop == 0:
-            return self._empty()
+            return self._empty(t.schema)
 
         pop_key = np.asarray(pop[spec.key_col])
         peri_key = np.asarray(peri[spec.key_col])
@@ -138,13 +138,19 @@ class _PartitionKernel:
         peri_g, peri_ts = peri_g[peri_order], peri_ts[peri_order]
         vals = {c: v[peri_order] for c, v in vals.items()}
 
-        # packed (group, relative-ts) composite for global searchsorted
+        # packed (group, time-RANK) composite for global searchsorted.
+        # Packing raw microsecond offsets overflows int64 when
+        # groups x time-span approaches 2^63 (~30k keys over a 10-year
+        # span); ranks are bounded by the partition's distinct-timestamp
+        # count, so groups x (ranks+1) < n^2 < 2^63 for any feasible
+        # partition. Rank monotonicity preserves the window semantics:
+        # rel >= q  <=>  rank(rel) >= searchsorted(R, q, 'left').
         t0 = int(min(peri_ts.min(), pop_ts.min())) if len(peri_ts) else int(pop_ts.min())
-        max_low = max(int(w[1] * US) for w in spec.windows())
         rel_peri = peri_ts - t0
         rel_pop = pop_ts - t0
-        span = int(max(rel_peri.max() if len(rel_peri) else 0, rel_pop.max())) + max_low + 2
-        comp = peri_g * span + rel_peri
+        time_ranks = np.unique(rel_peri)
+        spanr = len(time_ranks) + 1
+        comp = peri_g * spanr + np.searchsorted(time_ranks, rel_peri)
 
         out_cols: dict[str, pa.Array] = {}
         for c in spec.id_cols:
@@ -178,10 +184,12 @@ class _PartitionKernel:
             }
 
         for suffix, low_s, up_s in spec.windows():
-            lo_t = np.maximum(rel_pop - int(low_s * US) + 1, 0)  # exclusive lower
-            hi_t = np.maximum(rel_pop - int(up_s * US) + 1, 0)  # inclusive upper
-            lo = np.searchsorted(comp, pop_g * span + lo_t, side="left")
-            hi = np.searchsorted(comp, pop_g * span + hi_t, side="left")
+            lo_t = rel_pop - int(low_s * US) + 1  # exclusive lower
+            hi_t = rel_pop - int(up_s * US) + 1  # inclusive upper
+            lo_r = np.searchsorted(time_ranks, lo_t, side="left")
+            hi_r = np.searchsorted(time_ranks, hi_t, side="left")
+            lo = np.searchsorted(comp, pop_g * spanr + lo_r, side="left")
+            hi = np.searchsorted(comp, pop_g * spanr + hi_r, side="left")
             if prefix_aggs:
                 for c in spec.value_cols:
                     wcnt = (pccnt[c][hi] - pccnt[c][lo]).astype(np.float64)
@@ -226,13 +234,16 @@ class _PartitionKernel:
                     ordered_cols[name] = out_cols[name]
         return pa.table(ordered_cols)
 
-    def _empty(self) -> pa.Table:
+    def _empty(self, schema: pa.Schema) -> pa.Table:
+        """Empty output block with types derived from the partition's input
+        schema — a partition holding only peripheral rows must still union
+        cleanly with non-empty blocks (string keys, non-us timestamps)."""
         spec = self.spec
         cols: dict[str, pa.Array] = {}
         for c in spec.id_cols:
-            cols[c] = pa.array([], type=pa.int64())
-        cols[spec.key_col] = pa.array([], type=pa.int64())
-        cols[spec.pop_ts_col] = pa.array([], type=pa.timestamp("us"))
+            cols[c] = pa.array([], type=schema.field(c).type)
+        cols[spec.key_col] = pa.array([], type=schema.field(spec.key_col).type)
+        cols[spec.pop_ts_col] = pa.array([], type=schema.field("_ts").type)
         for suffix, _, _ in spec.windows():
             for c in spec.value_cols:
                 for agg in spec.aggs:
@@ -265,11 +276,20 @@ def fastprop_features(population_ds, peripheral_ds, spec: FastPropSpec):
         cols["_part"] = pa.array(_hash_part(k, spec.num_partitions))
         return pa.table(cols)
 
+    # id-column null lanes on the peripheral side must carry the population
+    # side's exact types or the union fails schema merge (e.g. string ids)
+    try:
+        _pop_schema = population_ds.schema()
+        _pop_pa = getattr(_pop_schema, "base_schema", _pop_schema)
+        id_types = {c: _pop_pa.field(c).type for c in spec.id_cols}
+    except Exception:  # schema unavailable pre-execution: keep legacy default
+        id_types = {c: pa.int64() for c in spec.id_cols}
+
     def tag_peri(b: pa.Table) -> pa.Table:
         k = np.asarray(b[spec.key_col])
         cols = {}
         for c in spec.id_cols:
-            cols[c] = pa.nulls(len(b), pa.int64())
+            cols[c] = pa.nulls(len(b), id_types[c])
         cols[spec.key_col] = b[spec.key_col]
         cols["_ts"] = b[spec.peri_ts_col]
         for c in spec.value_cols:

@@ -429,7 +429,7 @@ def q_arange(sf_dir: str):
 
 SQL_ARANGE = """
 SELECT 2.5 + CAST(g AS DOUBLE) * 3.25 AS value
-FROM generate_series(0, CAST(floor((1000.0 - 2.5) / 3.25) AS BIGINT) - 1) t(g)
+FROM generate_series(0, CAST(ceil((1000.0 - 2.5) / 3.25) AS BIGINT) - 1) t(g)
 """
 
 

@@ -204,13 +204,30 @@ def rollup(ds, cfg: RollupConfig) -> dict[str, "object"]:
 # is why combine_batch_size is deliberately NOT applied here; the combine
 # ratio is governed by the reader's block size
 # (DataContext.target_max_block_size / read parallelism) instead.
-# Within-run ts-monotonicity is validated per batch; violations raise.
-# Degradation is graceful: the less clustered the input, the more groups
-# land at run edges and flow through the (always-correct) merge shuffle —
-# worst case equals the unclustered lane, never a wrong result.
+# Within-run ts-monotonicity AND same-source cross-run non-overlap are
+# validated per batch; violations raise.
+#
+# CROSS-FILE PRECONDITION (not checkable from inside a batch): the input
+# FILES' event-time ranges must be pairwise non-overlapping. A late or
+# re-emitted shard covering time already present in another file would let
+# two blocks each finalize the shared (source, bucket) as "interior" and
+# silently double-emit it. Callers that know the file list should pass it
+# as `source_paths=` — the lane then checks parquet row-group statistics
+# (footers only, no data read: R.clustered_files_nonoverlapping) and falls
+# back to the always-correct unclustered lane on overlap or missing stats.
+# With that guard in place degradation is graceful: the less clustered the
+# input, the more groups land at run edges and flow through the merge
+# shuffle — worst case equals the unclustered lane, never a wrong result.
 
 
-def rollup_decomposable_clustered_long(ds, cfg: RollupConfig):
+def _clustered_precondition_ok(source_paths, cfg: RollupConfig) -> bool:
+    if source_paths is None:
+        return True  # caller vouches for the layout (documented contract)
+    return R.clustered_files_nonoverlapping(list(source_paths), ts_col=cfg.ts_col)
+
+
+def rollup_decomposable_clustered_long(ds, cfg: RollupConfig,
+                                       source_paths: list[str] | None = None):
     """Decomposable lane for event-time-clustered input (the layout of
     time-partitioned Parquet lakes and of sources/synth.py shards).
 
@@ -220,6 +237,8 @@ def rollup_decomposable_clustered_long(ds, cfg: RollupConfig):
     exchange volume drops from O(all partial rows) to O(blocks x tiers):
     measured at 60M rows this removes a ~30s CPU-count-insensitive shuffle
     entirely, making the lane scale like the pure map it now is."""
+    if not _clustered_precondition_ok(source_paths, cfg):
+        return rollup_decomposable_long(ds, cfg)
     ordered = _tier_widths_ok(cfg.tiers)
     need_fl = "first" in cfg.aggs or "last" in cfg.aggs
 
@@ -289,7 +308,8 @@ def _run_boundary_mask(src, ts_us, coarse_w):
 
 
 def rollup_holistic_clustered_long(ds, cfg: RollupConfig,
-                                   max_boundary_fraction: float | None = None):
+                                   max_boundary_fraction: float | None = None,
+                                   source_paths: list[str] | None = None):
     """Holistic lane for event-time-clustered input.
 
     Two per-block passes (block formation is deterministic, so both passes
@@ -312,6 +332,8 @@ def rollup_holistic_clustered_long(ds, cfg: RollupConfig,
     shuffle at fractions as high as 0.7, so fraction alone under-predicts
     its advantage — enable the probe (e.g. 0.6) for corpora whose file
     run length is comparable to the coarsest tier."""
+    if not _clustered_precondition_ok(source_paths, cfg):
+        return rollup_holistic_long(ds, cfg)
     ordered = _tier_widths_ok(cfg.tiers)
     coarse_w = ordered[-1][1]
 

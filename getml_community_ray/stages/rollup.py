@@ -455,6 +455,41 @@ def decomposable_only(aggs: list[str]) -> bool:
 # clustered (event-time-local) lane: shuffle ONLY boundary buckets
 # ---------------------------------------------------------------------------
 
+def clustered_files_nonoverlapping(paths: list[str], *, ts_col: str) -> bool:
+    """Cheap footer-only precondition check for the clustered lanes: the
+    per-file (source-agnostic) event-time ranges must be pairwise
+    non-overlapping (touching endpoints allowed). A late/re-emitted shard
+    whose range overlaps an existing file's range can make two blocks each
+    classify a shared (source, bucket) as interior and double-emit it —
+    this guard detects that from parquet row-group statistics alone (no
+    data read) so callers can fall back to the unclustered lane.
+
+    Returns False (i.e. "not safe") when any file lacks ts statistics."""
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        try:
+            ci = md.schema.to_arrow_schema().get_field_index(ts_col)
+        except Exception:
+            return False
+        if ci < 0:
+            return False
+        mn, mx = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return False
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if mn is None:
+            continue  # empty file: no rows, cannot overlap
+        ranges.append((mn, mx))
+    ranges.sort()
+    return all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:]))
+
+
 def _validate_clustered(src: np.ndarray, ts_us: np.ndarray) -> None:
     """Raise unless the batch is event-time clustered: rows grouped into
     contiguous per-source runs, ts non-decreasing within each run, and a
@@ -472,6 +507,23 @@ def _validate_clustered(src: np.ndarray, ts_us: np.ndarray) -> None:
             "clustered rollup requires ts-monotonic rows within each source "
             "run; use the unclustered lane for unsorted input"
         )
+    # cross-run check: when one source appears in several runs of the SAME
+    # batch, their time ranges must not overlap — otherwise both fragments
+    # can classify a shared bucket as interior and double-emit it. Runs per
+    # batch are few (O(sources)), so this is cheap.
+    run_starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    run_ends = np.append(run_starts[1:], len(src))
+    run_src = src[run_starts]
+    if len(run_src) != len(np.unique(run_src)):
+        first_ts, last_ts = ts_us[run_starts], ts_us[run_ends - 1]
+        order = np.argsort(run_src, kind="stable")
+        same = run_src[order][1:] == run_src[order][:-1]
+        overlap = first_ts[order][1:] < last_ts[order][:-1]
+        if (same & overlap).any():
+            raise ValueError(
+                "clustered rollup: a source's runs within one batch overlap "
+                "in time; use the unclustered lane for this layout"
+            )
 
 
 def tiered_partials_clustered(

@@ -145,3 +145,70 @@ def test_clustered_single_source_and_tiny(ray_session, tmp_path_factory):
     at = _sorted_df(rollup_decomposable_long(rd.from_pandas(tiny), cfg))
     bt = _sorted_df(rollup_decomposable_clustered_long(rd.from_pandas(tiny), cfg))
     assert len(at) == len(bt) == 3 * 1  # 3 tiers x 1 bucket each
+
+
+def test_file_overlap_guard(ray_session, tmp_path_factory):
+    """An overlapping (late/re-emitted) shard must trip the footer-stats
+    guard; with source_paths passed, the lane falls back to the unclustered
+    merge and the result stays exact."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from getml_community_ray.stages.rollup import clustered_files_nonoverlapping
+
+    d = str(tmp_path_factory.mktemp("overlap"))
+    t0 = 1_700_000_000_000_000
+    n = 4000
+
+    def shard(offset_us, path):
+        ts = (t0 + offset_us + np.arange(n, dtype=np.int64) * 5_000_000)
+        tbl = pa.table(
+            {
+                "source": pa.array(np.repeat("s0", n)),
+                "event_ts": pa.array(ts).cast(pa.timestamp("us")),
+                "n_tok": pa.array((np.arange(n) % 90 + 8).astype(np.int32)),
+            }
+        )
+        pq.write_table(tbl, path, row_group_size=2000)
+
+    a, b = os.path.join(d, "a.parquet"), os.path.join(d, "b.parquet")
+    shard(0, a)
+    shard(n * 5_000_000 // 2, b)  # second shard overlaps the first's tail
+    assert not clustered_files_nonoverlapping([a, b], ts_col="event_ts")
+
+    # disjoint shards pass the guard
+    c = os.path.join(d, "c.parquet")
+    shard(n * 5_000_000 + 1, c)
+    assert clustered_files_nonoverlapping([a, c], ts_col="event_ts")
+
+    cfg = RollupConfig(retention={}, num_partitions=4, cache_intermediates=False)
+    read = lambda: rd.read_parquet([a, b])  # noqa: E731
+    want = _sorted_df(rollup_decomposable_long(read(), cfg))
+    got = _sorted_df(
+        rollup_decomposable_clustered_long(read(), cfg, source_paths=[a, b])
+    )
+    assert len(want) == len(got)
+    for col in want.columns:
+        av, bv = want[col].to_numpy(), got[col].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.allclose(av, bv, rtol=0, atol=0, equal_nan=True), col
+        else:
+            assert (av == bv).all(), col
+
+
+def test_validate_rejects_overlapping_runs_same_batch():
+    """Two time-overlapping runs of one source inside a single batch must
+    raise instead of double-emitting interior buckets."""
+    from getml_community_ray.stages.rollup import _validate_clustered
+
+    ts = np.array([0, 10, 20, 5, 6, 7, 15, 25], dtype=np.int64) * 10**6
+    src = np.array(["a", "a", "a", "b", "b", "a", "a", "a"])
+    with pytest.raises(ValueError, match="overlap"):
+        _validate_clustered(src, ts)
+
+    # non-overlapping split runs are fine
+    ts2 = np.array([0, 10, 20, 5, 6, 30, 40, 50], dtype=np.int64) * 10**6
+    _validate_clustered(src, ts2)
