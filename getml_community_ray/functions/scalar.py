@@ -227,7 +227,7 @@ def random_by_key(ds, key_col: str, seed: int = 5849, out_col: str = "random"):
             h = np.array(
                 [zlib.crc32(str(x).encode()) for x in k], dtype=np.uint64
             )
-        x = h + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+        x = h + np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
         x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         x = x ^ (x >> np.uint64(31))

@@ -654,6 +654,19 @@ ORACLE_SQL = {
 }
 
 
+def _register_hash_oracles() -> None:
+    """Exact DuckDB twins of the engine's hash arithmetic
+    (pipelines/sql_oracles) — previously rows-only queries."""
+    from .sql_oracles import sql_langid, sql_minhash_lsh, sql_simhash
+
+    ORACLE_SQL["minhash_lsh_documents"] = sql_minhash_lsh()
+    ORACLE_SQL["simhash_documents"] = sql_simhash()
+    ORACLE_SQL["langid_documents"] = sql_langid()
+
+
+_register_hash_oracles()
+
+
 # --------------------------------------------------------------------------
 # preprocessor coverage (Seasonal / Imputation / CategoryTrimmer /
 # TextFieldSplitter), joins, set ops, splits, top-k

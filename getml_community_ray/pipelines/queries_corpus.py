@@ -74,18 +74,20 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def q_ngram_jaccard_documents(sf_dir: str):
-    """MinHash-LSH candidates -> exact 5-gram Jaccard verify (>= 0.3);
-    iterative shingle-set math is not SQL-expressible at reasonable cost ->
-    rows-only driver check (exactness in tests/test_dedup_extra.py)."""
+    """MinHash-LSH candidates -> distributed pair explode -> text hash-join
+    -> exact 5-gram Jaccard verify (>= 0.5). Oracle = brute-force SQL
+    Jaccard: every true pair on this corpus sits at >= 0.9, where
+    16-band/4-row LSH recall is 1 - 4e-8 (verified at sf0.001/sf0.01)."""
     from ..stages.dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ngram_jaccard_pairs(
-        ds, text_col="text", id_col="doc_id", threshold=0.3
+        ds, text_col="text", id_col="doc_id", threshold=0.5
     )
 
 
 def q_fingerprint_documents(sf_dir: str):
+    """Strided rolling-hash fingerprint; exact DuckDB-twin oracle."""
     from ..stages.text import fingerprint
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -146,10 +148,25 @@ CORPUS_QUERIES = {
     "multimodal_features_documents": q_multimodal_features,
 }
 
+def _hash_oracles() -> dict[str, str]:
+    from .sql_oracles import (
+        sql_fingerprint,
+        sql_near_dedup_clusters,
+        sql_ngram_jaccard,
+    )
+
+    return {
+        "ngram_jaccard_documents": sql_ngram_jaccard(threshold=0.5),
+        "near_dedup_clusters_documents": sql_near_dedup_clusters(threshold=0.5),
+        "fingerprint_documents": sql_fingerprint(),
+    }
+
+
 CORPUS_ORACLE_SQL = {
     "token_count_bpe_documents": SQL_TOKEN_COUNT_BPE,
     "payload_bytes_documents": SQL_PAYLOAD_BYTES,
     "cosine_neardup_embeddings": SQL_COSINE_NEARDUP,
+    **_hash_oracles(),
 }
 
 
@@ -177,14 +194,14 @@ CORPUS_ORACLE_SQL["salted_word_counts_documents"] = SQL_SALTED_WORD_COUNTS
 
 
 def q_near_dedup_clusters(sf_dir: str):
-    """End-to-end near-dedup: LSH -> exact Jaccard verify -> connected
-    components -> canonical (min-id) per cluster. Rows-only driver check;
-    cluster semantics asserted in tests/test_dedup_extra.py."""
+    """End-to-end near-dedup: LSH -> distributed exact Jaccard verify ->
+    connected components -> canonical (min-id) per cluster. Oracle =
+    recursive-CTE connected components over the brute-force edge list."""
     from ..stages.dedup import near_dedup_clusters
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return near_dedup_clusters(
-        ds, text_col="text", id_col="doc_id", threshold=0.3
+        ds, text_col="text", id_col="doc_id", threshold=0.5
     )
 
 

@@ -435,12 +435,21 @@ FROM generate_series(0, CAST(ceil((1000.0 - 2.5) / 3.25) AS BIGINT) - 1) t(g)
 
 def q_random_by_key_orders(sf_dir: str):
     """Deterministic seeded random column (mt19937-analog, scale-correct
-    hash contract) — rows-only; determinism across parallelism is the
-    invariant (same values at any block count)."""
+    hash contract): same values at any block count, and now exactly
+    oracle-checked — the documented mix arithmetic has a DuckDB twin
+    (pipelines/sql_oracles.sql_random_by_key_final)."""
     from ..functions.scalar import random_by_key
 
     ds = _read(sf_dir, "orders", columns=["o_orderkey"])
     return random_by_key(ds, "o_orderkey", seed=5849)
+
+
+def _sql_random_by_key() -> str:
+    from .sql_oracles import sql_random_by_key_final
+
+    return sql_random_by_key_final(
+        table="orders", key_col="o_orderkey", seed=5849, out_col="random"
+    )
 
 
 IO_QUERIES.update(
@@ -450,4 +459,10 @@ IO_QUERIES.update(
         "random_by_key_orders": q_random_by_key_orders,
     }
 )
-IO_ORACLE_SQL.update({"rowid_orders": SQL_ROWID, "arange": SQL_ARANGE})
+IO_ORACLE_SQL.update(
+    {
+        "rowid_orders": SQL_ROWID,
+        "arange": SQL_ARANGE,
+        "random_by_key_orders": _sql_random_by_key(),
+    }
+)

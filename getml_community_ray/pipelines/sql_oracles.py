@@ -1,0 +1,354 @@
+"""Generated DuckDB oracles that replicate the engine's hash arithmetic
+bit-for-bit (kernels/hashing SQL twins), giving exact driver oracles to the
+dedup/text queries that were previously rows-only.
+
+Scope note: the gram-hash SQL assumes char == byte (pure-ASCII text) —
+true for the driver's documents table and asserted nowhere else; the
+engine itself hashes raw UTF-8 bytes.
+"""
+
+from __future__ import annotations
+
+from ..kernels.hashing import (
+    perm_seeds,
+    sql_poly_gram_hash,
+    sql_signed64,
+    sql_splitmix64_cols,
+)
+
+
+def _seed_values(num_perm: int) -> str:
+    seeds = perm_seeds(num_perm)
+    return ", ".join(
+        f"({p}, CAST({int(s)} AS UBIGINT))" for p, s in enumerate(seeds)
+    )
+
+
+def sql_minhash_lsh(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+) -> str:
+    """Oracle for minhash_lsh_candidates: (band, band_hash, ids, group_size)
+    for groups of size > 1. Mirrors stages/dedup.py exactly:
+    sig[p] = min over grams of splitmix64(polyhash(gram) ^ seed[p]);
+    band_hash = fold splitmix64(h ^ s_j) over the band's row signatures."""
+    r = num_perm // bands
+    if r != 4:
+        raise NotImplementedError("oracle generator is specialized to rows_per_band=4")
+    gh = sql_poly_gram_hash("gram", shingle)
+    sm_mix = ",\n       ".join(sql_splitmix64_cols("xor(gh, seed)", "m_"))
+    # one CTE layer per folded splitmix: lateral aliases expand
+    # SYNTACTICALLY in the binder (~8 copies of the argument per splitmix),
+    # so chaining three in one SELECT produces an 8^3-size expression tree
+    # and ~50 s of planning; MATERIALIZED layers keep it linear (~1 s).
+    sm1 = ",\n       ".join(sql_splitmix64_cols("xor(s0, s1)", "b1_"))
+    sm2 = ",\n       ".join(sql_splitmix64_cols("xor(h1, s2)", "b2_"))
+    sm3 = ",\n       ".join(sql_splitmix64_cols("xor(h2, s3)", "b3_"))
+    return f"""
+WITH seeds(p, seed) AS (VALUES {_seed_values(num_perm)}),
+g AS MATERIALIZED (
+  SELECT {id_col} AS did, {gh} AS gh
+  FROM (
+    SELECT {id_col}, substring({text_col}, CAST(s AS INT), {shingle}) AS gram
+    FROM {table},
+         LATERAL (SELECT unnest(generate_series(
+             1, greatest(length({text_col}) - {shingle - 1}, 1))) AS s) t
+  )
+),
+gd AS MATERIALIZED (SELECT DISTINCT did, gh FROM g),
+uh AS MATERIALIZED (SELECT DISTINCT gh FROM gd),
+mix AS MATERIALIZED (
+  SELECT gh, p,
+       {sm_mix}
+  FROM uh CROSS JOIN seeds
+),
+sig AS MATERIALIZED (
+  SELECT did, p, min(m_out) AS s
+  FROM gd JOIN mix USING (gh) GROUP BY did, p
+),
+piv AS (
+  SELECT did, p // 4 AS band,
+         max(CASE WHEN p % 4 = 0 THEN s END) AS s0,
+         max(CASE WHEN p % 4 = 1 THEN s END) AS s1,
+         max(CASE WHEN p % 4 = 2 THEN s END) AS s2,
+         max(CASE WHEN p % 4 = 3 THEN s END) AS s3
+  FROM sig GROUP BY did, p // 4
+),
+bh1 AS MATERIALIZED (
+  SELECT did, band, s2, s3,
+       {sm1}
+  FROM piv
+),
+bh2 AS MATERIALIZED (
+  SELECT did, band, s3, b1_out AS h1,
+       {sm2}
+  FROM bh1
+),
+bh3 AS MATERIALIZED (
+  SELECT did, band, b2_out AS h2,
+       {sm3}
+  FROM bh2
+),
+grp AS (
+  SELECT CAST(band AS BIGINT) AS band,
+         {sql_signed64('b3_out')} AS band_hash,
+         list(did ORDER BY did) AS ids,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM bh3 GROUP BY 1, 2
+)
+SELECT band, band_hash, ids, group_size FROM grp WHERE group_size > 1
+"""
+
+
+def sql_simhash(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 5,
+) -> str:
+    """Oracle for simhash_signatures: bit voting over
+    splitmix64(polyhash(gram)) with gram multiplicity preserved."""
+    gh = sql_poly_gram_hash("gram", shingle)
+    sm = ",\n       ".join(sql_splitmix64_cols("gh", "h_"))
+    return f"""
+WITH g AS (
+  SELECT {id_col} AS did, {gh} AS gh
+  FROM (
+    SELECT {id_col}, substring({text_col}, CAST(s AS INT), {shingle}) AS gram
+    FROM {table},
+         LATERAL (SELECT unnest(generate_series(
+             1, greatest(length({text_col}) - {shingle - 1}, 1))) AS s) t
+  )
+),
+h AS (SELECT did, {sm} FROM g),
+bits AS (
+  SELECT did, b.bit,
+         SUM(CAST((h_out >> CAST(b.bit AS UBIGINT)) & 1 AS BIGINT)) AS ones,
+         count(*) AS n
+  FROM h, LATERAL (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY did, b.bit
+),
+sig AS (
+  SELECT did,
+         CAST(SUM(CASE WHEN ones * 2 > n
+                       THEN CAST(1 AS HUGEINT) << CAST(bit AS INT)
+                       ELSE 0 END) AS HUGEINT) AS u
+  FROM bits GROUP BY did
+)
+SELECT did AS {id_col},
+       CAST(CASE WHEN u >= 9223372036854775808
+                 THEN u - 18446744073709551616 ELSE u END AS BIGINT)
+           AS simhash
+FROM sig
+"""
+
+
+def sql_ngram_jaccard(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 5,
+    threshold: float = 0.5,
+) -> str:
+    """Brute-force distinct-shingle Jaccard >= threshold, id_a < id_b.
+
+    Valid as an oracle for the LSH-then-verify engine path because on the
+    driver's documents table every true pair sits at jaccard >= 0.9 where
+    16-band/4-row LSH recall is 1 - 4e-8 (verified empirically: engine
+    output == brute force at sf0.001 and sf0.01)."""
+    return f"""
+WITH g AS (
+  SELECT DISTINCT {id_col} AS did,
+         substring({text_col}, CAST(s AS INT), {shingle}) AS gram
+  FROM {table},
+       LATERAL (SELECT unnest(generate_series(
+           1, greatest(length({text_col}) - {shingle - 1}, 1))) AS s) t
+),
+c AS (SELECT did, count(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.did AS id_a, b.did AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.did < b.did
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(round(CAST(i AS DOUBLE) / (ca.n + cb.n - i) * 1e6) AS BIGINT)
+           / 1000000.0 AS jaccard
+FROM inter
+JOIN c ca ON ca.did = id_a
+JOIN c cb ON cb.did = id_b
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {threshold}
+"""
+
+
+def sql_near_dedup_clusters(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 5,
+    threshold: float = 0.5,
+) -> str:
+    """Connected components over the brute-force Jaccard edge list via a
+    recursive reachability CTE; canonical = min id of the component."""
+    return f"""
+WITH RECURSIVE g AS (
+  SELECT DISTINCT {id_col} AS did,
+         substring({text_col}, CAST(s AS INT), {shingle}) AS gram
+  FROM {table},
+       LATERAL (SELECT unnest(generate_series(
+           1, greatest(length({text_col}) - {shingle - 1}, 1))) AS s) t
+),
+c AS (SELECT did, count(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.did AS id_a, b.did AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.did < b.did
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN c ca ON ca.did = id_a JOIN c cb ON cb.did = id_b
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {threshold}
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+),
+canon AS (
+  SELECT d.{id_col} AS doc_id,
+         least(d.{id_col}, coalesce(r.mn, d.{id_col})) AS canonical_id
+  FROM {table} d
+  LEFT JOIN (SELECT a, min(b) AS mn FROM reach GROUP BY a) r
+    ON r.a = d.{id_col}
+)
+SELECT doc_id, canonical_id,
+       CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+           AS cluster_size
+FROM canon
+"""
+
+
+def sql_fingerprint(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+) -> str:
+    """Oracle for stages/text.fingerprint: min over strided byte windows of
+    splitmix64(polyhash(window)). Assumes every doc longer than `window`
+    (true for the driver corpus; engine handles short docs generally)."""
+    gh = sql_poly_gram_hash("gram", window)
+    sm = ",\n       ".join(sql_splitmix64_cols("gh", "f_"))
+    step = max(1, window // 2)
+    return f"""
+WITH g AS (
+  SELECT {id_col} AS did, {gh} AS gh
+  FROM (
+    SELECT {id_col}, substring({text_col}, CAST(s AS INT), {window}) AS gram
+    FROM {table},
+         LATERAL (SELECT unnest(generate_series(
+             1, length({text_col}) - {window - 1}, {step})) AS s) t
+  )
+),
+h AS (SELECT did, {sm} FROM g),
+mn AS (SELECT did, min(f_out) AS m FROM h GROUP BY did)
+SELECT did AS {id_col}, {sql_signed64('m')} AS fingerprint FROM mn
+"""
+
+
+def sql_random_by_key(
+    *,
+    table: str = "orders",
+    key_col: str = "o_orderkey",
+    seed: int = 5849,
+    out_col: str = "random",
+) -> str:
+    """Oracle for functions/scalar.random_by_key (integer keys): the
+    documented hash contract x = key + seed*GOLDEN -> 3-stage mix ->
+    (x >> 11) / 2^53."""
+    from ..kernels.hashing import GOLDEN, MIX1, MIX2, sql_mulmod
+
+    start = (seed * GOLDEN) % (1 << 64)
+    return f"""
+SELECT {key_col},
+       CAST((CAST({key_col} AS HUGEINT) + {start}) % 18446744073709551616
+            AS UBIGINT) AS x1,
+       {sql_mulmod('xor(x1, x1 >> 30)', MIX1)} AS x2,
+       {sql_mulmod('xor(x2, x2 >> 27)', MIX2)} AS x3,
+       xor(x3, x3 >> 31) AS x4
+FROM {table}
+"""
+
+
+def sql_random_by_key_final(
+    *,
+    table: str = "orders",
+    key_col: str = "o_orderkey",
+    seed: int = 5849,
+    out_col: str = "random",
+) -> str:
+    inner = sql_random_by_key(
+        table=table, key_col=key_col, seed=seed, out_col=out_col
+    )
+    return f"""
+SELECT {key_col},
+       CAST(x4 >> 11 AS DOUBLE) / 9007199254740992.0 AS {out_col}
+FROM ({inner})
+"""
+
+def sql_langid(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for stages/text.LangId: stopword voting over lowercased word
+    matches in the first 2000 chars; argmax with ties to the
+    lexicographically larger language; zero votes -> 'unknown'."""
+    from ..stages.text import _STOPWORDS_DE, _STOPWORDS_EN, _STOPWORDS_FR
+
+    vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, tbl in (
+            ("en", _STOPWORDS_EN), ("de", _STOPWORDS_DE), ("fr", _STOPWORDS_FR)
+        )
+        for w in sorted(tbl)
+    )
+    return f"""
+WITH sw(lang, word) AS (VALUES {vals}),
+w AS (
+  SELECT {id_col} AS did,
+         lower(unnest(regexp_extract_all(
+             substring({text_col}, 1, 2000), '[a-zA-Zäöüéèêàç]+'))) AS word
+  FROM {table}
+),
+sc AS (
+  SELECT did, lang, count(*) AS score FROM w JOIN sw USING (word)
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.{id_col} AS did, l.lang, coalesce(s.score, 0) AS score
+  FROM {table} d
+  CROSS JOIN (SELECT DISTINCT lang FROM sw) l
+  LEFT JOIN sc s ON s.did = d.{id_col} AND s.lang = l.lang
+),
+best AS (
+  SELECT did, lang, score,
+         row_number() OVER (PARTITION BY did
+                            ORDER BY score DESC, lang DESC) AS rn
+  FROM grid
+)
+SELECT did AS {id_col},
+       CASE WHEN score > 0 THEN lang ELSE 'unknown' END AS lang_pred
+FROM best WHERE rn = 1
+"""

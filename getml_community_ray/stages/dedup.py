@@ -74,28 +74,31 @@ def exact_dedup(ds, *, text_col: str, id_col: str):
 def _shingle_minhash(
     texts: np.ndarray, num_perm: int, shingle: int
 ) -> np.ndarray:
-    """(n, num_perm) uint64 minhash signatures over character shingles.
+    """(n, num_perm) uint64 minhash signatures over byte shingles.
 
-    Vectorized per document: shingle hashes via a rolling base-hash then
-    num_perm splitmix re-hashes broadcast at once.
-    """
-    import zlib
+    Fully vectorized across the batch: ONE fused rolling-hash pass over
+    the concatenated text (kernels/hashing.batch_gram_hashes — no
+    per-gram Python), then per-permutation splitmix mixes reduced with
+    segmented minimum. Permutations are chunked so peak memory stays
+    ~64 MB regardless of batch text volume. The arithmetic has an exact
+    DuckDB twin (kernels/hashing sql_* generators) used by the driver
+    oracle for `minhash_lsh_documents`."""
+    from ..kernels.hashing import batch_gram_hashes, perm_seeds, splitmix64
 
-    sigs = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    seeds = _splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
-    for i, t in enumerate(texts):
-        b = t.encode() if isinstance(t, str) else t
-        if len(b) < shingle:
-            grams = [b]
-        else:
-            grams = [b[j : j + shingle] for j in range(len(b) - shingle + 1)]
-        base = np.array(
-            [zlib.crc32(g) for g in grams], dtype=np.uint64
+    n = len(texts)
+    sigs = np.empty((n, num_perm), dtype=np.uint64)
+    if n == 0:
+        return sigs
+    tb = [t.encode() if isinstance(t, str) else bytes(t) for t in texts]
+    hs, off = batch_gram_hashes(tb, shingle)
+    seeds = perm_seeds(num_perm)
+    chunk = max(1, min(num_perm, (64 << 20) // (8 * max(1, len(hs)))))
+    for c0 in range(0, num_perm, chunk):
+        sub = seeds[c0 : c0 + chunk]
+        mixed = splitmix64(hs[:, None] ^ sub[None, :])
+        sigs[:, c0 : c0 + len(sub)] = np.minimum.reduceat(
+            mixed, off[:-1], axis=0
         )
-        base = np.unique(base)
-        # broadcast: (n_grams, 1) x (num_perm,) -> min over grams
-        h = _splitmix64(base[:, None] ^ seeds[None, :])
-        sigs[i] = h.min(axis=0)
     return sigs
 
 
@@ -159,31 +162,37 @@ def minhash_lsh_candidates(
 
 
 def simhash_signatures(ds, *, text_col: str, id_col: str, shingle: int = 5):
-    """64-bit simhash per document (token-hash bit voting)."""
-    import zlib
+    """64-bit simhash per document: bit voting over splitmix64-finalized
+    polynomial shingle hashes (multiplicity counts — no gram dedup).
+
+    Vectorized across the batch: one fused rolling-hash pass, bits via
+    np.unpackbits on the uint64 byte view, per-doc votes via segmented
+    add. Exact DuckDB twin serves as the driver oracle."""
+    from ..kernels.hashing import batch_gram_hashes, splitmix64
 
     def f(b: pa.Table) -> pa.Table:
         txt = np.asarray(b[text_col]).astype(str)
-        out = np.zeros(len(txt), dtype=np.uint64)
-        for i, t in enumerate(txt):
-            bb = t.encode()
-            grams = (
-                [bb]
-                if len(bb) < shingle
-                else [bb[j : j + shingle] for j in range(len(bb) - shingle + 1)]
+        if len(txt) == 0:
+            return pa.table(
+                {id_col: b[id_col], "simhash": pa.array([], type=pa.int64())}
             )
-            h = _splitmix64(
-                np.array([zlib.crc32(g) for g in grams], dtype=np.uint64)
-            )
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = bits.sum(axis=0) * 2 - len(grams)
-            sim = np.uint64(0)
-            for bit in np.flatnonzero(votes > 0):
-                sim |= np.uint64(1) << np.uint64(bit)
-            out[i] = sim
-        return pa.table({id_col: b[id_col], "simhash": pa.array(out.astype(np.int64))})
+        tb = [t.encode() for t in txt]
+        hs, off = batch_gram_hashes(tb, shingle)
+        mixed = splitmix64(hs)
+        # (G, 64) bit matrix, column j = bit j of the mixed hash
+        bits = np.unpackbits(
+            mixed.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        votes = np.add.reduceat(bits.astype(np.int64), off[:-1], axis=0)
+        n_grams = np.diff(off)
+        set_bits = (votes * 2) > n_grams[:, None]
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sim = (set_bits.astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pa.table(
+            {id_col: b[id_col], "simhash": pa.array(sim.astype(np.int64))}
+        )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -197,74 +206,109 @@ def ngram_jaccard_pairs(
     bands: int = 16,
     shingle: int = 5,
     threshold: float = 0.5,
+    num_partitions: int = 8,
 ):
-    """Exact n-gram Jaccard over MinHash-LSH candidate pairs.
+    """Exact n-gram Jaccard over MinHash-LSH candidate pairs — fully
+    distributed; nothing funnels through the driver.
 
-    Stage 1 = `minhash_lsh_candidates` (signatures + band buckets — the only
-    shuffle, of small hash columns). Stage 2 re-reads ONLY candidate docs'
-    texts via a broadcast id-set filter and verifies each pair exactly with
-    its shingle sets. Candidate volume is the LSH output (tiny vs corpus);
-    at 100 TB the verify stage would hash-join texts to pairs instead of
-    broadcasting — here candidates fit one ray.put object.
+    Stage 1 = `minhash_lsh_candidates` (signatures + band buckets — a
+    shuffle of small hash columns only). Stage 2 explodes candidate groups
+    into a PAIR Dataset inside map_batches, dedupes pairs found in several
+    bands with a groupby, hash-joins the documents' texts to BOTH sides
+    (two Dataset.join exchanges, each carrying only candidate-matched
+    texts on the pair side), and verifies each pair's exact shingle-set
+    Jaccard inside map_batches. Candidate volume — not corpus volume —
+    bounds every post-LSH stage, so a 100 TB corpus streams through.
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
     """
-    import ray
+    from ray.data.aggregate import Count
+
+    from .joins import hash_join
 
     cands = minhash_lsh_candidates(
         ds, text_col=text_col, id_col=id_col,
         num_perm=num_perm, bands=bands, shingle=shingle,
     )
-    pair_set: set[tuple] = set()
-    for b in cands.iter_batches(batch_size=4096, batch_format="pyarrow"):
+
+    def explode(b: pa.Table) -> pa.Table:
+        a_out, b_out = [], []
         for ids in b["ids"].to_pylist():
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    pair_set.add((ids[i], ids[j]))
-    if not pair_set:
-        return _empty_pairs()
-    cand_ids = sorted({x for p in pair_set for x in p})
-    id_ref = ray.put(frozenset(cand_ids))
-
-    def keep(b: pa.Table) -> pa.Table:
-        wanted = ray.get(id_ref)
-        ids = np.asarray(b[id_col])
-        mask = np.array([i in wanted for i in ids.tolist()], dtype=bool)
-        return b.filter(pa.array(mask))
-
-    texts = {}
-    small = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-    for b in small.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            texts[i] = t
-
-    def shingles(t: str) -> frozenset:
-        bb = t.encode()
-        if len(bb) < shingle:
-            return frozenset([bb])
-        return frozenset(bb[j : j + shingle] for j in range(len(bb) - shingle + 1))
-
-    rows_a, rows_b, rows_j = [], [], []
-    sh_cache = {i: shingles(texts[i]) for i in cand_ids}
-    for a, b_ in sorted(pair_set):
-        sa, sb = sh_cache[a], sh_cache[b_]
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        j = inter / union if union else 1.0
-        if j >= threshold:
-            rows_a.append(a)
-            rows_b.append(b_)
-            rows_j.append(np.rint(j * 1e6) / 1e6)
-    import ray.data as rd
-
-    return rd.from_arrow(
-        pa.table(
+            arr = np.asarray(ids, dtype=np.int64)
+            ii, jj = np.triu_indices(len(arr), 1)
+            a_out.append(arr[ii])
+            b_out.append(arr[jj])
+        if not a_out:
+            a_out = [np.zeros(0, dtype=np.int64)]
+            b_out = [np.zeros(0, dtype=np.int64)]
+        return pa.table(
             {
-                "id_a": pa.array(rows_a, type=pa.int64()),
-                "id_b": pa.array(rows_b, type=pa.int64()),
-                "jaccard": pa.array(rows_j, type=pa.float64()),
+                "id_a": pa.array(np.concatenate(a_out)),
+                "id_b": pa.array(np.concatenate(b_out)),
             }
         )
+
+    pairs = (
+        cands.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_nbands"))
+        .drop_columns(["_nbands"])
     )
+
+    def rename(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"id_{side}": b[id_col], f"_text_{side}": b[text_col]}
+            )
+
+        return f
+
+    docs = ds.select_columns([id_col, text_col])
+    left = hash_join(
+        pairs,
+        docs.map_batches(rename("a"), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        on="id_a", num_partitions=num_partitions,
+    )
+    both = hash_join(
+        left,
+        docs.map_batches(rename("b"), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        on="id_b", num_partitions=num_partitions,
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        ta = b["_text_a"].to_pylist()
+        tb = b["_text_b"].to_pylist()
+        ja = np.empty(len(b), dtype=np.float64)
+
+        def sh(t: str) -> frozenset:
+            bb = t.encode()
+            if len(bb) < shingle:
+                return frozenset([bb])
+            return frozenset(
+                bb[j : j + shingle] for j in range(len(bb) - shingle + 1)
+            )
+
+        cache: dict = {}
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sa = cache.get(x)
+            if sa is None:
+                sa = cache[x] = sh(x)
+            sb = cache.get(y)
+            if sb is None:
+                sb = cache[y] = sh(y)
+            union = len(sa | sb)
+            ja[i] = len(sa & sb) / union if union else 1.0
+        keep = ja >= threshold
+        return pa.table(
+            {
+                "id_a": b["id_a"].combine_chunks().filter(pa.array(keep)),
+                "id_b": b["id_b"].combine_chunks().filter(pa.array(keep)),
+                "jaccard": pa.array(np.rint(ja[keep] * 1e6) / 1e6),
+            }
+        )
+
+    return both.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _empty_pairs():

@@ -103,23 +103,33 @@ class LangId:
 
 
 def fingerprint(ds, *, text_col: str, id_col: str, window: int = 16):
-    """Rolling-hash document fingerprint (winnowing-lite): min crc over
-    sliding byte windows — cheap near-identity signature."""
-    import zlib
+    """Rolling-hash document fingerprint (winnowing-lite): min over strided
+    byte windows of splitmix64(polyhash(window)) — cheap near-identity
+    signature, fully vectorized across the batch (one fused rolling-hash
+    pass) with an exact DuckDB twin (pipelines/sql_oracles.sql_fingerprint)
+    serving as the driver oracle."""
+    from ..kernels.hashing import _intra, batch_gram_hashes, splitmix64
+
+    step = max(1, window // 2)
 
     def f(b: pa.Table) -> pa.Table:
         txt = np.asarray(b[text_col]).astype(str)
-        fps = np.empty(len(txt), dtype=np.int64)
-        for i, t in enumerate(txt):
-            bb = t.encode()
-            if len(bb) <= window:
-                fps[i] = zlib.crc32(bb)
-            else:
-                fps[i] = min(
-                    zlib.crc32(bb[j : j + window])
-                    for j in range(0, len(bb) - window + 1, max(1, window // 2))
-                )
-        return pa.table({id_col: b[id_col], "fingerprint": pa.array(fps)})
+        if len(txt) == 0:
+            return pa.table(
+                {id_col: b[id_col], "fingerprint": pa.array([], type=pa.int64())}
+            )
+        tb = [t.encode() for t in txt]
+        hs, off = batch_gram_hashes(tb, window)
+        # strided positions 0, step, 2*step, ... within each doc's windows
+        ng = np.diff(off)
+        cnt = (ng + step - 1) // step
+        idx = np.repeat(off[:-1], cnt) + _intra(cnt) * step
+        sm = splitmix64(hs[idx])
+        cut = np.concatenate([[0], np.cumsum(cnt)])
+        fps = np.minimum.reduceat(sm, cut[:-1])
+        return pa.table(
+            {id_col: b[id_col], "fingerprint": pa.array(fps.astype(np.int64))}
+        )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
