@@ -118,7 +118,9 @@ def q_ivf_topk_embeddings(sf_dir: str):
 
 def q_multimodal_features(sf_dir: str):
     """Documents -> binary payloads -> actor-pool byte-histogram features
-    (decode/resize plumbing covered in tests; stubbed codec)."""
+    (decode/resize plumbing covered in tests; stubbed codec). Integer bin
+    counts (normalize=False) so the SQL oracle is exact; crc32 is projected
+    out (no SQL twin) but stays pinned by tests/test_multimodal.py."""
     from ..stages.multimodal import ByteHistogramFeatures
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -128,14 +130,43 @@ def q_multimodal_features(sf_dir: str):
             {"id": b["doc_id"], "payload": b["text"].cast(pa.binary())}
         )
 
-    return ds.map_batches(
-        to_payload, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(
-        ByteHistogramFeatures,
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=2,
+    return (
+        ds.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            ByteHistogramFeatures,
+            fn_constructor_kwargs={"normalize": False},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .select_columns(["id", "n_bytes", "byte_hist"])
     )
+
+
+# 16-bin histogram of the payload bytes (bin = byte >> 4), exact integer
+# counts; char == byte holds on the pure-ASCII driver corpus (see
+# sql_oracles module scope note).
+SQL_MULTIMODAL_FEATURES = """
+WITH by_pos AS (
+  SELECT doc_id AS id,
+         ord(substring(text, CAST(s AS INT), 1)) // 16 AS bin
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text))) AS s) t
+),
+cnt AS (
+  SELECT id, bin, count(*) AS c FROM by_pos GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.doc_id AS id,
+         CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+         b.bin, coalesce(c.c, 0) AS c
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b
+  LEFT JOIN cnt c ON c.id = d.doc_id AND c.bin = b.bin
+)
+SELECT id, n_bytes, list(CAST(c AS BIGINT) ORDER BY bin) AS byte_hist
+FROM grid GROUP BY id, n_bytes
+"""
 
 
 CORPUS_QUERIES = {
@@ -208,51 +239,82 @@ def q_near_dedup_clusters(sf_dir: str):
 CORPUS_QUERIES["near_dedup_clusters_documents"] = q_near_dedup_clusters
 
 
+TOKENS_CORPUS = "/tmp/graft_seq_smoke_tokens"
+
+
+def _ensure_tokens_corpus() -> str:
+    from ..sources.synth import ensure_local_corpus
+
+    return ensure_local_corpus(TOKENS_CORPUS, n_rows=5_000, n_shards=4, seed=123)
+
+
 def q_tokens_passthrough(sf_dir: str):
     """BASELINE per-row invariant through the driver contract: pre-tokenized
     sequences flow through a filter+project pipeline with the `tokens`
-    list<int32> untouched (zero-copy lane, never shuffled); output carries a
-    per-row CRC of the token bytes plus n_tok so the driver's value-hash
-    check pins the payload. Byte-level equality vs the source is asserted
-    in tests/test_codec.py."""
-    import os
-    import zlib
-
+    list<int32> untouched (zero-copy lane, never shuffled); the output pins
+    the payload with order-sensitive integer sums (sum, position-weighted
+    sum, first/last token) that the DuckDB oracle recomputes from the same
+    parquet — an exact content+order check. Byte-level equality vs the
+    source is additionally asserted in tests/test_codec.py (CRC lane)."""
     import ray.data as rd
 
-    from ..sources.synth import generate_sequences
-
-    corpus = "/tmp/graft_seq_smoke_tokens"
-    if not os.path.isdir(corpus) or not os.listdir(corpus):
-        generate_sequences(corpus, n_rows=5_000, n_shards=4, seed=123)
-    ds = rd.read_parquet(corpus, columns=["doc_id", "tokens", "n_tok", "source"])
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(
+        TOKENS_CORPUS, columns=["doc_id", "tokens", "n_tok", "source"]
+    )
     ds = ds.filter(expr="n_tok >= 16")
 
-    def crc(b: pa.Table) -> pa.Table:
+    def pins(b: pa.Table) -> pa.Table:
         toks = b["tokens"].combine_chunks()
-        out = np.empty(len(b), dtype=np.int64)
-        for i in range(len(b)):
-            out[i] = zlib.crc32(
-                np.asarray(toks[i].values, dtype=np.int32).tobytes()
-            )
+        vals = np.asarray(toks.values, dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        lens = np.diff(off)
+        # per-row position weights 1..len (reset at row starts)
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(off[:-1], lens) + 1
+        seg = off[:-1]
+        tok_sum = np.add.reduceat(vals, seg) if len(vals) else np.zeros(0, np.int64)
+        tok_wsum = (
+            np.add.reduceat(vals * pos, seg) if len(vals) else np.zeros(0, np.int64)
+        )
+        first = vals[off[:-1]] if len(vals) else np.zeros(0, np.int64)
+        last = vals[off[1:] - 1] if len(vals) else np.zeros(0, np.int64)
         return pa.table(
             {
                 "doc_id": b["doc_id"],
                 "source": b["source"],
                 "n_tok": b["n_tok"],
-                "token_crc": pa.array(out),
+                "tok_sum": pa.array(tok_sum),
+                "tok_wsum": pa.array(tok_wsum),
+                "tok_first": pa.array(first),
+                "tok_last": pa.array(last),
             }
         )
 
-    return ds.map_batches(crc, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(pins, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_tokens_passthrough() -> str:
+    _ensure_tokens_corpus()
+    return f"""
+SELECT doc_id, source, n_tok,
+       CAST(list_aggregate(CAST(tokens AS BIGINT[]), 'sum') AS BIGINT) AS tok_sum,
+       CAST(list_aggregate(
+           list_transform(CAST(tokens AS BIGINT[]), (x, i) -> x * i), 'sum')
+           AS BIGINT) AS tok_wsum,
+       CAST(tokens[1] AS BIGINT) AS tok_first,
+       CAST(tokens[len(tokens)] AS BIGINT) AS tok_last
+FROM read_parquet('{TOKENS_CORPUS}/*.parquet')
+WHERE n_tok >= 16
+"""
 
 
 CORPUS_QUERIES["tokens_passthrough_sequences"] = q_tokens_passthrough
+CORPUS_ORACLE_SQL["tokens_passthrough_sequences"] = sql_tokens_passthrough()
 
 
 def q_simhash_candidates(sf_dir: str):
     """SimHash banded near-dup candidate pairs (pigeonhole-complete for
-    hamming <= 3); rows-only, pair semantics tested."""
+    hamming <= 3); exact band+hamming SQL twin as oracle."""
     from ..stages.dedup import simhash_candidates
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -261,4 +323,14 @@ def q_simhash_candidates(sf_dir: str):
     )
 
 
+def _register_corpus_hash_oracles() -> None:
+    from .sql_oracles import sql_simhash_pairs
+
+    CORPUS_ORACLE_SQL["simhash_candidates_documents"] = sql_simhash_pairs(
+        max_hamming=10
+    )
+    CORPUS_ORACLE_SQL["multimodal_features_documents"] = SQL_MULTIMODAL_FEATURES
+
+
 CORPUS_QUERIES["simhash_candidates_documents"] = q_simhash_candidates
+_register_corpus_hash_oracles()

@@ -352,3 +352,39 @@ SELECT did AS {id_col},
        CASE WHEN score > 0 THEN lang ELSE 'unknown' END AS lang_pred
 FROM best WHERE rn = 1
 """
+
+
+def sql_simhash_pairs(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 5,
+    max_hamming: int = 3,
+) -> str:
+    """Oracle for simhash_candidates: pairs sharing at least one exact
+    16-bit band of the 64-bit simhash, with hamming(xor) <= max_hamming.
+    Band sharing is exactly the engine's bucket rule, so this is a twin of
+    the banded pipeline, not merely a brute-force superset."""
+    sig = sql_simhash(
+        table=table, id_col=id_col, text_col=text_col, shingle=shingle
+    )
+    band_match = " OR ".join(
+        f"((a.us >> {16 * k}) & 65535) = ((b.us >> {16 * k}) & 65535)"
+        for k in range(4)
+    )
+    return f"""
+WITH sig AS MATERIALIZED ({sig}),
+u AS (
+  SELECT {id_col} AS did,
+         CAST(CASE WHEN simhash < 0
+                   THEN CAST(simhash AS HUGEINT) + 18446744073709551616
+                   ELSE CAST(simhash AS HUGEINT) END AS UBIGINT) AS us
+  FROM sig
+)
+SELECT a.did AS id_a, b.did AS id_b,
+       CAST(bit_count(xor(a.us, b.us)) AS BIGINT) AS hamming
+FROM u a JOIN u b ON a.did < b.did
+WHERE ({band_match})
+  AND bit_count(xor(a.us, b.us)) <= {max_hamming}
+"""

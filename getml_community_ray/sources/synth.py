@@ -162,3 +162,30 @@ def generate_sequences(
 
     ray.get([_write.remote(k) for k in range(n_shards)])
     return out_dir
+
+
+def ensure_local_corpus(
+    out_dir: str,
+    n_rows: int,
+    n_shards: int = 4,
+    n_sources: int = 50,
+    seed: int = 42,
+    with_tokens: bool = True,
+) -> str:
+    """`generate_sequences` without a Ray session: writes the same
+    deterministic shard files inline. Used where a corpus must exist before
+    any Dataset is built (oracle-SQL construction, tests without Ray)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for shard in range(n_shards):
+        path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
+        if os.path.exists(path):
+            continue
+        tbl = generate_shard(shard, n_shards, n_rows, n_sources, seed, with_tokens)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp, row_group_size=100_000)
+        os.replace(tmp, path)
+    return out_dir
