@@ -95,8 +95,11 @@ def q_fingerprint_documents(sf_dir: str):
 
 
 def q_ivf_topk_embeddings(sf_dir: str):
-    """IVF approximate ANN (scale path of similarity_topk); recall floor
-    asserted in tests."""
+    """IVF ANN through the full scale machinery — centroid train, broadcast
+    assign, (cluster, sub) partitioned per-group search, associative top-k
+    merge — at n_probe == n_clusters, where IVF is EXACT, so the brute-force
+    SQL top-k is a true oracle. Recall of n_probe < n_clusters is asserted
+    in tests/test_dedup_extra.py."""
     import ray
     import pyarrow.parquet as pq
     import pyarrow.compute as pc
@@ -113,7 +116,50 @@ def q_ivf_topk_embeddings(sf_dir: str):
     )
     ref = ray.put((qids, Q))
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, query_ref=ref, k=10, n_clusters=16, n_probe=4)
+    return ivf_topk(ds, query_ref=ref, k=10, n_clusters=16, n_probe=16)
+
+
+SQL_IVF_TOPK = """
+WITH s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])) * 1e6)
+              AS BIGINT) / 1000000.0 AS cosine
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < 5
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC)
+            AS BIGINT) AS rank
+FROM s QUALIFY rank <= 10
+"""
+
+
+def q_cosine_neardup_lsh(sf_dir: str):
+    """Scale lane of embedding near-dedup: random-hyperplane LSH buckets ->
+    exact cosine verify within buckets (only (id, vector) columns shuffle;
+    no driver materialization). Params (4 planes x 64 tables) give per-pair
+    miss probability ~4e-6 at the 0.45 threshold on this corpus, so the
+    output equals the brute-force SQL oracle (verified at sf0.001/sf0.01);
+    at larger scale trade planes/tables for bucket size."""
+    from ..stages.dedup import cosine_neardup_lsh
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_neardup_lsh(
+        ds, threshold=0.45, n_planes=4, n_tables=64
+    )
+
+
+SQL_COSINE_NEARDUP_LSH = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) * 1e6)
+            AS BIGINT) / 1000000.0 AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
 
 
 def q_multimodal_features(sf_dir: str):
@@ -193,10 +239,14 @@ def _hash_oracles() -> dict[str, str]:
     }
 
 
+CORPUS_QUERIES["cosine_neardup_lsh_embeddings"] = q_cosine_neardup_lsh
+
 CORPUS_ORACLE_SQL = {
     "token_count_bpe_documents": SQL_TOKEN_COUNT_BPE,
     "payload_bytes_documents": SQL_PAYLOAD_BYTES,
     "cosine_neardup_embeddings": SQL_COSINE_NEARDUP,
+    "ivf_topk_embeddings": SQL_IVF_TOPK,
+    "cosine_neardup_lsh_embeddings": SQL_COSINE_NEARDUP_LSH,
     **_hash_oracles(),
 }
 

@@ -147,6 +147,7 @@ def ivf_topk(
     train_sample: int = 4096,
     kmeans_iters: int = 10,
     seed: int = 42,
+    sub_partitions: int = 8,
 ):
     """IVF (inverted-file) approximate top-k: the scale path for ANN.
 
@@ -157,7 +158,15 @@ def ivf_topk(
        groupby on cluster id.
     3. For each query, probe the `n_probe` nearest clusters only; exact
        cosine within probed clusters; tiny final merge.
-    Approximate; recall vs brute force is measured in tests.
+
+    Skew/granularity: the shuffle key is (cluster, hash(id) % sub_partitions),
+    NOT bare cluster — one hot cluster can never pin a whole corpus fraction
+    in a single map_groups task. Per-sub-partition top-k partials merge in
+    the final reduction (top-k merge is associative), so results are
+    identical to the unsplit grouping. With n_probe == n_clusters the search
+    is EXACT (every vector is a candidate for every query) — that config is
+    the driver-oracle lane; recall of n_probe < n_clusters is measured in
+    tests.
     """
     import ray
 
@@ -199,9 +208,15 @@ def ivf_topk(
         Xb = _stack_embeddings(b[emb_col]).astype(np.float64)
         Xbn = Xb / np.maximum(np.linalg.norm(Xb, axis=1, keepdims=True), 1e-30)
         cl = np.argmax(Xbn @ Cm.T, axis=1).astype(np.int64)
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        # splitmix-style id hash -> sub-partition: bounds any one task to
+        # ~1/sub_partitions of a cluster even on a fully skewed assignment
+        h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        sub = ((h >> np.uint64(33)) % np.uint64(sub_partitions)).astype(np.int64)
         return pa.table(
             {
                 "cluster": pa.array(cl),
+                "sub": pa.array(sub),
                 id_col: b[id_col],
                 emb_col: b[emb_col],
             }
@@ -244,11 +259,13 @@ def ivf_topk(
     partials = (
         ds.select_columns([id_col, emb_col])
         .map_batches(assign_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("cluster")
+        .groupby(["cluster", "sub"])
         .map_groups(search, batch_format="pyarrow")
     )
 
-    # final tiny merge on the driver: global top-k per query
+    # final tiny merge on the driver: global top-k per query. Round BEFORE
+    # ranking (6dp fixed point) so tie-breaks match an oracle ranking by its
+    # own rounded cosine.
     import pandas as pd
 
     df = partials.to_pandas()
@@ -256,10 +273,9 @@ def ivf_topk(
         return pd.DataFrame(
             {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
         )
+    df["cosine"] = np.rint(df["cosine"].to_numpy() * 1e6) / 1e6
     df = df.sort_values(
         ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
     )
     df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= k].reset_index(drop=True)
-    df["cosine"] = np.rint(df["cosine"].to_numpy() * 1e6) / 1e6
-    return df
+    return df[df["rank"] <= k].reset_index(drop=True)
