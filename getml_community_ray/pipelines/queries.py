@@ -581,21 +581,33 @@ def q_langid_documents(sf_dir: str):
     ).select_columns(["doc_id", "lang_pred"])
 
 
+SMOKE_CORPUS = "/tmp/graft_seq_smoke"
+
+# order-dependent float aggs: 6dp fixed-point on both sides; the integer-
+# valued aggs (count/sum/min/max/mode/count_distinct/first/last) and the
+# exact-ratio avg stay raw.
+_FULL_ROLLUP_ROUNDED = (
+    "median", "q25", "q90", "stddev", "trend", "ewma_1h",
+    "time_since_last_maximum",
+)
+
+
+def _ensure_smoke_corpus() -> str:
+    from ..sources.synth import ensure_local_corpus
+
+    return ensure_local_corpus(SMOKE_CORPUS, n_rows=20_000, n_shards=8, seed=42)
+
+
 def q_rollup_sequences_full(sf_dir: str):
     """Flagship: full-vocabulary holistic rollup of a deterministic synthetic
-    sequences corpus (BASELINE.json input shape) — all tiers, long format.
-    Oracle-less for the driver (the pytest oracle covers it exactly)."""
-    import os
-
+    sequences corpus (BASELINE.json input shape) — all tiers, long format,
+    exact DuckDB oracle (sql_oracles.sql_rollup_full)."""
     import ray.data as rd
 
-    from ..sources.synth import generate_sequences
     from .rollup import RollupConfig, rollup_holistic
 
-    corpus = "/tmp/graft_seq_smoke"
-    if not os.path.isdir(corpus) or not os.listdir(corpus):
-        generate_sequences(corpus, n_rows=20_000, n_shards=8, seed=42)
-    ds = rd.read_parquet(corpus, columns=["source", "event_ts", "n_tok"])
+    _ensure_smoke_corpus()
+    ds = rd.read_parquet(SMOKE_CORPUS, columns=["source", "event_ts", "n_tok"])
     cfg = RollupConfig(
         aggs=[
             "count", "sum", "avg", "min", "max", "median", "q25", "q90",
@@ -607,12 +619,14 @@ def q_rollup_sequences_full(sf_dir: str):
     tiers = rollup_holistic(ds, cfg)
     out = None
     for name, d in tiers.items():
-        d = d.map_batches(
-            lambda b, n=name: b.append_column(
+        def fin(b: pa.Table, n=name) -> pa.Table:
+            for c in _FULL_ROLLUP_ROUNDED:
+                b = b.set_column(b.column_names.index(c), c, _r6(b[c]))
+            return b.append_column(
                 "tier", pa.array([n] * len(b), type=pa.string())
-            ),
-            batch_format="pyarrow",
-        )
+            )
+
+        d = d.map_batches(fin, batch_format="pyarrow")
         out = d if out is None else out.union(d)
     return out
 
@@ -662,6 +676,13 @@ def _register_hash_oracles() -> None:
     ORACLE_SQL["minhash_lsh_documents"] = sql_minhash_lsh()
     ORACLE_SQL["simhash_documents"] = sql_simhash()
     ORACLE_SQL["langid_documents"] = sql_langid()
+
+    from .sql_oracles import sql_rollup_full
+
+    _ensure_smoke_corpus()
+    ORACLE_SQL["rollup_sequences_full"] = sql_rollup_full(
+        parquet_glob=f"{SMOKE_CORPUS}/*.parquet"
+    )
 
 
 _register_hash_oracles()

@@ -388,3 +388,73 @@ FROM u a JOIN u b ON a.did < b.did
 WHERE ({band_match})
   AND bit_count(xor(a.us, b.us)) <= {max_hamming}
 """
+
+
+def sql_rollup_full(
+    *,
+    parquet_glob: str,
+    tiers: dict[str, int] | None = None,
+    source_col: str = "source",
+    ts_col: str = "event_ts",
+    value_col: str = "n_tok",
+) -> str:
+    """Oracle for the full-vocabulary holistic rollup (q_rollup_sequences_full):
+    one SELECT per tier over the corpus parquet, UNION ALL, long format with a
+    `tier` literal. Twin of kernels/aggregations semantics:
+
+    - dt = bucket_end_seconds - ts_seconds (bucket END drives dt);
+    - mode ties -> smallest value; first/last tie-break (ts asc, value asc);
+    - time_since_last_maximum = dt of the LATEST maximum (smaller dt);
+    - trend = OLS intercept of v on dt, mean(v) when var(dt) == 0;
+    - ewma_1h weights exp(ln .5 * dt / 3600);
+    - order-dependent float aggs rounded 6dp fixed-point on both sides.
+    """
+    tiers = tiers or {"1m": 60, "1h": 3600, "1d": 86400}
+
+    def r6(expr: str) -> str:
+        return f"CAST(round(({expr}) * 1e6) AS BIGINT) / 1000000.0"
+
+    parts = []
+    for name, w in tiers.items():
+        wus = w * 1_000_000
+        dt = f"((b + 1) * {w} - ts)"
+        parts.append(f"""
+SELECT '{name}' AS tier, source,
+       make_timestamp(b * {wus}) AS bucket_ts,
+       CAST(count(*) AS DOUBLE) AS "count",
+       CAST(SUM(v) AS DOUBLE) AS "sum",
+       CAST(SUM(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS "avg",
+       CAST(MIN(v) AS DOUBLE) AS "min",
+       CAST(MAX(v) AS DOUBLE) AS "max",
+       {r6("quantile_cont(v, 0.5)")} AS "median",
+       {r6("quantile_cont(v, 0.25)")} AS "q25",
+       {r6("quantile_cont(v, 0.90)")} AS "q90",
+       {r6("stddev_pop(v)")} AS "stddev",
+       CAST(MIN(v) FILTER (cv = cvmax) AS DOUBLE) AS "mode",
+       CAST(count(DISTINCT v) AS DOUBLE) AS "count_distinct",
+       MAX(CASE WHEN rf = 1 THEN v END) AS "first",
+       MAX(CASE WHEN rl = 1 THEN v END) AS "last",
+       {r6(f"CASE WHEN var_pop({dt}) = 0 THEN avg(v) ELSE regr_intercept(v, {dt}) END")} AS "trend",
+       {r6(f"SUM(v * exp(ln(0.5) * {dt} / 3600.0)) / SUM(exp(ln(0.5) * {dt} / 3600.0))")} AS "ewma_1h",
+       {r6(f"(b + 1) * {w} - MAX(ts) FILTER (v = vmax)")} AS "time_since_last_maximum"
+FROM (
+  SELECT source, b, ts, v,
+         max(v) OVER (PARTITION BY source, b) AS vmax,
+         cv0 AS cv,
+         max(cv0) OVER (PARTITION BY source, b) AS cvmax,
+         row_number() OVER (PARTITION BY source, b
+                            ORDER BY ts ASC, v ASC) AS rf,
+         row_number() OVER (PARTITION BY source, b
+                            ORDER BY ts DESC, v ASC) AS rl
+  FROM (
+    SELECT {source_col} AS source,
+           epoch_us({ts_col}) // {wus} AS b,
+           epoch_us({ts_col}) / 1000000.0 AS ts,
+           CAST({value_col} AS DOUBLE) AS v,
+           count(*) OVER (PARTITION BY {source_col},
+                          epoch_us({ts_col}) // {wus}, {value_col}) AS cv0
+    FROM read_parquet('{parquet_glob}')
+  )
+)
+GROUP BY tier, source, b""")
+    return "\nUNION ALL\n".join(parts)
