@@ -98,9 +98,10 @@ FROM ranked
 
 
 def q_logreg_purchase(sf_dir: str):
-    """Scaler -> logistic regression -> accuracy/cross-entropy/AUC; GD is
-    iterative (not SQL-expressible) -> rows-only driver check, exactness
-    covered by tests/test_predictors.py."""
+    """Scaler -> logistic regression -> accuracy/cross-entropy/AUC. GD is
+    deterministic (zero init, fixed lr/iterations), so the oracle UNROLLS
+    the 25 iterations into 25 SQL CTE layers (sql_oracles.sql_logreg_purchase)
+    — an exact twin up to summation order, absorbed by 6dp rounding."""
     import pyarrow.compute as pc
 
     from ..stages.predictors import (
@@ -130,14 +131,20 @@ def q_logreg_purchase(sf_dir: str):
     a = auc(scored, target_col="y", score_col="proba")
     return pd.DataFrame(
         {
-            "coef_value": [float(m.coef_[0])],
-            "coef_hour": [float(m.coef_[1])],
-            "intercept": [float(m.intercept_)],
-            "accuracy": [met["accuracy"]],
-            "cross_entropy": [met["cross_entropy"]],
-            "auc": [a],
+            "coef_value": [_r6f(m.coef_[0])],
+            "coef_hour": [_r6f(m.coef_[1])],
+            "intercept": [_r6f(m.intercept_)],
+            "accuracy": [_r6f(met["accuracy"])],
+            "cross_entropy": [_r6f(met["cross_entropy"])],
+            "auc": [_r6f(a)],
         }
     )
+
+
+def _sql_logreg() -> str:
+    from .sql_oracles import sql_logreg_purchase
+
+    return sql_logreg_purchase(n_iter=25, lr=1.0)
 
 
 ML_QUERIES = {
@@ -149,6 +156,7 @@ ML_QUERIES = {
 ML_ORACLE_SQL = {
     "linreg_lineitem": SQL_LINREG,
     "auc_purchase_value": SQL_AUC,
+    "logreg_purchase": _sql_logreg(),
 }
 
 
@@ -196,9 +204,10 @@ ML_ORACLE_SQL["feature_selection_lineitem"] = SQL_FEATURE_SELECTION
 def q_pipeline_e2e_events(sf_dir: str):
     """Full Pipeline facade through the driver contract: FastProp features
     (trailing 2h count/avg/max per user) -> linear regression predicting
-    the event's own value -> per-event predictions + fit R^2. Iterative
-    fit -> rows-only check; facade exactness covered by
-    tests/test_pipeline_facade.py."""
+    the event's own value -> per-event predictions + fit R^2. OLS is
+    closed-form, so the oracle recomputes the same centered normal
+    equations by Cramer's rule (sql_oracles.sql_pipeline_e2e_events);
+    facade exactness is also covered by tests/test_pipeline_facade.py."""
     from .fastprop import FastPropSpec
     from .pipeline import Pipeline
     from ..stages.predictors import LinearRegression
@@ -220,8 +229,89 @@ def q_pipeline_e2e_events(sf_dir: str):
     scores = pipe.score(ds, ds, target_col="value")
     preds = pipe.predict(ds, ds).to_pandas()
     out = preds[["event_id", "prediction"]].sort_values("event_id")
-    out["fit_r2"] = float(scores["r2"])
+    out["prediction"] = np.rint(out["prediction"].to_numpy() * 1e6) / 1e6
+    out["fit_r2"] = _r6f(scores["r2"])
     return out.reset_index(drop=True)
 
 
+def _sql_pipeline_e2e() -> str:
+    from .sql_oracles import sql_pipeline_e2e_events
+
+    return sql_pipeline_e2e_events(horizon_s=60.0, memory_s=7200.0)
+
+
 ML_QUERIES["pipeline_e2e_events"] = q_pipeline_e2e_events
+ML_ORACLE_SQL["pipeline_e2e_events"] = _sql_pipeline_e2e()
+
+
+def _autofit_spec():
+    from .autofit import AutoFitSpec, SQL_SAFE_AGGS
+
+    return AutoFitSpec(
+        key_col="user_id",
+        pop_ts_col="ts",
+        peri_ts_col="ts",
+        numeric_cols=["value"],
+        id_cols=["event_id"],
+        categorical_cols=["event_type"],
+        category_values={"event_type": ["click", "purchase", "view"]},
+        same_unit_pairs=[("__ts__", "__ts__"), ("value", "value")],
+        aggs=list(SQL_SAFE_AGGS),
+        horizon_s=60.0,
+        memory_s=7200.0,
+        num_features=20,
+        sampling_factor=1.0,
+        num_partitions=16,
+    )
+
+
+def q_fastprop_autofit_events(sf_dir: str):
+    """FastProp fit-time feature search through the driver contract:
+    enumerate the candidate grammar (numeric x aggs, category indicators,
+    category-equality conditions, same-unit pop-peri differences incl. the
+    time-since family, avg_time_between), evaluate EVERY candidate per
+    population row in one partitioned kernel pass, score each by simple-OLS
+    R² against the target in one streaming pass, return the top 20 as
+    (feature, r2, rank). Oracle recomputes every candidate + the R² guard +
+    the ranking in SQL (pipelines/autofit.autofit_scores_sql)."""
+    from ..stages.predictors import select_features
+    from .autofit import autofit_features, enumerate_candidates
+
+    spec = _autofit_spec()
+    ds = _read(
+        sf_dir, "events",
+        columns=["event_id", "ts", "user_id", "value", "event_type"],
+    )
+    cands = enumerate_candidates(spec, spec.category_values)
+    feats = autofit_features(ds, ds, spec, cands, target_col="value")
+    scored = select_features(
+        feats,
+        feature_cols=[c.name for c in cands],
+        target_col="value",
+        k=len(cands),
+    )
+    df = pd.DataFrame(scored, columns=["feature", "r2"])
+    # rank by ROUNDED r2 (6dp) so rank ties resolve identically to the
+    # oracle regardless of last-ulp summation differences
+    df["r2"] = np.rint(df["r2"].to_numpy() * 1e6) / 1e6
+    df = df.sort_values(["r2", "feature"], ascending=[False, True])
+    df["rank"] = np.arange(1, len(df) + 1)
+    return df.head(spec.num_features).reset_index(drop=True)
+
+
+def _sql_autofit() -> str:
+    from .autofit import autofit_scores_sql, enumerate_candidates
+
+    spec = _autofit_spec()
+    cands = enumerate_candidates(spec, spec.category_values)
+    return autofit_scores_sql(
+        spec, cands,
+        population_table="events",
+        peripheral_table="events",
+        target_col="value",
+        top_k=spec.num_features,
+    )
+
+
+ML_QUERIES["fastprop_autofit_events"] = q_fastprop_autofit_events
+ML_ORACLE_SQL["fastprop_autofit_events"] = _sql_autofit()

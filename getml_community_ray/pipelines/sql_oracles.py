@@ -458,3 +458,153 @@ FROM (
 )
 GROUP BY tier, source, b""")
     return "\nUNION ALL\n".join(parts)
+
+
+def sql_logreg_purchase(*, n_iter: int = 25, lr: float = 1.0) -> str:
+    """Oracle for q_logreg_purchase: the engine's full-batch gradient descent
+    UNROLLED into one CTE layer per iteration (GD is deterministic: zero
+    init, fixed lr / iteration count, so each step is a closed-form
+    aggregate over the previous weights). Scaler = population mean/std;
+    metrics twin classification_metrics / the rank-based AUC. Outputs
+    rounded 6dp fixed-point on both sides."""
+
+    def r6(expr: str) -> str:
+        return f"CAST(round(({expr}) * 1e6) AS BIGINT) / 1000000.0"
+
+    sig_prev = "1.0 / (1.0 + exp(-(w.wv * d.v + w.wh * d.h + w.b)))"
+    layers = ["it0 AS (SELECT 0.0 AS wv, 0.0 AS wh, 0.0 AS b)"]
+    for k in range(1, n_iter + 1):
+        layers.append(f"""it{k} AS (
+  SELECT w.wv - {lr} * SUM(({sig_prev} - d.y) * d.v) / count(*) AS wv,
+         w.wh - {lr} * SUM(({sig_prev} - d.y) * d.h) / count(*) AS wh,
+         w.b  - {lr} * SUM(({sig_prev} - d.y)) / count(*) AS b
+  FROM d, it{k - 1} w GROUP BY w.wv, w.wh, w.b)""")
+    final = f"it{n_iter}"
+    return f"""
+WITH d0 AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+         value AS v0, CAST(hour(ts) AS DOUBLE) AS h0
+  FROM events
+),
+st AS (
+  SELECT avg(v0) AS mv,
+         CASE WHEN sqrt(greatest(avg(v0 * v0) - avg(v0) * avg(v0), 0.0)) = 0
+              THEN 1.0
+              ELSE sqrt(greatest(avg(v0 * v0) - avg(v0) * avg(v0), 0.0)) END AS sv,
+         avg(h0) AS mh,
+         CASE WHEN sqrt(greatest(avg(h0 * h0) - avg(h0) * avg(h0), 0.0)) = 0
+              THEN 1.0
+              ELSE sqrt(greatest(avg(h0 * h0) - avg(h0) * avg(h0), 0.0)) END AS sh
+  FROM d0
+),
+d AS (
+  SELECT y, (v0 - mv) / sv AS v, (h0 - mh) / sh AS h FROM d0, st
+),
+{",".join(layers)},
+scored AS (
+  SELECT d.y,
+         least(greatest(1.0 / (1.0 + exp(-(w.wv * d.v + w.wh * d.h + w.b))),
+                        1e-15), 1.0 - 1e-15) AS p
+  FROM d, {final} w
+),
+met AS (
+  SELECT avg(CASE WHEN (p >= 0.5) = (y > 0.5) THEN 1.0 ELSE 0.0 END) AS acc,
+         avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS xent
+  FROM scored
+),
+ranked AS (
+  SELECT y, AVG(rn) OVER (PARTITION BY p) AS ar
+  FROM (SELECT p, y, row_number() OVER (ORDER BY p) AS rn FROM scored)
+),
+aucv AS (
+  SELECT (SUM(ar) FILTER (y = 1.0)
+          - COUNT(*) FILTER (y = 1.0) * (COUNT(*) FILTER (y = 1.0) + 1) / 2.0)
+         / (COUNT(*) FILTER (y = 1.0) * COUNT(*) FILTER (y = 0.0)) AS auc
+  FROM ranked
+)
+SELECT {r6("w.wv")} AS coef_value,
+       {r6("w.wh")} AS coef_hour,
+       {r6("w.b")} AS intercept,
+       {r6("met.acc")} AS accuracy,
+       {r6("met.xent")} AS cross_entropy,
+       {r6("aucv.auc")} AS auc
+FROM {final} w, met, aucv
+"""
+
+
+def sql_pipeline_e2e_events(
+    *,
+    horizon_s: float = 60.0,
+    memory_s: float = 7200.0,
+) -> str:
+    """Oracle for q_pipeline_e2e_events: FastProp features (trailing-window
+    count/avg/max of value per user, window (t-h-m, t-h], NaN->0) feeding
+    closed-form OLS. The engine solves the centered 3x3 normal equations
+    with LAPACK; the oracle solves the SAME system by Cramer's rule —
+    identical up to float solve order, absorbed by 6dp rounding of the
+    predictions and fit R^2."""
+    lo = horizon_s + memory_s
+
+    def r6(expr: str) -> str:
+        return f"CAST(round(({expr}) * 1e6) AS BIGINT) / 1000000.0"
+
+    return f"""
+WITH feat AS (
+  SELECT p.event_id, p.value AS y,
+         CAST(count(e.ts) AS DOUBLE) AS f1,
+         coalesce(CAST(SUM(e.value) AS DOUBLE)
+                  / nullif(CAST(count(e.ts) AS DOUBLE), 0.0), 0.0) AS f2,
+         coalesce(CAST(MAX(e.value) AS DOUBLE), 0.0) AS f3
+  FROM events p
+  LEFT JOIN events e
+    ON e.user_id = p.user_id
+   AND e.ts >  p.ts - INTERVAL '{lo}' SECOND
+   AND e.ts <= p.ts - INTERVAL '{horizon_s}' SECOND
+  GROUP BY p.event_id, p.value
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(f1) AS m1, avg(f2) AS m2, avg(f3) AS m3, avg(y) AS my
+  FROM feat
+),
+g AS (
+  SELECT
+    SUM((f1 - m1) * (f1 - m1)) AS g11, SUM((f1 - m1) * (f2 - m2)) AS g12,
+    SUM((f1 - m1) * (f3 - m3)) AS g13, SUM((f2 - m2) * (f2 - m2)) AS g22,
+    SUM((f2 - m2) * (f3 - m3)) AS g23, SUM((f3 - m3) * (f3 - m3)) AS g33,
+    SUM((f1 - m1) * (y - my)) AS b1, SUM((f2 - m2) * (y - my)) AS b2,
+    SUM((f3 - m3) * (y - my)) AS b3
+  FROM feat, m
+),
+coef AS (
+  SELECT
+    (b1 * (g22 * g33 - g23 * g23)
+     - g12 * (b2 * g33 - g23 * b3)
+     + g13 * (b2 * g23 - g22 * b3)) / det AS c1,
+    (g11 * (b2 * g33 - b3 * g23)
+     - b1 * (g12 * g33 - g23 * g13)
+     + g13 * (g12 * b3 - b2 * g13)) / det AS c2,
+    (g11 * (g22 * b3 - g23 * b2)
+     - g12 * (g12 * b3 - b2 * g13)
+     + b1 * (g12 * g23 - g22 * g13)) / det AS c3
+  FROM g, LATERAL (
+    SELECT g11 * (g22 * g33 - g23 * g23)
+           - g12 * (g12 * g33 - g23 * g13)
+           + g13 * (g12 * g23 - g22 * g13) AS det
+  ) d
+),
+ic AS (
+  SELECT c1, c2, c3, my - (c1 * m1 + c2 * m2 + c3 * m3) AS b0 FROM coef, m
+),
+pred AS (
+  SELECT event_id, y, b0 + c1 * f1 + c2 * f2 + c3 * f3 AS yhat
+  FROM feat, ic
+),
+r2 AS (
+  SELECT 1.0 - SUM((y - yhat) * (y - yhat))
+               / (SUM(y * y) - SUM(y) * SUM(y) / (SELECT n FROM m)) AS r
+  FROM pred
+)
+SELECT event_id, {r6("yhat")} AS prediction, {r6("r2.r")} AS fit_r2
+FROM pred, r2
+"""

@@ -157,7 +157,16 @@ class LinearRegression:
             for j in range(i, d):
                 G[i, j] = G[j, i] = s2[f"g_{i}_{j}"]
         g = np.array([s2[f"b_{i}"] for i in range(d)])
-        coef = np.linalg.solve(G, g) if d > 0 else np.array([])
+        if d == 0:
+            coef = np.array([])
+        else:
+            try:
+                coef = np.linalg.solve(G, g)
+            except np.linalg.LinAlgError:
+                # collinear features (common after an automated feature
+                # search selects e.g. count and count_distinct together):
+                # fall back to the minimum-norm least-squares solution
+                coef = np.linalg.lstsq(G, g, rcond=None)[0]
         self.coef_ = coef
         self.intercept_ = float(my - mx @ coef)
         self._n = n
