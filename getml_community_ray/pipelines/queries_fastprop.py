@@ -772,3 +772,241 @@ FROM events GROUP BY 1, 2
 
 FASTPROP_QUERIES["rollup_1h_multimetric"] = q_rollup_1h_multimetric
 FASTPROP_ORACLE_SQL["rollup_1h_multimetric"] = SQL_ROLLUP_1H_MULTI
+
+
+# ---------------------------------------------------------------------------
+# FastProp grammar extensions through the driver contract: same-unit
+# pop-peri difference matrices, category-equality conditioned windows,
+# per-vocab-word text occurrence features (reference FastProp.cpp:714-839,
+# :1228-1251; Aggregator.cpp:303-335, :371-414)
+# ---------------------------------------------------------------------------
+
+def _r6a(x) -> pa.Array:
+    v = np.asarray(x, dtype=np.float64)
+    return pa.array(np.rint(v * 1e6) / 1e6)
+
+
+def q_fastprop_popperi_diff(sf_dir: str):
+    """Same-unit pop-peri difference feature MATRIX: per event, aggregates
+    of (pop_ts - peri_ts) — the time-since family — and of
+    (pop_value - peri_value) over the trailing window. Exact SQL twin."""
+    from .autofit import AutoFitSpec, Candidate, autofit_features
+
+    spec = AutoFitSpec(
+        key_col="user_id", pop_ts_col="ts", peri_ts_col="ts",
+        numeric_cols=[], id_cols=["event_id"],
+        same_unit_pairs=[("__ts__", "__ts__"), ("value", "value")],
+        aggs=[], horizon_s=60.0, memory_s=3600.0, num_partitions=16,
+    )
+    win = spec.windows()[0]
+    cands = [
+        Candidate(name="ts_minus_ts__avg", agg="avg", kind="same_unit",
+                  value_col="__ts__", pop_col="__ts__", window=win),
+        Candidate(name="ts_minus_ts__max", agg="max", kind="same_unit",
+                  value_col="__ts__", pop_col="__ts__", window=win),
+        Candidate(name="ts_minus_ts__min", agg="min", kind="same_unit",
+                  value_col="__ts__", pop_col="__ts__", window=win),
+        Candidate(name="value_minus_value__avg", agg="avg", kind="same_unit",
+                  value_col="value", pop_col="value", window=win),
+        Candidate(name="value_minus_value__min", agg="min", kind="same_unit",
+                  value_col="value", pop_col="value", window=win),
+    ]
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    feats = autofit_features(ds, ds, spec, cands)
+
+    def fin(b: pa.Table) -> pa.Table:
+        cols = {"event_id": b["event_id"]}
+        for c in cands:
+            cols[c.name] = _r6a(b[c.name])
+        return pa.table(cols)
+
+    return feats.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FASTPROP_POPPERI = """
+WITH f AS (
+  SELECT p.event_id,
+         coalesce(SUM(epoch_us(p.ts) / 1000000.0 - epoch_us(e.ts) / 1000000.0)
+                  / nullif(CAST(count(e.ts) AS DOUBLE), 0.0), 0.0) AS d_avg,
+         coalesce(MAX(epoch_us(p.ts) / 1000000.0 - epoch_us(e.ts) / 1000000.0),
+                  0.0) AS d_max,
+         coalesce(MIN(epoch_us(p.ts) / 1000000.0 - epoch_us(e.ts) / 1000000.0),
+                  0.0) AS d_min,
+         coalesce(SUM(p.value - e.value)
+                  / nullif(CAST(count(e.ts) AS DOUBLE), 0.0), 0.0) AS v_avg,
+         coalesce(MIN(p.value - e.value), 0.0) AS v_min
+  FROM events p
+  LEFT JOIN events e
+    ON e.user_id = p.user_id
+   AND e.ts >  p.ts - INTERVAL '3660' SECOND
+   AND e.ts <= p.ts - INTERVAL '60' SECOND
+  GROUP BY p.event_id, p.ts, p.value
+)
+SELECT event_id,
+       CAST(round(d_avg * 1e6) AS BIGINT) / 1000000.0 AS ts_minus_ts__avg,
+       CAST(round(d_max * 1e6) AS BIGINT) / 1000000.0 AS ts_minus_ts__max,
+       CAST(round(d_min * 1e6) AS BIGINT) / 1000000.0 AS ts_minus_ts__min,
+       CAST(round(v_avg * 1e6) AS BIGINT) / 1000000.0 AS value_minus_value__avg,
+       CAST(round(v_min * 1e6) AS BIGINT) / 1000000.0 AS value_minus_value__min
+FROM f
+"""
+
+
+def q_fastprop_category_cond(sf_dir: str):
+    """Category-equality condition sets in the window grammar: per event,
+    aggregates of value restricted to peri rows with event_type = const,
+    plus an indicator-sum feature. Exact SQL twin (FILTER clauses)."""
+    from .autofit import AutoFitSpec, Candidate, autofit_features
+
+    spec = AutoFitSpec(
+        key_col="user_id", pop_ts_col="ts", peri_ts_col="ts",
+        numeric_cols=["value"], id_cols=["event_id"],
+        categorical_cols=["event_type"],
+        category_values={"event_type": ["purchase", "view"]},
+        aggs=[], horizon_s=60.0, memory_s=3600.0, num_partitions=16,
+    )
+    win = spec.windows()[0]
+    cands = [
+        Candidate(name="value__count__where_event_type=purchase", agg="count",
+                  kind="numeric", value_col="value",
+                  cond_col="event_type", cond_value="purchase", window=win),
+        Candidate(name="value__sum__where_event_type=purchase", agg="sum",
+                  kind="numeric", value_col="value",
+                  cond_col="event_type", cond_value="purchase", window=win),
+        Candidate(name="value__max__where_event_type=view", agg="max",
+                  kind="numeric", value_col="value",
+                  cond_col="event_type", cond_value="view", window=win),
+        Candidate(name="event_type==purchase__sum", agg="sum",
+                  kind="indicator", value_col="event_type",
+                  cat_value="purchase", window=win),
+    ]
+    ds = _read(
+        sf_dir, "events",
+        columns=["event_id", "ts", "user_id", "value", "event_type"],
+    )
+    feats = autofit_features(ds, ds, spec, cands)
+
+    def fin(b: pa.Table) -> pa.Table:
+        cols = {"event_id": b["event_id"]}
+        for c in cands:
+            cols[c.name] = _r6a(b[c.name])
+        return pa.table(cols)
+
+    return feats.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FASTPROP_CATCOND = """
+WITH f AS (
+  SELECT p.event_id,
+         CAST(count(e.ts) FILTER (e.event_type = 'purchase') AS DOUBLE) AS c_p,
+         coalesce(CAST(SUM(e.value) FILTER (e.event_type = 'purchase')
+                       AS DOUBLE), 0.0) AS s_p,
+         coalesce(CAST(MAX(e.value) FILTER (e.event_type = 'view')
+                       AS DOUBLE), 0.0) AS m_v,
+         coalesce(CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                                THEN 1.0 ELSE 0.0 END) AS DOUBLE), 0.0) AS i_p
+  FROM events p
+  LEFT JOIN events e
+    ON e.user_id = p.user_id
+   AND e.ts >  p.ts - INTERVAL '3660' SECOND
+   AND e.ts <= p.ts - INTERVAL '60' SECOND
+  GROUP BY p.event_id
+)
+SELECT event_id,
+       CAST(round(c_p * 1e6) AS BIGINT) / 1000000.0
+           AS "value__count__where_event_type=purchase",
+       CAST(round(s_p * 1e6) AS BIGINT) / 1000000.0
+           AS "value__sum__where_event_type=purchase",
+       CAST(round(m_v * 1e6) AS BIGINT) / 1000000.0
+           AS "value__max__where_event_type=view",
+       CAST(round(i_p * 1e6) AS BIGINT) / 1000000.0
+           AS "event_type==purchase__sum"
+FROM f
+"""
+
+
+def q_fastprop_vocab_words(sf_dir: str):
+    """Per-vocab-word text occurrence features in windows: documents get a
+    derived (key, ts) — key = doc_id % 20, ts = epoch + doc_id * 60 s, both
+    reproducible in SQL — then word-occurrence value columns feed a
+    trailing-window fastprop sum/avg. Wires Vocabulary/TextFieldSplitter
+    into the window grammar (Aggregator.cpp:371-414 apply_text)."""
+    from ..stages.text import word_occurrence_columns
+    from .fastprop import FastPropSpec, time_series_features
+
+    words = ["data", "join", "merge"]
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": b["text"],
+                "key": pa.array(did % 20),
+                "ts": pa.array(
+                    1_700_000_000_000_000 + did * 60 * 1_000_000
+                ).cast(pa.timestamp("us")),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    ds = word_occurrence_columns(ds, text_col="text", words=words)
+    ds = ds.drop_columns(["text"])
+    spec = FastPropSpec(
+        key_col="key", pop_ts_col="ts", peri_ts_col="ts",
+        value_cols=[f"w_{w}" for w in words],
+        aggs=["sum", "count", "avg"],
+        id_cols=["doc_id"],
+        horizon_s=60.0, memory_s=3600.0,
+        nan_to_zero=True, num_partitions=8,
+    )
+    feats = time_series_features(ds, spec)
+
+    def fin(b: pa.Table) -> pa.Table:
+        cols = {"doc_id": b["doc_id"]}
+        for w in words:
+            cols[f"w_{w}__sum"] = b[f"w_{w}__sum"]
+            cols[f"w_{w}__avg"] = _r6a(b[f"w_{w}__avg"])
+        return pa.table(cols)
+
+    return feats.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_vocab_words() -> str:
+    word_cols = []
+    for w in ("data", "join", "merge"):
+        occ = (
+            f"CAST(len(list_filter(regexp_split_to_array(e.text, '\\s+'), "
+            f"x -> x = '{w}')) AS DOUBLE)"
+        )
+        word_cols.append(
+            f"coalesce(CAST(SUM({occ}) AS DOUBLE), 0.0) AS \"w_{w}__sum\",\n"
+            f"         CAST(round(coalesce(SUM({occ}) / "
+            f"nullif(CAST(count(e.ts) AS DOUBLE), 0.0), 0.0) * 1e6) AS BIGINT)"
+            f" / 1000000.0 AS \"w_{w}__avg\""
+        )
+    sel = ",\n         ".join(word_cols)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, doc_id % 20 AS key,
+         make_timestamp(1700000000000000 + doc_id * 60 * 1000000) AS ts
+  FROM documents
+)
+SELECT p.doc_id,
+         {sel}
+FROM d p
+LEFT JOIN d e
+  ON e.key = p.key
+ AND e.ts >  p.ts - INTERVAL '3660' SECOND
+ AND e.ts <= p.ts - INTERVAL '60' SECOND
+GROUP BY p.doc_id
+"""
+
+
+FASTPROP_QUERIES["fastprop_popperi_diff_events"] = q_fastprop_popperi_diff
+FASTPROP_ORACLE_SQL["fastprop_popperi_diff_events"] = SQL_FASTPROP_POPPERI
+FASTPROP_QUERIES["fastprop_category_cond_events"] = q_fastprop_category_cond
+FASTPROP_ORACLE_SQL["fastprop_category_cond_events"] = SQL_FASTPROP_CATCOND
+FASTPROP_QUERIES["fastprop_vocab_words_documents"] = q_fastprop_vocab_words
+FASTPROP_ORACLE_SQL["fastprop_vocab_words_documents"] = _sql_vocab_words()

@@ -153,3 +153,36 @@ def token_count_bpe(ds, *, text_col: str, id_col: str):
         return pa.table({id_col: b[id_col], "n_tokens": pa.array(n)})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def word_occurrence_columns(ds, *, text_col: str, words: list[str]):
+    """Per-row occurrence counts of each vocabulary word (whitespace
+    tokenization) as float64 columns `w_<word>` — the reference's
+    per-vocab-word text features (fastprop apply_text,
+    `src/engine/src/fastprop/Aggregator.cpp:371-414`) wired into the
+    window-feature grammar: feed the output as fastprop value columns.
+
+    Vectorized: one regex split per batch, flattened Arrow string equality
+    per word, segmented reduceat — no per-row Python."""
+    import pyarrow.compute as pc
+
+    def f(b: pa.Table) -> pa.Table:
+        col = b[text_col].combine_chunks()
+        split = pc.split_pattern_regex(col, pattern=r"\s+")
+        flat = split.flatten()
+        offs = np.asarray(split.offsets, dtype=np.int64)
+        lens = np.diff(offs)
+        out = dict(zip(b.column_names, b.columns))
+        seg = offs[:-1] - offs[0]  # offsets relative to the flattened values
+        for w in words:
+            eq = np.asarray(pc.equal(flat, w).fill_null(False)).astype(np.float64)
+            if len(eq) and seg[-1] < len(eq):
+                cnt = np.add.reduceat(eq, seg)
+            else:
+                cnt = np.zeros(len(b))
+            # reduceat repeats the element at zero-length segments: zero them
+            cnt = np.where(lens > 0, cnt, 0.0)
+            out[f"w_{w}"] = pa.array(cnt)
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
