@@ -555,43 +555,93 @@ def tiered_partials_clustered(
 
     n = len(src_all)
     if n == 0:
-        change = np.zeros(0, dtype=bool)
+        run_change = np.zeros(0, dtype=bool)
         run_starts = np.zeros(0, dtype=np.int64)
     else:
-        change = src_all[1:] != src_all[:-1]
-        run_starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        run_change = src_all[1:] != src_all[:-1]
+        run_starts = np.concatenate([[0], np.flatnonzero(run_change) + 1])
     run_ends = (
         np.append(run_starts[1:], n) if n else np.zeros(0, dtype=np.int64)
     )
 
+    v = np.asarray(batch[value_col].combine_chunks(), dtype=np.float64)
+    # sorted fast path: within a validated run, ts is non-decreasing, so
+    # (source, bucket) groups are CONTIGUOUS — per-group aggregates are pure
+    # reduceat over the input order, NO unique/argsort. This is both ~4x
+    # faster and cache-friendly (sequential access only), which is what lets
+    # 32 concurrent tasks scale on a shared L3. Falls back to the generic
+    # sort-based combiner when values are non-finite or not int-encodable.
+    fast_ok = n > 0 and bool(
+        np.isfinite(v).all()
+        and (not first_last or (v.min() >= 0 and v.max() <= VALUE_MASK
+                                and np.all(v == np.floor(v))))
+    )
+
     out = []
     for name, w in tiers:
-        p = partial_states(
-            batch,
-            source_col=source_col,
-            ts_col=ts_col,
-            value_col=value_col,
-            width_s=w,
-            first_last=first_last,
-        )
-        psrc = np.asarray(p["source"]).astype(str)
-        pbucket = np.asarray(p["bucket"])
-        if len(p):
-            w_us = w * US
-            uniq = np.unique(psrc)
-            bmin = int(pbucket.min())
-            span = int(pbucket.max()) - bmin + 1
-            run_src_ix = np.searchsorted(uniq, src_all[run_starts])
-            first_b = ts_all[run_starts] // w_us - bmin
-            last_b = ts_all[run_ends - 1] // w_us - bmin
-            edge_keys = np.concatenate(
-                [run_src_ix * span + first_b, run_src_ix * span + last_b]
+        w_us = w * US
+        if not fast_ok:
+            p = partial_states(
+                batch, source_col=source_col, ts_col=ts_col,
+                value_col=value_col, width_s=w, first_last=first_last,
             )
-            pinv = np.searchsorted(uniq, psrc)
-            pkeys = pinv * span + (pbucket - bmin)
-            boundary = np.isin(pkeys, edge_keys)
+            psrc = np.asarray(p["source"]).astype(str)
+            pbucket = np.asarray(p["bucket"])
+            if len(p):
+                uniq = np.unique(psrc)
+                bmin = int(pbucket.min())
+                span = int(pbucket.max()) - bmin + 1
+                run_src_ix = np.searchsorted(uniq, src_all[run_starts])
+                first_b = ts_all[run_starts] // w_us - bmin
+                last_b = ts_all[run_ends - 1] // w_us - bmin
+                edge_keys = np.concatenate(
+                    [run_src_ix * span + first_b, run_src_ix * span + last_b]
+                )
+                pinv = np.searchsorted(uniq, psrc)
+                pkeys = pinv * span + (pbucket - bmin)
+                boundary = np.isin(pkeys, edge_keys)
+            else:
+                boundary = np.zeros(0, dtype=bool)
         else:
-            boundary = np.zeros(0, dtype=bool)
+            bucket = ts_all // w_us
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = run_change | (bucket[1:] != bucket[:-1])
+            starts = np.flatnonzero(change)
+            G = len(starts)
+            cnt = np.diff(np.append(starts, n)).astype(np.float64)
+            s = np.add.reduceat(v, starts)
+            mn = np.minimum.reduceat(v, starts)
+            mx = np.maximum.reduceat(v, starts)
+            if first_last:
+                dt_in_bucket = ts_all - bucket * w_us
+                vi = v.astype(np.int64)
+                fkv = (dt_in_bucket << VALUE_BITS) | vi
+                lkv = (dt_in_bucket << VALUE_BITS) | (VALUE_MASK - vi)
+                first_key = np.minimum.reduceat(fkv, starts)
+                last_key = np.maximum.reduceat(lkv, starts)
+            else:
+                first_key = np.zeros(G, dtype=np.int64)
+                last_key = np.zeros(G, dtype=np.int64)
+            # boundary = first/last group of each run (O(n), no isin):
+            # a group containing a run's first or last row straddles a
+            # batch/block/shard edge by construction
+            gid_of_row = np.cumsum(change) - 1
+            boundary = np.zeros(G, dtype=bool)
+            boundary[gid_of_row[run_starts]] = True
+            boundary[gid_of_row[run_ends - 1]] = True
+            p = pa.table(
+                {
+                    "source": pa.array(src_all[starts], type=pa.string()),
+                    "bucket": pa.array(bucket[starts]),
+                    "cnt": pa.array(cnt),
+                    "sum": pa.array(s),
+                    "min": pa.array(mn),
+                    "max": pa.array(mx),
+                    "first_key": pa.array(first_key),
+                    "last_key": pa.array(last_key),
+                }
+            )
         p = p.append_column("tier", pa.array([name] * len(p), type=pa.string()))
         p = p.append_column("width_s", pa.array(np.full(len(p), w, dtype=np.int64)))
         p = p.append_column("_boundary", pa.array(boundary))
