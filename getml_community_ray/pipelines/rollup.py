@@ -335,26 +335,35 @@ def rollup_holistic_clustered_long(ds, cfg: RollupConfig,
                                    source_paths: list[str] | None = None):
     """Holistic lane for event-time-clustered input.
 
-    Two per-block passes (block formation is deterministic, so both passes
-    classify every row identically regardless of delivery order):
-    pass 1 aggregates the rows of interior coarse buckets fully in-block
-    for every tier (bucket nesting makes the finer tiers complete too);
-    pass 2 re-reads only the run-edge rows and sends them through the
-    hash-partition shuffle. The shuffle carries ~2 coarse buckets per
-    (block, source) run instead of the whole table. The double read is the
-    price of streaming both lanes without materializing a wide union
-    schema; reads are column-pruned to (source, ts, value).
+    Two per-block passes over the column-pruned source (block formation is
+    deterministic, so both passes classify every row identically):
 
-    The win depends on runs being long relative to the COARSEST tier; when
-    files are so fragmented that most rows sit in run-edge coarse buckets
-    (measured 54% on a 200M-row corpus cut into 780k-row files), the
-    boundary shuffle degenerates into the full exchange plus overhead. A
-    cheap counting pre-pass measures the fraction and falls back to the
-    unclustered lane above `max_boundary_fraction` when set. The probe is
-    OPT-IN: on this corpus family the clustered lane still beat the full
-    shuffle at fractions as high as 0.7, so fraction alone under-predicts
-    its advantage — enable the probe (e.g. 0.6) for corpora whose file
-    run length is comparable to the coarsest tier."""
+    pass 1 (streaming): finalize every (tier, source, bucket) group that is
+    strictly inside a source-run AT ITS OWN TIER, sort-free (see
+    stages/rollup.py HolisticClustered). Per-tier edge classification means
+    a 1m bucket interior to a run finalizes in-task even when its parent 1d
+    bucket straddles the block edge.
+
+    pass 2: re-read and emit mergeable partial states (value histograms +
+    scalar states, kernels/holistic_states.py) for ONLY the per-tier
+    run-edge groups, hash-partitioned on (source, tier, bucket); one
+    map_groups merges fragments and finalizes exactly. The exchange volume
+    is O(edge buckets x distinct values), not raw rows — on the 60M-row
+    bench corpus 2.5x fewer rows than shipping edge-bucket rows, and the
+    merge work is proportional to states, so the lane scales like the pure
+    map it mostly is. Every aggregation in the vocabulary (quantiles, mode,
+    count_distinct, EWMA, trend, time-since-extreme, ...) finalizes
+    EXACTLY from the merged states; float results match the row kernel to
+    summation-reorder precision (~1e-12), bit-exact for order statistics.
+
+    The boundary branch is small and MATERIALIZED before the union (a lazy
+    union of two multi-operator branches stalls Ray's streaming executor);
+    the interior branch streams.
+
+    `max_boundary_fraction` (opt-in): probe the coarse-tier edge fraction
+    and fall back to the unclustered lane above the threshold — with the
+    state-based exchange the clustered lane wins even at high fractions,
+    so the probe is off by default."""
     if not _clustered_precondition_ok(source_paths, cfg):
         return rollup_holistic_long(ds, cfg)
     ordered = _tier_widths_ok(cfg.tiers)
@@ -377,55 +386,35 @@ def rollup_holistic_clustered_long(ds, cfg: RollupConfig,
         total = agg["sum(n)"] or 1
         if agg["sum(b)"] / total > max_boundary_fraction:
             return rollup_holistic_long(ds, cfg)
-    stage = R.HolisticRollup(
+
+    hc = R.HolisticClustered(
         source_col=cfg.source_col,
         ts_col=cfg.ts_col,
         value_col=cfg.value_col,
         tiers=dict(ordered),
         aggs=cfg.aggs,
+        num_partitions=cfg.num_partitions,
     )
-    cols = [cfg.source_col, cfg.ts_col] + (list(cfg.value_col) if isinstance(cfg.value_col, (list, tuple)) else [cfg.value_col])
-
-    def interior_pass(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        src = np.asarray(b[cfg.source_col]).astype(str)
-        ts_us = R.ts_to_us(b[cfg.ts_col].combine_chunks())
-        mask = _run_boundary_mask(src, ts_us, coarse_w)
-        return stage(b.filter(pa.array(~mask)))
-
-    def boundary_pass(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        src = np.asarray(b[cfg.source_col]).astype(str)
-        ts_us = R.ts_to_us(b[cfg.ts_col].combine_chunks())
-        mask = _run_boundary_mask(src, ts_us, coarse_w)
-        raw = b.filter(pa.array(mask))
-        h = R.crc_hash_sources(np.asarray(raw[cfg.source_col]).astype(str))
-        rb = R.ts_to_us(raw[cfg.ts_col].combine_chunks()) // (coarse_w * US)
-        part = ((h * 0x9E3779B1 + rb * 0x85EBCA77) % cfg.num_partitions).astype(
-            np.int64
-        )
-        return raw.append_column("_part", pa.array(part))
+    cols = [cfg.source_col, cfg.ts_col] + (
+        list(cfg.value_col)
+        if isinstance(cfg.value_col, (list, tuple))
+        else [cfg.value_col]
+    )
 
     interior = ds.select_columns(cols).map_batches(
-        interior_pass, batch_format="pyarrow", zero_copy_batch=True,
+        hc.interior, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
-    # The boundary branch is MATERIALIZED before the union: a lazy union of
-    # two multi-operator branches stalls Ray's streaming executor at scale
-    # (139s + 19s branches ran >580s unioned at 200M rows; the decomposable
-    # lane hit the same pathology). Its size is bounded by the run-edge
-    # fraction of the corpus; the interior branch stays streaming.
     boundary = (
         ds.select_columns(cols)
         .map_batches(
-            boundary_pass, batch_format="pyarrow", zero_copy_batch=True,
+            hc.states, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None,
         )
         .groupby("_part")
         .map_groups(
-            lambda t: stage(t.drop_columns(["_part"])), batch_format="pyarrow"
+            lambda t: hc.merge(t.drop_columns(["_part"])),
+            batch_format="pyarrow",
         )
     ).materialize()
     return interior.union(boundary)
