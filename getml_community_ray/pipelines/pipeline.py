@@ -118,9 +118,17 @@ class Pipeline:
         if self.predictor is None:
             raise ValueError("no predictor configured")
         feats = self.transform(population_ds, peripheral_ds)
-        if hasattr(self.predictor, "predict_proba"):
+        if self._is_classifier():
             return self.predictor.predict_proba(feats, out_col=out_col)
         return self.predictor.predict(feats, out_col=out_col)
+
+    def _is_classifier(self) -> bool:
+        """A predictor is probabilistic iff it exposes predict_proba AND its
+        objective (when it has one, e.g. GBM) is logistic."""
+        p = self.predictor
+        return hasattr(p, "predict_proba") and getattr(
+            p, "objective", "logistic"
+        ) == "logistic"
 
     def score(self, population_ds, peripheral_ds, *, target_col: str):
         """Reference pipeline.score: regression metrics of the predictor on
@@ -134,7 +142,7 @@ class Pipeline:
         extra = [target_col]
         feats = self._features(population_ds, peripheral_ds, fit=False,
                                extra_cols=extra)
-        if hasattr(self.predictor, "predict_proba"):
+        if self._is_classifier():
             scored = self.predictor.predict_proba(feats, out_col="prediction")
             self.scores_ = classification_metrics(
                 scored, target_col=target_col, proba_col="prediction"

@@ -315,3 +315,36 @@ def _sql_autofit() -> str:
 
 ML_QUERIES["fastprop_autofit_events"] = q_fastprop_autofit_events
 ML_ORACLE_SQL["fastprop_autofit_events"] = _sql_autofit()
+
+
+def q_gbm_lineitem_price(sf_dir: str):
+    """Distributed histogram GBDT (the reference's XGBoost-predictor analog,
+    stages/gbm.py) regressing l_extendedprice on quantity/discount/tax.
+    Tree construction is not SQL-expressible, so this runs under the
+    driver's rows-only contract; exactness/determinism/quality floors are
+    covered by tests/test_gbm.py. Returns one row of fit metrics rounded
+    6dp plus the model shape."""
+    from ..stages.gbm import GradientBoostedTrees
+    from ..stages.predictors import regression_metrics
+
+    feats = ["l_quantity", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", columns=feats + ["l_extendedprice"])
+    m = GradientBoostedTrees(
+        feats, "l_extendedprice",
+        n_estimators=20, max_depth=4, learning_rate=0.3,
+    ).fit(ds)
+    met = regression_metrics(
+        m.predict(ds), target_col="l_extendedprice", pred_col="prediction"
+    )
+    return pd.DataFrame(
+        {
+            "r2": [_r6f(met["r2"])],
+            "rmse": [_r6f(met["rmse"])],
+            "n_trees": [float(len(m.trees_))],
+            "n_nodes": [float(sum(len(t.feature) for t in m.trees_))],
+        }
+    )
+
+
+ML_QUERIES["gbm_lineitem_price"] = q_gbm_lineitem_price
+# no ML_ORACLE_SQL entry: rows-only by design (see docstring)
