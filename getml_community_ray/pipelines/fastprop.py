@@ -66,6 +66,20 @@ class FastPropSpec:
     n_lags: int = 0  # number of tumbling lag buckets (with lag_delta_s)
     nan_to_zero: bool = False  # FastProp.cpp:100 feature-matrix semantics
     num_partitions: int = 32
+    # per-row peripheral expiry (reference upper_time_stamp,
+    # Matchmaker.hpp:92-137): a peripheral row additionally matches only if
+    # its upper ts is null/NaN or upper + horizon > population ts.
+    upper_ts_col: str | None = None
+    # > 0 enables the bounded-memory (key, time-range) split: partitions
+    # become (hash(key) % num_partitions, floor(ts / time_bucket_s)) and
+    # peripheral rows within `max_lower_s` of a bucket's end are REPLICATED
+    # into the next bucket, so a hot key with long memory is bounded by one
+    # time range's rows instead of the whole key. Must be >= max_lower_s.
+    time_bucket_s: float = 0.0
+
+    def max_lower_s(self) -> float:
+        """Largest window lower offset — the replication overlap width."""
+        return max(low for _, low, _ in self.windows())
 
     def windows(self) -> list[tuple[str, float, float]]:
         """(suffix, lower_offset_s, upper_offset_s): pts in
@@ -137,6 +151,11 @@ class _PartitionKernel:
         peri_order = np.lexsort((tie, peri_ts, peri_g))
         peri_g, peri_ts = peri_g[peri_order], peri_ts[peri_order]
         vals = {c: v[peri_order] for c, v in vals.items()}
+        upper_us = None
+        if spec.upper_ts_col is not None:
+            upper_us = np.asarray(
+                peri["_upper"].combine_chunks(), dtype=np.float64
+            )[peri_order]
 
         # packed (group, time-RANK) composite for global searchsorted.
         # Packing raw microsecond offsets overflows int64 when
@@ -166,8 +185,13 @@ class _PartitionKernel:
         # expansion lane costs sum(window sizes), which a hot key with long
         # memory can blow up). Other aggs fall back to expansion.
         PREFIX = {"count", "sum", "avg"}
-        prefix_aggs = [a for a in spec.aggs if a in PREFIX]
-        expand_aggs = [a for a in spec.aggs if a not in PREFIX]
+        if upper_us is None:
+            prefix_aggs = [a for a in spec.aggs if a in PREFIX]
+            expand_aggs = [a for a in spec.aggs if a not in PREFIX]
+        else:
+            # a per-row upper bound punches holes in the contiguous window,
+            # so prefix sums no longer apply: everything expands + filters
+            prefix_aggs, expand_aggs = [], list(spec.aggs)
         if prefix_aggs:
             # per-column prefixes (NaN patterns can differ per column)
             pcsum = {
@@ -210,6 +234,14 @@ class _PartitionKernel:
                 eg = np.repeat(np.arange(n_pop), cnt)
                 cum = np.concatenate([[0], np.cumsum(cnt)])
                 idx = np.arange(total) - np.repeat(cum[:-1], cnt) + np.repeat(lo, cnt)
+                if upper_us is not None:
+                    # Matchmaker.hpp:92-137: match iff upper is null/NaN or
+                    # upper (+horizon, make_placeholder.cpp:235-250) > pop ts
+                    u = upper_us[idx]
+                    keep = ~np.isfinite(u) | (
+                        u + spec.horizon_s * US > pop_ts[eg]
+                    )
+                    idx, eg = idx[keep], eg[keep]
                 ets = peri_ts[idx] / 1e6
                 for c in spec.value_cols:
                     res = grouped_aggregate(
@@ -265,6 +297,25 @@ def fastprop_features(population_ds, peripheral_ds, spec: FastPropSpec):
             "alias one of them"
         )
 
+    W_us = int(round(spec.time_bucket_s * US)) if spec.time_bucket_s > 0 else 0
+    low_us_max = int(round(spec.max_lower_s() * US))
+    if W_us and W_us < low_us_max:
+        raise ValueError(
+            f"time_bucket_s ({spec.time_bucket_s}) must be >= the largest "
+            f"window lower offset ({spec.max_lower_s()}): one-bucket overlap "
+            "replication only covers windows no wider than the bucket"
+        )
+
+    def _parts(k: np.ndarray, ts_col) -> np.ndarray:
+        """Partition ids; with the time split, (hash % P, time bucket) is
+        encoded exactly as hash + P * bucket — distinct buckets can never
+        collide, so a partition holds complete (key, bucket) groups."""
+        part = _hash_part(k, spec.num_partitions)
+        if W_us:
+            tus = ts_to_us(ts_col.combine_chunks())
+            part = part + spec.num_partitions * (tus // W_us)
+        return part
+
     def tag_pop(b: pa.Table) -> pa.Table:
         k = np.asarray(b[spec.key_col])
         cols = {c: b[c] for c in spec.id_cols}
@@ -272,8 +323,10 @@ def fastprop_features(population_ds, peripheral_ds, spec: FastPropSpec):
         cols["_ts"] = b[spec.pop_ts_col]
         for c in spec.value_cols:
             cols[c] = pa.nulls(len(b), pa.float64())
+        if spec.upper_ts_col is not None:
+            cols["_upper"] = pa.nulls(len(b), pa.float64())
         cols["_side"] = pa.array(np.zeros(len(b), dtype=np.int8))
-        cols["_part"] = pa.array(_hash_part(k, spec.num_partitions))
+        cols["_part"] = pa.array(_parts(k, b[spec.pop_ts_col]))
         return pa.table(cols)
 
     # id-column null lanes on the peripheral side must carry the population
@@ -294,12 +347,44 @@ def fastprop_features(population_ds, peripheral_ds, spec: FastPropSpec):
         cols["_ts"] = b[spec.peri_ts_col]
         for c in spec.value_cols:
             cols[c] = b[c].cast(pa.float64())
+        if spec.upper_ts_col is not None:
+            u = b[spec.upper_ts_col]
+            if pa.types.is_timestamp(u.type):
+                uv = ts_to_us(u.combine_chunks()).astype(np.float64)
+            else:
+                # reference Float time stamps are seconds since epoch
+                uv = np.asarray(u.combine_chunks(), dtype=np.float64) * US
+            cols["_upper"] = pa.array(uv)
         cols["_side"] = pa.array(np.ones(len(b), dtype=np.int8))
-        cols["_part"] = pa.array(_hash_part(k, spec.num_partitions))
-        return pa.table(cols)
+        full = pa.table(cols)
+        part = _hash_part(k, spec.num_partitions)
+        if not W_us:
+            return full.append_column("_part", pa.array(part))
+        tus = ts_to_us(b[spec.peri_ts_col].combine_chunks())
+        bucket = tus // W_us
+        orig = full.append_column(
+            "_part", pa.array(part + spec.num_partitions * bucket)
+        )
+        # rows within max_lower_s of the bucket's end also serve the NEXT
+        # bucket's population windows: replicate exactly those (exchange
+        # overhead is overlap_fraction, not 2x)
+        rep_ix = np.flatnonzero(tus - bucket * W_us > W_us - low_us_max)
+        if len(rep_ix) == 0:
+            return orig
+        rep = full.take(pa.array(rep_ix)).append_column(
+            "_part",
+            pa.array((part + spec.num_partitions * (bucket + 1))[rep_ix]),
+        )
+        return pa.concat_tables([orig, rep])
 
     pop_cols = list(dict.fromkeys(spec.id_cols + [spec.key_col, spec.pop_ts_col]))
-    peri_cols = list(dict.fromkeys([spec.key_col, spec.peri_ts_col] + spec.value_cols))
+    peri_cols = list(
+        dict.fromkeys(
+            [spec.key_col, spec.peri_ts_col]
+            + spec.value_cols
+            + ([spec.upper_ts_col] if spec.upper_ts_col else [])
+        )
+    )
     pop = population_ds.select_columns(pop_cols).map_batches(
         tag_pop, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -321,7 +406,13 @@ def time_series_features(ds, spec: FastPropSpec):
     `getml/data/time_series.py:26-186`): every row is both a prediction
     point and a peripheral event. One tagged pass — half the shuffle
     volume and a single read vs the generic two-table union."""
-    if spec.pop_ts_col != spec.peri_ts_col:
+    if (
+        spec.pop_ts_col != spec.peri_ts_col
+        or spec.upper_ts_col is not None
+        or spec.time_bucket_s > 0
+    ):
+        # the single-copy fast path can't mark replicas / upper lanes; the
+        # generic union path handles them
         return fastprop_features(ds, ds, spec)
 
     def tag(b: pa.Table) -> pa.Table:

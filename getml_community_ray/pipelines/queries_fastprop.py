@@ -1010,3 +1010,126 @@ FASTPROP_QUERIES["fastprop_category_cond_events"] = q_fastprop_category_cond
 FASTPROP_ORACLE_SQL["fastprop_category_cond_events"] = SQL_FASTPROP_CATCOND
 FASTPROP_QUERIES["fastprop_vocab_words_documents"] = q_fastprop_vocab_words
 FASTPROP_ORACLE_SQL["fastprop_vocab_words_documents"] = _sql_vocab_words()
+
+
+def q_fastprop_upper_bound_events(sf_dir: str):
+    """Per-row upper_time_stamp bound (Matchmaker.hpp:92-137): each
+    peripheral event expires at valid_until = ts + (event_id % 7200)s
+    (NULL when event_id % 5 == 0 => never expires); a row matches a window
+    only while valid_until + horizon > population ts."""
+    from .fastprop import FastPropSpec, fastprop_features
+
+    base = _events_cents(sf_dir)
+
+    def add_upper(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        ts_us = np.asarray(b["ts"].cast(pa.int64()))
+        up = ts_us + (eid % 7200) * 1_000_000
+        mask = eid % 5 == 0
+        arr = pa.array(
+            np.where(mask, 0, up), type=pa.int64()
+        ).cast(pa.timestamp("us"))
+        return b.append_column(
+            "valid_until", pc.if_else(pa.array(mask), pa.nulls(len(b), pa.timestamp("us")), arr)
+        )
+
+    peri = base.map_batches(add_upper, batch_format="pyarrow", zero_copy_batch=True)
+    spec = FastPropSpec(
+        key_col="user_id",
+        pop_ts_col="ts",
+        peri_ts_col="ts",
+        value_cols=["cents"],
+        aggs=["count", "sum", "min", "max"],
+        id_cols=["event_id"],
+        horizon_s=60.0,
+        memory_s=2 * 86400.0,
+        num_partitions=16,
+        upper_ts_col="valid_until",
+    )
+    out = fastprop_features(base, peri, spec)
+
+    def fin(b: pa.Table) -> pa.Table:
+        c = lambda n: np.asarray(b[f"cents__{n}"], dtype=np.float64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "f_count": pa.array(c("count")),
+                "f_sum": pa.array(c("sum") / 100.0),
+                "f_min": pa.array(c("min") / 100.0),
+                "f_max": pa.array(c("max") / 100.0),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FASTPROP_UPPER = """
+WITH peri AS (
+  SELECT *,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE ts + to_microseconds((event_id % 7200) * 1000000)
+         END AS valid_until
+  FROM events)
+SELECT p.event_id, p.user_id,
+       CAST(count(e.ts) AS DOUBLE) AS f_count,
+       COALESCE(CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE), 0.0)
+           / 100.0 AS f_sum,
+       CAST(MIN(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS f_min,
+       CAST(MAX(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS f_max
+FROM events p
+LEFT JOIN peri e
+  ON e.user_id = p.user_id
+ AND e.ts >  p.ts - INTERVAL '172860 seconds'
+ AND e.ts <= p.ts - INTERVAL '60 seconds'
+ AND (e.valid_until IS NULL
+      OR e.valid_until + INTERVAL '60 seconds' > p.ts)
+GROUP BY p.event_id, p.user_id
+"""
+
+FASTPROP_QUERIES["fastprop_upper_bound_events"] = q_fastprop_upper_bound_events
+FASTPROP_ORACLE_SQL["fastprop_upper_bound_events"] = SQL_FASTPROP_UPPER
+
+
+def q_fastprop_timesplit_events(sf_dir: str):
+    """The bounded-memory (key, time-range) split lane: identical spec to
+    fastprop_self_events plus time_bucket_s=3d — partitions become
+    (hash(user) % P, 3-day range) with overlap replication, so one hot key
+    can never concentrate in a single task. Same oracle as the unsplit
+    lane: the split must be result-invariant."""
+    from .fastprop import FastPropSpec, time_series_features
+
+    spec = FastPropSpec(
+        key_col="user_id",
+        pop_ts_col="ts",
+        peri_ts_col="ts",
+        value_cols=["cents"],
+        aggs=["count", "sum", "avg", "min", "max", "median"],
+        id_cols=["event_id"],
+        horizon_s=60.0,
+        memory_s=2 * 86400.0,
+        num_partitions=16,
+        time_bucket_s=3 * 86400.0,
+    )
+    out = time_series_features(_events_cents(sf_dir), spec)
+
+    def fin(b: pa.Table) -> pa.Table:
+        c = lambda n: np.asarray(b[f"cents__{n}"], dtype=np.float64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "f_count": pa.array(c("count")),
+                "f_sum": pa.array(c("sum") / 100.0),
+                "f_avg": pa.array(c("avg") / 100.0),
+                "f_min": pa.array(c("min") / 100.0),
+                "f_max": pa.array(c("max") / 100.0),
+                "f_median": pa.array(c("median") / 100.0),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FASTPROP_QUERIES["fastprop_timesplit_events"] = q_fastprop_timesplit_events
+FASTPROP_ORACLE_SQL["fastprop_timesplit_events"] = SQL_FASTPROP_SELF

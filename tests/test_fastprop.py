@@ -142,3 +142,89 @@ def test_nan_to_zero(ray_session):
     )
     out = time_series_features(ds=rd.from_pandas(df), spec=spec).to_pandas()
     assert (out["val__avg"] == 0.0).all()
+
+
+def test_time_bucket_split_matches_unsplit(ray_session):
+    """(key, time-range) split with overlap replication is result-invariant,
+    including on a pathological hot key (80% of rows on one key)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    df = _mk_events(rng, 4000, 10)
+    df.loc[: int(len(df) * 0.8), "key"] = 1  # hot key
+
+    base = dict(
+        key_col="key", pop_ts_col="ts", peri_ts_col="ts",
+        value_cols=["val"], aggs=["count", "sum", "avg", "median", "last"],
+        id_cols=["eid"], horizon_s=30.0, memory_s=3600.0, num_partitions=8,
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    plain = (
+        time_series_features(ds, FastPropSpec(**base))
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    split = (
+        time_series_features(
+            ds, FastPropSpec(**base, time_bucket_s=3700.0)
+        )
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        plain.sort_index(axis=1), split.sort_index(axis=1)
+    )
+    # bucket width below the window must be rejected
+    with pytest.raises(ValueError):
+        time_series_features(
+            ds, FastPropSpec(**base, time_bucket_s=1800.0)
+        ).to_pandas()
+
+
+def test_upper_time_stamp_bound(ray_session):
+    """Per-row expiry (Matchmaker.hpp:92-137): match iff upper is NaN or
+    upper + horizon > population ts — verified against a brute-force scan."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    df = _mk_events(rng, 1200, 6)
+    life = rng.uniform(0, 7200, len(df))
+    life[rng.random(len(df)) < 0.3] = np.nan  # 30% never expire
+    up_us = df["ts"].astype("int64").to_numpy() + life * 1e6
+    df["valid_until"] = pd.Series(up_us).astype("datetime64[us]")
+
+    spec = FastPropSpec(
+        key_col="key", pop_ts_col="ts", peri_ts_col="ts",
+        value_cols=["val"], aggs=["count", "sum", "min", "max", "median"],
+        id_cols=["eid"], horizon_s=60.0, memory_s=5400.0,
+        num_partitions=8, upper_ts_col="valid_until",
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    got = (
+        fastprop_features(ds, ds, spec)
+        .to_pandas().sort_values("eid").set_index("eid")
+    )
+
+    pop_t = df["ts"].astype("int64").to_numpy() / 1e6
+    peri_t = pop_t
+    up_s = up_us / 1e6  # NaN stays NaN
+    key = df["key"].to_numpy()
+    val = df["val"].to_numpy()
+    for i in rng.choice(len(df), 80, replace=False):
+        t = pop_t[i]
+        m = (
+            (key == key[i])
+            & (peri_t > t - 60.0 - 5400.0)
+            & (peri_t <= t - 60.0)
+            & (np.isnan(up_s) | (up_s + 60.0 > t))
+        )
+        sub = np.flatnonzero(m)
+        order = np.lexsort((val[sub], peri_t[sub]))
+        vals = val[sub][order].tolist()
+        ts = peri_t[sub][order].tolist()
+        eid = int(df["eid"].iloc[i])
+        for a in ["count", "sum", "min", "max", "median"]:
+            want = oracle.compute(a, vals, ts, t)
+            have = got.loc[eid, f"val__{a}"]
+            if np.isnan(want):
+                assert np.isnan(have), (eid, a, have)
+            else:
+                assert abs(want - have) < 1e-9, (eid, a, want, have)
