@@ -236,10 +236,70 @@ def run_lane(lane: str) -> None:
     print(json.dumps({"lane": lane, "sec": round(sec, 3), "points": pts}))
 
 
+def _steal_pct(before: list[int], after: list[int]) -> float:
+    """Average hypervisor steal %% between two /proc/stat cpu-line samples."""
+    d = [a - b for a, b in zip(after, before)]
+    tot = sum(d)
+    return 100.0 * d[7] / tot if tot > 0 and len(d) > 7 else 0.0
+
+
+def _read_proc_stat() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+def _capacity_probe(k: int, seconds: float = 6.0) -> float:
+    """Machine-capacity probe: k single-threaded numpy matmul spinners (no
+    Ray, no shared state, cache-resident) — measures the aggregate compute
+    the VIRTUALIZED host actually grants at k runnable vCPUs. On this
+    sandbox the host is oversubscribed: /proc/stat shows 0%% steal at 8
+    runnable vCPUs but 35-50%% at 32, so the probe's hi/lo ratio is the
+    physical ceiling ANY workload can reach on the box — report it beside
+    the pipeline number so scaling loss from the box is separable from
+    scaling loss in the engine."""
+    import multiprocessing as mp
+
+    def spin(q):
+        import numpy as _np
+
+        a = _np.random.rand(400, 400)
+        import time as _t
+
+        t0 = _t.perf_counter()
+        n = 0
+        while _t.perf_counter() - t0 < seconds:
+            a @ a
+            n += 1
+        q.put(n)
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    ps = [ctx.Process(target=spin, args=(q,)) for _ in range(k)]
+    for p in ps:
+        p.start()
+    tot = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return tot / seconds
+
+
 def run_scaling() -> dict:
+    """Two-cluster-size scaling evidence (sandbox stand-in per driver
+    instruction: same job, fresh ray.init processes at N and 4N scheduler
+    slots on the same input).
+
+    The box is a VM on an OVERSUBSCRIBED host: identical runs vary up to
+    3x with neighbor load (hypervisor steal 0%% at 8 runnable vCPUs,
+    35-50%% at 32). So: (a) runs are INTERLEAVED lo/hi and repeated, and
+    the best-of-reps throughput per level is used — steal only ever slows
+    a run down, so the minimum approaches the machine's true capability;
+    (b) a Ray-free pure-CPU capacity probe measures the box's own scaling
+    ceiling at the same pair, reported alongside; (c) per-run average
+    steal%% from /proc/stat is attached to every sample."""
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        s0 = _read_proc_stat()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -247,33 +307,52 @@ def run_scaling() -> dict:
             text=True,
             check=True,
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        steal = _steal_pct(s0, _read_proc_stat())
+        r = json.loads(out.strip().splitlines()[-1])
+        r["steal_pct"] = round(steal, 1)
+        return r
 
-    # N vs 4N stand-in (driver instruction): 4 and 16 scheduler slots.
-    # Beyond ~16 concurrent workers this single 32-core box saturates its
-    # SHARED memory bus and object store, inflating per-task CPU (8->32
-    # measures 0.69); a real multi-node cluster adds a memory bus and
-    # object-store shard with every node, which the 4->16 pair models
-    # faithfully on one box. Scaling corpus: 60M rows (enough parallel
-    # work at the high level), token payloads skipped — the rollup reads
-    # are column-pruned to (source, event_ts, n_tok), so token bytes never
-    # leave disk in either configuration.
-    lo, hi = 4, 16
+    lo, hi = 8, 32  # the PRESCRIBED pair (BASELINE.md target section)
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     os.environ.setdefault("GRAFT_BENCH_ROWS", "60000000")
     os.environ.setdefault("GRAFT_BENCH_TOKENS", "0")
     os.environ["GRAFT_SKIP_QUERIES"] = "1"
-    r_lo, r_hi = run(lo), run(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+
+    samples = {lo: [], hi: []}
+    for _ in range(reps):
+        for ncpu in (lo, hi):
+            samples[ncpu].append(run(ncpu))
+    best = {
+        n: max(rs, key=lambda r: r["points_per_sec"]) for n, rs in samples.items()
+    }
+    eff = (best[hi]["points_per_sec"] / best[lo]["points_per_sec"]) / (hi / lo)
+
+    cap_lo, cap_hi = _capacity_probe(lo), _capacity_probe(hi)
+    cap_eff = (cap_hi / cap_lo) / (hi / lo)
+
     return {
-        "metric": "scaling efficiency (fresh ray sessions, same input)",
+        "metric": "scaling efficiency (fresh ray sessions, same input, "
+                  "best-of-reps interleaved)",
         "cpus_lo": lo,
         "cpus_hi": hi,
-        "sec_lo": r_lo["value"],
-        "sec_hi": r_hi["value"],
-        "points_per_sec_lo": r_lo["points_per_sec"],
-        "points_per_sec_hi": r_hi["points_per_sec"],
+        "reps": reps,
+        "sec_lo": best[lo]["value"],
+        "sec_hi": best[hi]["value"],
+        "points_per_sec_lo": best[lo]["points_per_sec"],
+        "points_per_sec_hi": best[hi]["points_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "sf": r_hi["sf"],
+        "machine_capacity_ratio": round(cap_hi / cap_lo, 3),
+        "machine_capacity_efficiency": round(cap_eff, 3),
+        "pipeline_vs_machine_ceiling": round(eff / cap_eff, 3) if cap_eff else None,
+        "samples_lo": [
+            {"sec": r["value"], "pps": r["points_per_sec"], "steal_pct": r["steal_pct"]}
+            for r in samples[lo]
+        ],
+        "samples_hi": [
+            {"sec": r["value"], "pps": r["points_per_sec"], "steal_pct": r["steal_pct"]}
+            for r in samples[hi]
+        ],
+        "sf": best[hi]["sf"],
     }
 
 
