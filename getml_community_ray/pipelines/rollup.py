@@ -472,3 +472,167 @@ def read_clustered_paths(paths: list[str], *, columns: list[str]):
     return rd.from_items(paths, override_num_blocks=len(paths)).map_batches(
         decode, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# fused single-pass clustered lanes
+# ---------------------------------------------------------------------------
+
+
+def _boundary_accumulator():
+    """Per-lane actor collecting boundary partial rows from fused tasks.
+
+    Keyed by source file path, so a Ray task RETRY overwrites its own
+    earlier push instead of double-counting — the collect step is exact
+    under task re-execution. Volume is O(files x tiers x 2) tiny rows."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class BoundaryAccumulator:
+        def __init__(self):
+            self._parts: dict[str, pa.Table] = {}
+
+        def put(self, key: str, tbl: pa.Table) -> None:
+            self._parts[key] = tbl
+
+        def collect(self) -> pa.Table | None:
+            if not self._parts:
+                return None
+            return pa.concat_tables(
+                [self._parts[k] for k in sorted(self._parts)]
+            )
+
+    return BoundaryAccumulator.remote()
+
+
+def _fused_paths_ds(paths: list[str]):
+    import ray.data as rd
+
+    return rd.from_items(sorted(paths), override_num_blocks=len(paths))
+
+
+def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
+    """ONE-pass decomposable clustered lane over Parquet paths.
+
+    The two-pass lane (rollup_decomposable_clustered_long) decodes and
+    computes partial states TWICE — once to stream interior finals, once
+    to re-derive the boundary rows. Here each task (one file) decodes
+    once, computes partials once, pushes its few boundary rows to an
+    accumulator actor (retry-idempotent, keyed by path) and returns the
+    finalized interior rows. The interior output is materialized (it is
+    the final rollup — the same blocks the consumer needs, so the pin is
+    free) as the barrier guaranteeing every push arrived; the driver then
+    merges the tiny boundary set. Halves per-lane kernel+decode work and
+    removes the second task wave's straggler tail, which bites hardest at
+    high CPU counts."""
+    import ray
+    import ray.data as rd
+
+    if not R.clustered_files_nonoverlapping(list(paths), ts_col=cfg.ts_col):
+        return rollup_decomposable_long(_read_cols(paths, cfg), cfg)
+    ordered = _tier_widths_ok(cfg.tiers)
+    need_fl = "first" in cfg.aggs or "last" in cfg.aggs
+    cols = [cfg.source_col, cfg.ts_col] + (
+        list(cfg.value_col)
+        if isinstance(cfg.value_col, (list, tuple))
+        else [cfg.value_col]
+    )
+    acc = _boundary_accumulator()
+
+    def task(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for p in batch["item"]:
+            t = pq.read_table(str(p), columns=cols, use_threads=False)
+            parts = R.tiered_partials_clustered(
+                t,
+                source_col=cfg.source_col,
+                ts_col=cfg.ts_col,
+                value_col=cfg.value_col,
+                tiers=ordered,
+                first_last=need_fl,
+            )
+            bmask = parts["_boundary"].combine_chunks()
+            ray.get(acc.put.remote(str(p), parts.filter(bmask)))
+            inner = parts.filter(pc.invert(bmask))
+            fin = R.finalize_tiered(inner, aggs=cfg.aggs)
+            if fin is not None:
+                outs.append(fin)
+        if not outs:
+            fin = R.finalize_partials(
+                R._EMPTY_PARTIALS, width_s=ordered[0][1], aggs=cfg.aggs
+            )
+            return fin.add_column(0, "tier", pa.array([], type=pa.string()))
+        return pa.concat_tables(outs)
+
+    interior = _fused_paths_ds(paths).map_batches(
+        task, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    btbl = ray.get(acc.collect.remote())
+    ray.kill(acc)
+    if btbl is None or len(btbl) == 0:
+        return interior
+    merged = R.merge_tiered(btbl, aggs=cfg.aggs)
+    return interior.union(rd.from_arrow(merged))
+
+
+def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
+    """ONE-pass holistic clustered lane over Parquet paths (see the
+    decomposable twin above). Each task decodes its file once and runs
+    interior + mergeable-state extraction on the decoded table; edge-group
+    states go to the accumulator, the driver merges and finalizes them
+    exactly (kernels/holistic_states.py) — the state set is O(edge buckets
+    x distinct values), far below driver scale at any corpus size with
+    sane file counts."""
+    import ray
+    import ray.data as rd
+
+    if not R.clustered_files_nonoverlapping(list(paths), ts_col=cfg.ts_col):
+        return rollup_holistic_long(_read_cols(paths, cfg), cfg)
+    ordered = _tier_widths_ok(cfg.tiers)
+    hc = R.HolisticClustered(
+        source_col=cfg.source_col,
+        ts_col=cfg.ts_col,
+        value_col=cfg.value_col,
+        tiers=dict(ordered),
+        aggs=cfg.aggs,
+        num_partitions=cfg.num_partitions,
+    )
+    cols = [cfg.source_col, cfg.ts_col] + (
+        list(cfg.value_col)
+        if isinstance(cfg.value_col, (list, tuple))
+        else [cfg.value_col]
+    )
+    acc = _boundary_accumulator()
+
+    def task(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for p in batch["item"]:
+            t = pq.read_table(str(p), columns=cols, use_threads=False)
+            st = hc.states(t)
+            ray.get(acc.put.remote(str(p), st.drop_columns(["_part"])))
+            outs.append(hc.interior(t))
+        return pa.concat_tables(outs) if outs else hc.final_schema().empty_table()
+
+    interior = _fused_paths_ds(paths).map_batches(
+        task, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    btbl = ray.get(acc.collect.remote())
+    ray.kill(acc)
+    if btbl is None or len(btbl) == 0:
+        return interior
+    return interior.union(rd.from_arrow(hc.merge(btbl)))
+
+
+def _read_cols(paths: list[str], cfg: RollupConfig):
+    import ray.data as rd
+
+    cols = [cfg.source_col, cfg.ts_col] + (
+        list(cfg.value_col)
+        if isinstance(cfg.value_col, (list, tuple))
+        else [cfg.value_col]
+    )
+    return rd.read_parquet(list(paths), columns=cols)
