@@ -466,3 +466,67 @@ IO_ORACLE_SQL.update(
         "random_by_key_orders": _sql_random_by_key(),
     }
 )
+
+
+def q_from_db_sqlite_orders(sf_dir: str):
+    """from_db surface (Sqlite3.cpp connector analog): stream orders into a
+    SQLite file through the single-writer actor, read it back with the
+    partitioned rowid-range scanner (one Ray task per range), aggregate.
+    Prices hop as integer cents so the DB round trip is exact."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.db import read_sqlite_table, write_sqlite_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db = f"/tmp/graft_sqlite_{tag}.db"
+    if os.path.exists(db):
+        os.remove(db)
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_orderstatus": b["o_orderstatus"],
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    write_sqlite_table(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        db,
+        "orders_c",
+    )
+    back = read_sqlite_table(db, "orders_c", num_partitions=8)
+    agg = back.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_orders"), Sum("price_c", alias_name="total_cents")
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": b["o_orderstatus"],
+                "n_orders": pa.array(np.asarray(b["n_orders"], dtype=np.int64)),
+                "total_cents": pa.array(
+                    np.asarray(b["total_cents"], dtype=np.int64)
+                ),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FROM_DB_SQLITE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders GROUP BY 1
+"""
+
+IO_QUERIES["from_db_sqlite_orders"] = q_from_db_sqlite_orders
+IO_ORACLE_SQL["from_db_sqlite_orders"] = SQL_FROM_DB_SQLITE

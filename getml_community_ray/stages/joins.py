@@ -28,26 +28,51 @@ def broadcast_join(
     how: str = "left",
     right_cols: list[str] | None = None,
 ):
-    """Map-side join against a small pandas table (one-to-one/many-to-one —
-    the reference errors on >1 match; pandas merge keeps the reference's
-    NULL-fill-on-no-match behavior for 'left')."""
+    """Map-side join against a small table (one-to-one/many-to-one — the
+    reference errors on >1 match, staging.cpp:198-236).
+
+    Zero-copy Arrow: the broadcast side is put once as (keys, payload)
+    arrays; each batch does `pc.index_in` (hash probe) + `Table.take`,
+    which NULL-fills rows with no match — the reference's 'left' staging
+    semantics. No pandas round trip, left row order preserved."""
+    import pyarrow.compute as pc
+
     import ray
 
+    right = (
+        pa.Table.from_pandas(right_df, preserve_index=False)
+        if isinstance(right_df, pd.DataFrame)
+        else pa.table(right_df)
+    )
     if right_cols is not None:
-        right_df = right_df[[on] + right_cols]
-    if right_df[on].duplicated().any():
+        right = right.select([on] + list(right_cols))
+    keys = right[on].combine_chunks()
+    if pc.count_distinct(keys).as_py() != len(right) or keys.null_count:
         raise ValueError("broadcast_join right side must be unique on the key "
                          "(many-to-one staging join contract, staging.cpp:198-236)")
-    ref = ray.put(right_df)
+    payload = right.drop_columns([on]).combine_chunks()
+    ref = ray.put((keys, payload))
 
     class Joiner:
         def __init__(self):
-            self.right = ray.get(ref)
+            self.keys, self.payload = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.right, on=on, how=how)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            idx = pc.index_in(batch[on], value_set=self.keys)
+            if how == "inner":
+                valid = pc.is_valid(idx)
+                batch = batch.filter(valid)
+                idx = idx.filter(valid)
+            taken = self.payload.take(idx)
+            left_names = set(batch.column_names)
+            for name in taken.column_names:
+                out = name if name not in left_names else f"{name}_right"
+                batch = batch.append_column(out, taken[name])
+            return batch
 
-    return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(
+        Joiner, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
 
 
 def hash_join(
