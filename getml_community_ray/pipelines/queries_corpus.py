@@ -384,3 +384,132 @@ def _register_corpus_hash_oracles() -> None:
 
 CORPUS_QUERIES["simhash_candidates_documents"] = q_simhash_candidates
 _register_corpus_hash_oracles()
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style quality filter rules as a D query: every ratio is a
+    ratio of exact integers, so IEEE division matches DuckDB bit-for-bit."""
+    from ..stages.text import gopher_quality
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return gopher_quality(ds, text_col="text", id_col="doc_id")
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH w AS (
+    SELECT doc_id,
+           regexp_split_to_array(text, '\s+') AS words,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_extract_all(text, '\s')) AS DOUBLE) AS n_space,
+           CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE) AS n_sym
+    FROM documents
+), r AS (
+    SELECT doc_id,
+           CAST(len(words) AS DOUBLE) AS n_words,
+           (n_chars - n_space) / len(words) AS mean_wl,
+           n_sym / len(words) AS sym_ratio,
+           CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                AS DOUBLE) / len(words) AS alpha_frac
+    FROM w
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(round(mean_wl * 1000000.0) AS BIGINT) / 1000000.0
+           AS mean_word_len,
+       CAST(round(sym_ratio * 1000000.0) AS BIGINT) / 1000000.0
+           AS symbol_ratio,
+       CAST(round(alpha_frac * 1000000.0) AS BIGINT) / 1000000.0
+           AS alpha_word_frac,
+       CAST(n_words >= 5 AND n_words <= 100000
+            AND mean_wl >= 2.0 AND mean_wl <= 12.0
+            AND sym_ratio < 0.1 AND alpha_frac > 0.8 AS BIGINT) AS keep
+FROM r
+"""
+
+
+def q_distinct_word_fraction(sf_dir: str):
+    from ..stages.text import distinct_word_fraction
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return distinct_word_fraction(ds, text_col="text", id_col="doc_id")
+
+
+SQL_DISTINCT_WORD_FRACTION = r"""
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+       CAST(round((CAST(len(list_distinct(words)) AS DOUBLE) / len(words))
+                  * 1000000.0) AS BIGINT) / 1000000.0 AS distinct_frac
+FROM w
+"""
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII scrub lane: inject a deterministic contact string per doc (the
+    corpus has none), then regex-scrub emails and phone spans. The full
+    scrubbed text is compared, proving byte-identical RE2 replacement."""
+    import pyarrow.compute as pc
+
+    from ..stages.text import pii_scrub
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        contact = pc.binary_join_element_wise(
+            b["text"],
+            " contact user",
+            pc.cast(b["doc_id"], pa.string()),
+            "@mail.example.org call 555-0199.",
+            "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": contact})
+
+    return pii_scrub(
+        ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True),
+        text_col="text",
+        id_col="doc_id",
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH t AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.org call 555-0199.' AS text
+    FROM documents
+), e AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(
+               text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_emails,
+           regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS scrubbed
+    FROM t
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(scrubbed, '\b\d{3}-\d{4}\b'))
+           AS BIGINT) AS n_phones,
+       regexp_replace(scrubbed, '\b\d{3}-\d{4}\b', '<PHONE>', 'g')
+           AS scrubbed
+FROM e
+"""
+
+CORPUS_QUERIES.update(
+    {
+        "gopher_quality_documents": q_gopher_quality,
+        "distinct_word_fraction_documents": q_distinct_word_fraction,
+        "pii_scrub_documents": q_pii_scrub,
+    }
+)
+CORPUS_ORACLE_SQL.update(
+    {
+        "gopher_quality_documents": SQL_GOPHER_QUALITY,
+        "distinct_word_fraction_documents": SQL_DISTINCT_WORD_FRACTION,
+        "pii_scrub_documents": SQL_PII_SCRUB,
+    }
+)

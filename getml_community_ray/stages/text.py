@@ -186,3 +186,146 @@ def word_occurrence_columns(ds, *, text_col: str, words: list[str]):
         return pa.table(out)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gopher_quality(ds, *, text_col: str, id_col: str):
+    """Gopher-style document quality rules (Rae et al. 2021, table A1):
+    word-count bounds, mean word length bounds, symbol-to-word ratio,
+    alpha-word fraction — each emitted as a 6dp fixed-point ratio plus the
+    combined keep flag, so a filter pipeline is `keep == 1`.
+
+    Fully vectorized (one regex split per batch, Arrow kernels after);
+    ratios use the same CAST(round(x*1e6))/1e6 fixed point as
+    quality_scores so the DuckDB oracle is bit-exact."""
+
+    def fixed6(x: np.ndarray) -> pa.Array:
+        return pa.array(np.rint(x * 1e6) / 1e6)
+
+    def f(b: pa.Table) -> pa.Table:
+        txt = b[text_col].combine_chunks()
+        split = pc.split_pattern_regex(txt, pattern=_WORD_RE)
+        n_words = np.asarray(pc.list_value_length(split), dtype=np.float64)
+        n_chars = np.asarray(pc.utf8_length(txt), dtype=np.float64)
+        n_space = np.asarray(
+            pc.count_substring_regex(txt, pattern=r"\s"), dtype=np.float64
+        )
+        # mean word length == non-whitespace chars / words (split on \s+)
+        mean_wl = np.divide(
+            n_chars - n_space, n_words, out=np.zeros_like(n_words),
+            where=n_words > 0,
+        )
+        n_sym = np.asarray(
+            pc.count_substring_regex(txt, pattern=r"[#…]"), dtype=np.float64
+        )
+        sym_ratio = np.divide(
+            n_sym, n_words, out=np.zeros_like(n_words), where=n_words > 0
+        )
+        # fraction of words containing an alphabetic character
+        flat = split.flatten()
+        alpha = np.asarray(
+            pc.match_substring_regex(flat, pattern=r"[A-Za-z]").fill_null(False)
+        ).astype(np.float64)
+        offs = np.asarray(split.offsets, dtype=np.int64)
+        seg = offs[:-1] - offs[0]
+        lens = np.diff(offs)
+        if len(alpha) and len(seg) and seg[-1] < len(alpha):
+            n_alpha = np.add.reduceat(alpha, seg)
+        else:
+            n_alpha = np.zeros(len(b))
+        n_alpha = np.where(lens > 0, n_alpha, 0.0)
+        alpha_frac = np.divide(
+            n_alpha, n_words, out=np.zeros_like(n_words), where=n_words > 0
+        )
+        keep = (
+            (n_words >= 5)
+            & (n_words <= 100_000)
+            & (mean_wl >= 2.0)
+            & (mean_wl <= 12.0)
+            & (sym_ratio < 0.1)
+            & (alpha_frac > 0.8)
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_words": pa.array(n_words.astype(np.int64)),
+                "mean_word_len": fixed6(mean_wl),
+                "symbol_ratio": fixed6(sym_ratio),
+                "alpha_word_frac": fixed6(alpha_frac),
+                "keep": pa.array(keep.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def distinct_word_fraction(ds, *, text_col: str, id_col: str):
+    """Repetition signal: distinct-word fraction per document (the Gopher
+    duplicate-content family). Vectorized: one split per batch, a single
+    pandas factorize over the flattened words (C hash table), np.unique on
+    (doc, word-code) pairs, bincount per doc — no per-row Python."""
+    import pandas as pd
+
+    def f(b: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(b[text_col].combine_chunks())
+        split = pc.split_pattern_regex(txt, pattern=_WORD_RE)
+        flat = split.flatten()
+        offs = np.asarray(split.offsets, dtype=np.int64)
+        lens = np.diff(offs).astype(np.float64)
+        codes = pd.factorize(np.asarray(flat))[0].astype(np.int64)
+        doc_idx = np.repeat(
+            np.arange(len(b), dtype=np.int64), np.diff(offs - offs[0])
+        )
+        k = int(codes.max()) + 1 if len(codes) else 1
+        uniq = np.unique(doc_idx * k + codes)
+        n_dist = np.bincount((uniq // k).astype(np.int64), minlength=len(b)).astype(
+            np.float64
+        )
+        frac = np.divide(
+            n_dist, lens, out=np.zeros_like(n_dist), where=lens > 0
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_words": pa.array(lens.astype(np.int64)),
+                "n_distinct_words": pa.array(n_dist.astype(np.int64)),
+                "distinct_frac": pa.array(np.rint(frac * 1e6) / 1e6),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_scrub(ds, *, text_col: str, id_col: str):
+    """PII scrubbing for training corpora: replace emails / phone-shaped
+    spans with placeholder tokens, report per-doc match counts. Both the
+    engine (pyarrow.compute) and the DuckDB oracle run RE2, so the
+    replacements are bit-identical."""
+
+    def f(b: pa.Table) -> pa.Table:
+        txt = b[text_col]
+        n_email = pc.cast(
+            pc.count_substring_regex(txt, pattern=_EMAIL_RE), pa.int64()
+        )
+        scrub = pc.replace_substring_regex(
+            txt, pattern=_EMAIL_RE, replacement="<EMAIL>"
+        )
+        n_phone = pc.cast(
+            pc.count_substring_regex(scrub, pattern=_PHONE_RE), pa.int64()
+        )
+        scrub = pc.replace_substring_regex(
+            scrub, pattern=_PHONE_RE, replacement="<PHONE>"
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_emails": n_email,
+                "n_phones": n_phone,
+                "scrubbed": scrub,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
