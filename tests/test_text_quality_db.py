@@ -1,0 +1,161 @@
+"""Tests for the quality-filter text ops, PII scrub, the Arrow broadcast
+join, and the in-process DB connectors."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "aa aa aa aa aa aa",
+                    "### ## # 12 34",
+                    "",
+                ],
+            }
+        )
+    )
+
+
+def test_gopher_quality_rules(ray_session):
+    from getml_community_ray.stages.text import gopher_quality
+
+    out = (
+        gopher_quality(_docs_ds(), text_col="text", id_col="doc_id")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "keep"] == 1
+    assert out.loc[1, "n_words"] == 9
+    # doc 2: repeated 2-char words -> mean word length 2.0, alpha ok
+    assert out.loc[2, "mean_word_len"] == 2.0
+    # doc 3: symbol-heavy, no alpha words -> filtered
+    assert out.loc[3, "keep"] == 0
+    assert out.loc[3, "alpha_word_frac"] == 0.0
+    assert out.loc[4, "keep"] == 0
+
+
+def test_distinct_word_fraction(ray_session):
+    from getml_community_ray.stages.text import distinct_word_fraction
+
+    out = (
+        distinct_word_fraction(_docs_ds(), text_col="text", id_col="doc_id")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # "the" repeats -> 8 distinct / 9
+    assert out.loc[1, "n_distinct_words"] == 8
+    assert out.loc[1, "distinct_frac"] == round(8 / 9 * 1e6) / 1e6
+    assert out.loc[2, "n_distinct_words"] == 1
+
+
+def test_pii_scrub(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.text import pii_scrub
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "mail a.b+c@x.co or d@y.org now",
+                    "call 555-0100 and 555-0199 no mail",
+                ],
+            }
+        )
+    )
+    out = pii_scrub(ds, text_col="text", id_col="doc_id").to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert out.loc[1, "n_emails"] == 2
+    assert out.loc[1, "scrubbed"] == "mail <EMAIL> or <EMAIL> now"
+    assert out.loc[2, "n_phones"] == 2
+    assert out.loc[2, "scrubbed"] == "call <PHONE> and <PHONE> no mail"
+
+
+def test_broadcast_join_arrow_left_nullfill(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from getml_community_ray.stages.joins import broadcast_join
+
+    left = rd.from_arrow(
+        pa.table({"k": [1, 2, 3, 2, 9], "v": [10, 20, 30, 40, 50]})
+    )
+    right = pd.DataFrame({"k": [1, 2, 3], "name": ["a", "b", "c"]})
+    out = broadcast_join(left, right, on="k").to_pandas()
+    # left order preserved, no-match NULL-filled
+    assert list(out["v"]) == [10, 20, 30, 40, 50]
+    assert list(out["name"][:4]) == ["a", "b", "c", "b"]
+    assert out["name"].isna().iloc[4]
+
+    inner = broadcast_join(left, right, on="k", how="inner").to_pandas()
+    assert len(inner) == 4
+
+    dup = pd.DataFrame({"k": [1, 1], "name": ["a", "b"]})
+    with pytest.raises(ValueError):
+        broadcast_join(left, dup, on="k")
+
+
+def test_sqlite_roundtrip_partitioned(ray_session, tmp_path):
+    import ray.data as rd
+
+    from getml_community_ray.sources.db import (
+        read_sql,
+        read_sqlite_table,
+        write_sqlite_table,
+    )
+
+    db = str(tmp_path / "t.db")
+    n = 10_000
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": np.arange(n, dtype=np.int64),
+                "val": (np.arange(n, dtype=np.int64) * 7) % 1000,
+                "name": [f"r{i}" for i in range(n)],
+            }
+        )
+    )
+    assert write_sqlite_table(ds, db, "t") == n
+
+    back = read_sqlite_table(db, "t", num_partitions=7).to_pandas()
+    assert len(back) == n
+    back = back.sort_values("id").reset_index(drop=True)
+    assert list(back["id"]) == list(range(n))
+    assert back.loc[5, "name"] == "r5"
+
+    agg = read_sql(db, "SELECT COUNT(*) AS n, SUM(val) AS s FROM t").to_pandas()
+    assert agg.loc[0, "n"] == n
+    assert agg.loc[0, "s"] == int((((np.arange(n) * 7) % 1000)).sum())
+
+    # column pruning
+    two = read_sqlite_table(db, "t", columns=["id", "val"], num_partitions=3)
+    assert set(two.schema().names) == {"id", "val"}
+
+
+def test_duckdb_roundtrip(ray_session, tmp_path):
+    import duckdb
+
+    import ray.data as rd
+
+    from getml_community_ray.sources.db import read_sql, write_duckdb_table
+
+    db = str(tmp_path / "d.duckdb")
+    ds = rd.from_arrow(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}))
+    assert write_duckdb_table(ds, db, "t") == 3
+    out = read_sql(db, "SELECT * FROM t ORDER BY a", backend="duckdb").to_pandas()
+    assert list(out["a"]) == [1, 2, 3]
+    assert list(out["b"]) == ["x", "y", "z"]
