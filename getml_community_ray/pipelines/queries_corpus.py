@@ -513,3 +513,32 @@ CORPUS_ORACLE_SQL.update(
         "pii_scrub_documents": SQL_PII_SCRUB,
     }
 )
+
+
+def q_quantize_embeddings(sf_dir: str):
+    from ..stages.similarity import quantize_embeddings_int8
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return quantize_embeddings_int8(ds, vec_col="embedding", id_col="vec_id")
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH m AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                AS DOUBLE) AS max_abs
+    FROM embeddings
+)
+SELECT vec_id, max_abs,
+       CAST(CASE WHEN max_abs > 0 THEN list_sum(
+           list_transform(v, x -> floor(x * 127.0 / max_abs + 0.5)))
+           ELSE 0 END AS BIGINT) AS sum_q,
+       CAST(CASE WHEN max_abs > 0 THEN list_sum(
+           list_transform(v, x -> abs(floor(x * 127.0 / max_abs + 0.5))))
+           ELSE 0 END AS BIGINT) AS l1_q
+FROM m
+"""
+
+CORPUS_QUERIES["quantize_embeddings_int8"] = q_quantize_embeddings
+CORPUS_ORACLE_SQL["quantize_embeddings_int8"] = SQL_QUANTIZE_EMBEDDINGS
