@@ -160,9 +160,13 @@ def gapfill(
     source_col: str = "source",
     ts_col: str = "event_ts",
     value_col: str = "n_tok",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Hash-partition by source -> vectorized per-partition gap-fill."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
     stage = GapFiller(source_col=source_col, ts_col=ts_col, value_col=value_col)
 
     def add_part(b: pa.Table) -> pa.Table:

@@ -125,9 +125,13 @@ def window_features(
     memory_s: float = 600.0,
     aggs: tuple[str, ...] = ("count", "sum", "avg"),
     sql_frame_mode: bool = False,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Hash-partition by key, then vectorized per-partition window sweep."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
     stage = WindowFeatures(
         key_col=key_col,
         ts_col=ts_col,
@@ -166,7 +170,7 @@ def sessionize(
     ts_col: str,
     id_cols: list[str],
     gap_s: float = 1800.0,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Sessionization: per key, a new session starts when the gap to the
     previous event exceeds `gap_s`. Output adds `session_ix` (0-based per
@@ -176,6 +180,10 @@ def sessionize(
     (key, ts), gap > threshold -> cumsum) — the standard training-data
     sessionize, absent from the reference (its windows are horizon/memory
     per prediction row) but required corpus surface."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
     gap_us = int(gap_s * US)
 
     def part_fn(batch: pa.Table) -> pa.Table:
