@@ -159,3 +159,43 @@ def test_duckdb_roundtrip(ray_session, tmp_path):
     out = read_sql(db, "SELECT * FROM t ORDER BY a", backend="duckdb").to_pandas()
     assert list(out["a"]) == [1, 2, 3]
     assert list(out["b"]) == ["x", "y", "z"]
+
+
+def test_quantize_embeddings_int8(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.similarity import quantize_embeddings_int8
+
+    vecs = [[1.0, -2.0, 0.5], [0.0, 0.0, 0.0], [3.0, 3.0, 3.0]]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": [1, 2, 3],
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = (
+        quantize_embeddings_int8(ds, vec_col="embedding", id_col="vec_id")
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    # v=[1,-2,.5], max=2 -> q=[64,-127,32] (floor(x*127/2+0.5))
+    assert out.loc[1, "sum_q"] == 64 - 127 + 32
+    assert out.loc[1, "l1_q"] == 64 + 127 + 32
+    assert out.loc[2, "sum_q"] == 0 and out.loc[2, "max_abs"] == 0.0
+    assert out.loc[3, "sum_q"] == 3 * 127
+
+
+def test_auto_partitions(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.partitioning import auto_partitions
+
+    # cluster floor: at least 32, at least 2 per CPU
+    n = auto_partitions(None)
+    assert n >= 32
+    # file-backed dataset: grows with input bytes, capped
+    ds = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    assert 32 <= auto_partitions(ds) <= 4096
