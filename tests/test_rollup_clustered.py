@@ -212,3 +212,86 @@ def test_validate_rejects_overlapping_runs_same_batch():
     # non-overlapping split runs are fine
     ts2 = np.array([0, 10, 20, 5, 6, 30, 40, 50], dtype=np.int64) * 10**6
     _validate_clustered(src, ts2)
+
+
+def test_fused_lanes_equal_two_pass(corpus, ray_session):
+    """The fused single-pass lanes (vouched clustered layout, post-hoc
+    boundary-interval verification) must equal the two-pass clustered
+    lanes exactly."""
+    import glob
+
+    from getml_community_ray.pipelines.rollup import (
+        read_clustered_paths,
+        rollup_decomposable_clustered_fused,
+        rollup_holistic_clustered_fused,
+    )
+
+    paths = sorted(glob.glob(f"{corpus}/*.parquet"))
+    cols = ["source", "event_ts", "n_tok"]
+
+    cfg = RollupConfig(
+        retention={}, num_partitions=4, cache_intermediates=False,
+        assume_clustered=True,
+    )
+    a = _sorted_df(rollup_decomposable_clustered_fused(paths, cfg))
+    b = _sorted_df(
+        rollup_decomposable_clustered_long(
+            read_clustered_paths(paths, columns=cols), cfg
+        )
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    cfg2 = RollupConfig(
+        aggs=HOL_AGGS, retention={}, num_partitions=4,
+        cache_intermediates=False, assume_clustered=True,
+    )
+    c = _sorted_df(rollup_holistic_clustered_fused(paths, cfg2))
+    d = _sorted_df(
+        rollup_holistic_clustered_long(
+            read_clustered_paths(paths, columns=cols), cfg2
+        )
+    )
+    pd.testing.assert_frame_equal(c, d)
+
+
+def test_fused_vouch_violation_fails_loudly(tmp_path, ray_session):
+    """assume_clustered=True on a corpus whose per-source ranges DO overlap
+    across files must raise (post-hoc boundary-interval check), never
+    silently double-emit interior buckets."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from getml_community_ray.pipelines.rollup import (
+        rollup_decomposable_clustered_fused,
+    )
+
+    d = str(tmp_path)
+
+    def shard(path, t0):
+        n = 5000
+        ts = (np.arange(n, dtype=np.int64) * 1_000_000 + t0).astype(
+            "datetime64[us]"
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "source": pa.array(["s0"] * n),
+                    "event_ts": pa.array(ts),
+                    "n_tok": pa.array(np.arange(n, dtype=np.int32)),
+                }
+            ),
+            path,
+        )
+
+    a, b = os.path.join(d, "a.parquet"), os.path.join(d, "b.parquet")
+    shard(a, 0)
+    shard(b, 1_000_000_000)  # overlaps a's interior (a spans ~5000s)
+
+    cfg = RollupConfig(
+        retention={}, num_partitions=2, cache_intermediates=False,
+        assume_clustered=True,
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        rollup_decomposable_clustered_fused([a, b], cfg).count()
