@@ -564,28 +564,52 @@ def simhash_candidates(
         )
 
     def verify(group: pa.Table) -> pa.Table:
+        """Exact hamming verify within one (band, band_val) bucket.
+
+        Bounded memory for degenerate buckets (e.g. near-empty docs all
+        hashing to band 0): the pairwise XOR is computed in row CHUNKS of
+        ~4M cells (O(chunk x g), never O(g^2) at once), and popcount uses
+        a 16-bit lookup table (4 gathers) instead of a 64-iteration shift
+        loop. Time in a hot bucket is inherently O(g^2) — any pair it
+        contains must be emitted — but one bucket can no longer OOM a
+        task."""
         ids = np.asarray(group[id_col])
         s = np.asarray(group["simhash"]).astype(np.uint64)
-        if len(ids) < 2:
-            return pa.table(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                    "hamming": pa.array([], type=pa.int64()),
-                }
+        g = len(ids)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+        if g < 2:
+            return empty
+        lut = _pop16_lut()
+        chunk = max(1, 4_000_000 // g)
+        out_a, out_b, out_h = [], [], []
+        for lo in range(0, g, chunk):
+            hi = min(g, lo + chunk)
+            x = s[lo:hi, None] ^ s[None, :]
+            ham = (
+                lut[(x & np.uint64(0xFFFF)).astype(np.intp)].astype(np.int64)
+                + lut[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.intp)]
+                + lut[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.intp)]
+                + lut[(x >> np.uint64(48)).astype(np.intp)]
             )
-        x = s[:, None] ^ s[None, :]
-        ham = np.zeros(x.shape, dtype=np.int64)
-        v = x.copy()
-        for _ in range(64):
-            ham += (v & np.uint64(1)).astype(np.int64)
-            v >>= np.uint64(1)
-        ii, jj = np.nonzero((ham <= max_hamming) & (ids[:, None] < ids[None, :]))
+            ii, jj = np.nonzero(
+                (ham <= max_hamming) & (ids[lo:hi, None] < ids[None, :])
+            )
+            out_a.append(ids[ii + lo].astype(np.int64))
+            out_b.append(ids[jj].astype(np.int64))
+            out_h.append(ham[ii, jj])
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "id_a": pa.array(ids[ii].astype(np.int64)),
-                "id_b": pa.array(ids[jj].astype(np.int64)),
-                "hamming": pa.array(ham[ii, jj]),
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+                "hamming": pa.array(np.concatenate(out_h)),
             }
         )
 
@@ -600,3 +624,21 @@ def simhash_candidates(
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
+
+
+_POP16 = None
+
+
+def _pop16_lut() -> np.ndarray:
+    """16-bit popcount lookup table, built once per process."""
+    global _POP16
+    if _POP16 is None:
+        _POP16 = (
+            np.unpackbits(
+                np.arange(65536, dtype=">u2").view(np.uint8).reshape(-1, 2),
+                axis=1,
+            )
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+    return _POP16
