@@ -68,6 +68,11 @@ class RollupConfig:
     # file must be pairwise non-overlapping) — a wrong vouch fails loudly
     # instead of double-emitting. False: always the unclustered lane.
     assume_clustered: bool | str = "auto"
+    # fused-lane task granularity: a file larger than this splits into
+    # row-group spans (footer-only planning), so one 10 GB file cannot
+    # become one 10 GB task; a span cut inside a source-run just makes
+    # the cut bucket boundary on both sides (merged exactly downstream).
+    max_task_rows: int = 8_000_000
 
 
 def _tier_widths_ok(tiers: dict[str, int]) -> list[tuple[str, int]]:
@@ -577,10 +582,48 @@ def _check_boundary_intervals(
             prev_max, prev_path = row["max"], row["_path"]
 
 
-def _fused_paths_ds(paths: list[str]):
+def _fused_task_items(paths: list[str], max_rows: int):
+    """One work item per (path, row-group span), spans sized <= max_rows
+    from footer metadata only. Small files stay one task; a huge file
+    splits into row-group ranges so no single task decodes more than
+    ~max_rows — the boundary rule is per source-RUN within a task's
+    table, so a span cut inside a run just turns that cut bucket into a
+    boundary bucket on both sides (merged exactly downstream)."""
+    import pyarrow.parquet as pq
+
+    items = []
+    for p in sorted(paths):
+        md = pq.ParquetFile(p).metadata
+        nrg = md.num_row_groups
+        if nrg == 0 or md.num_rows == 0:
+            continue
+        lo, acc = 0, 0
+        for g in range(nrg):
+            acc += md.row_group(g).num_rows
+            if acc >= max_rows:
+                items.append({"path": p, "lo": lo, "hi": g + 1})
+                lo, acc = g + 1, 0
+        if lo < nrg:
+            items.append({"path": p, "lo": lo, "hi": nrg})
+    return items
+
+
+def _fused_items_ds(items: list[dict]):
     import ray.data as rd
 
-    return rd.from_items(sorted(paths), override_num_blocks=len(paths))
+    return rd.from_items(items, override_num_blocks=max(1, len(items)))
+
+
+def _read_span(path: str, lo: int, hi: int, columns: list[str]) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    try:
+        return pf.read_row_groups(
+            list(range(lo, hi)), columns=columns, use_threads=False
+        )
+    finally:
+        pf.close()
 
 
 def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
@@ -610,13 +653,16 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
         else [cfg.value_col]
     )
     acc = _boundary_accumulator()
+    items = _fused_task_items(paths, cfg.max_task_rows)
 
     def task(batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
         outs = []
-        for p in batch["item"]:
-            t = pq.read_table(str(p), columns=cols, use_threads=False)
+        for p, lo, hi in zip(
+            batch["path"].to_pylist(),
+            batch["lo"].to_pylist(),
+            batch["hi"].to_pylist(),
+        ):
+            t = _read_span(str(p), int(lo), int(hi), cols)
             parts = R.tiered_partials_clustered(
                 t,
                 source_col=cfg.source_col,
@@ -626,7 +672,7 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
                 first_last=need_fl,
             )
             bmask = parts["_boundary"].combine_chunks()
-            ray.get(acc.put.remote(str(p), parts.filter(bmask)))
+            ray.get(acc.put.remote(f"{p}#{lo}", parts.filter(bmask)))
             inner = parts.filter(pc.invert(bmask))
             fin = R.finalize_tiered(inner, aggs=cfg.aggs)
             if fin is not None:
@@ -638,7 +684,7 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
             return fin.add_column(0, "tier", pa.array([], type=pa.string()))
         return pa.concat_tables(outs)
 
-    interior = _fused_paths_ds(paths).map_batches(
+    interior = _fused_items_ds(items).map_batches(
         task, batch_format="pyarrow", batch_size=None
     ).materialize()
     parts = ray.get(acc.collect_parts.remote())
@@ -767,15 +813,19 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
 
     _ray.get(reg.collect.remote())
 
-    n_merge = max(4, min(64, len(paths) // 4 or 1))
+    items = _fused_task_items(paths, cfg.max_task_rows)
+    n_merge = max(4, min(64, len(items) // 4 or 1))
 
     def task(batch: pa.Table) -> pa.Table:
         import numpy as np
-        import pyarrow.parquet as pq
 
         outs = []
-        for p in batch["item"]:
-            t = pq.read_table(str(p), columns=cols, use_threads=False)
+        for p, lo, hi in zip(
+            batch["path"].to_pylist(),
+            batch["lo"].to_pylist(),
+            batch["hi"].to_pylist(),
+        ):
+            t = _read_span(str(p), int(lo), int(hi), cols)
             st = hc.states(t)
             hull = _source_ts_hulls(
                 t, source_col=cfg.source_col, ts_col=cfg.ts_col
@@ -786,11 +836,11 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
                 ray.put(st.filter(pa.array(shard == s)), _owner=reg)
                 for s in range(n_merge)
             ]
-            ray.get(reg.put.remote(str(p), refs, hull))
+            ray.get(reg.put.remote(f"{p}#{lo}", refs, hull))
             outs.append(hc.interior(t))
         return pa.concat_tables(outs) if outs else hc.final_schema().empty_table()
 
-    interior = _fused_paths_ds(paths).map_batches(
+    interior = _fused_items_ds(items).map_batches(
         task, batch_format="pyarrow", batch_size=None
     ).materialize()
     entries = ray.get(reg.collect.remote())
@@ -801,10 +851,10 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
 
     @ray.remote
     def merge_shard(*tables):
-        tbl = pa.concat_tables([t for t in tables if len(t)])
-        if len(tbl) == 0:
+        nonempty = [t for t in tables if len(t)]
+        if not nonempty:
             return hc.final_schema().empty_table()
-        return hc.merge(tbl)
+        return hc.merge(pa.concat_tables(nonempty))
 
     per_file_refs = [r for _, (r, _) in sorted(entries.items())]
     final_refs = [

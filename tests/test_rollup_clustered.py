@@ -295,3 +295,62 @@ def test_fused_vouch_violation_fails_loudly(tmp_path, ray_session):
     )
     with pytest.raises(ValueError, match="overlap"):
         rollup_decomposable_clustered_fused([a, b], cfg).count()
+
+
+def test_fused_row_group_split_equal(tmp_path, ray_session):
+    """A file bigger than max_task_rows splits into row-group spans; a
+    span cut inside a source-run must produce identical results (cut
+    buckets become boundary on both sides and merge exactly)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from getml_community_ray.pipelines.rollup import (
+        _fused_task_items,
+        rollup_decomposable_clustered_fused,
+        rollup_decomposable_long,
+        rollup_holistic_clustered_fused,
+        rollup_holistic_long,
+    )
+
+    # one file, two sorted source runs, tiny row groups
+    n = 6000
+    half = n // 2
+    ts = np.concatenate(
+        [np.arange(half), np.arange(half)]
+    ) * 7_000_000 + 1_000_000_000
+    src = np.array(["a"] * half + ["b"] * half)
+    p = os.path.join(str(tmp_path), "big.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array(src),
+                "event_ts": pa.array(ts.astype("datetime64[us]")),
+                "n_tok": pa.array((np.arange(n) * 13 % 97).astype(np.int32)),
+            }
+        ),
+        p,
+        row_group_size=500,
+    )
+
+    cfg = RollupConfig(
+        retention={}, num_partitions=3, cache_intermediates=False,
+        assume_clustered=True, max_task_rows=1200,
+    )
+    items = _fused_task_items([p], cfg.max_task_rows)
+    assert len(items) >= 4  # the file actually split
+
+    want = _sorted_df(rollup_decomposable_long(rd.read_parquet(p), cfg))
+    got = _sorted_df(rollup_decomposable_clustered_fused([p], cfg))
+    pd.testing.assert_frame_equal(got, want)
+
+    cfg2 = RollupConfig(
+        aggs=HOL_AGGS, retention={}, num_partitions=3,
+        cache_intermediates=False, assume_clustered=True, max_task_rows=1200,
+    )
+    want2 = _sorted_df(rollup_holistic_long(rd.read_parquet(p), cfg2))
+    got2 = _sorted_df(rollup_holistic_clustered_fused([p], cfg2))
+    pd.testing.assert_frame_equal(got2, want2)
