@@ -107,23 +107,32 @@ def run_once() -> dict:
     # same-session residue (object-store fill from the first lane) was
     # measured to slow the second lane ~1.5-2x.
     ray.shutdown()
+    # best-of-2 per lane: this VM's throughput swings up to 3x with
+    # neighbor load (see BASELINE.md methodology); hypervisor steal only
+    # ever slows a run down, so the minimum approaches the machine's true
+    # capability — same rule the --scaling mode uses.
+    lane_reps = int(os.environ.get("GRAFT_HEADLINE_REPS", "2"))
     headline_sec = 0.0
     points = 0
     for lane in ("decomp", "holo"):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--lane", lane],
-            env=dict(
-                os.environ,
-                GRAFT_BENCH_ROWS=str(N_ROWS),
-                GRAFT_BENCH_TOKENS="1" if WITH_TOKENS else "0",
-            ),
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        r = json.loads(out.strip().splitlines()[-1])
-        headline_sec += r["sec"]
-        points += r["points"]
+        best = None
+        for _ in range(lane_reps):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--lane", lane],
+                env=dict(
+                    os.environ,
+                    GRAFT_BENCH_ROWS=str(N_ROWS),
+                    GRAFT_BENCH_TOKENS="1" if WITH_TOKENS else "0",
+                ),
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+        headline_sec += best["sec"]
+        points += best["points"]
     pps = points / headline_sec
 
     ray.init(
@@ -292,7 +301,9 @@ def run_scaling() -> dict:
     steal%% from /proc/stat is attached to every sample."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling does its own interleaved best-of-reps; keep each child
+        # run single-shot
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_REPS="1")
         s0 = _read_proc_stat()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

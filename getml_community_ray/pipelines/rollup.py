@@ -830,13 +830,21 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
             hull = _source_ts_hulls(
                 t, source_col=cfg.source_col, ts_col=cfg.ts_col
             )
-            shard = np.asarray(st["_part"]) % n_merge
-            st = st.drop_columns(["_part"])
-            refs = [
-                ray.put(st.filter(pa.array(shard == s)), _owner=reg)
-                for s in range(n_merge)
-            ]
-            ray.get(reg.put.remote(f"{p}#{lo}", refs, hull))
+            # ONE object per task: states sorted by merge shard + an
+            # offsets vector. Per-shard ray.put (n_merge x more objects)
+            # measured 2.5x the put cost under 32-worker contention, and
+            # _owner transfer serializes on the registry — so batch it;
+            # merge task s zero-copy-slices [offs[s], offs[s+1]).
+            shard = (np.asarray(st["_part"]) % n_merge).astype(np.int64)
+            order = np.argsort(shard, kind="stable")
+            st_sorted = (
+                st.drop_columns(["_part"]).take(pa.array(order)).combine_chunks()
+            )
+            offs = np.concatenate(
+                [[0], np.cumsum(np.bincount(shard, minlength=n_merge))]
+            ).tolist()
+            ref = ray.put(st_sorted, _owner=reg)
+            ray.get(reg.put.remote(f"{p}#{lo}", (ref, offs), hull))
             outs.append(hc.interior(t))
         return pa.concat_tables(outs) if outs else hc.final_schema().empty_table()
 
@@ -850,16 +858,21 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
         return interior
 
     @ray.remote
-    def merge_shard(*tables):
-        nonempty = [t for t in tables if len(t)]
+    def merge_shard(s, offsets, *tables):
+        parts = [
+            t.slice(off[s], off[s + 1] - off[s])
+            for t, off in zip(tables, offsets)
+        ]
+        nonempty = [p for p in parts if len(p)]
         if not nonempty:
             return hc.final_schema().empty_table()
         return hc.merge(pa.concat_tables(nonempty))
 
-    per_file_refs = [r for _, (r, _) in sorted(entries.items())]
+    sorted_entries = [v for _, (v, _) in sorted(entries.items())]
+    refs = [r for r, _ in sorted_entries]
+    offsets = [o for _, o in sorted_entries]
     final_refs = [
-        merge_shard.remote(*[refs[s] for refs in per_file_refs])
-        for s in range(n_merge)
+        merge_shard.remote(s, offsets, *refs) for s in range(n_merge)
     ]
     boundary = rd.from_arrow_refs(final_refs).materialize()
     ray.kill(reg)
