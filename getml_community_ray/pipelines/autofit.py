@@ -470,7 +470,10 @@ def autofit(population_ds, peripheral_ds, spec: AutoFitSpec, *,
             target_col: str) -> AutoFitResult:
     """Enumerate -> evaluate on the sampled population -> score every
     candidate's simple-OLS R² against the target in ONE streaming
-    partial-moment pass -> keep the top num_features (r² desc, name asc)."""
+    partial-moment pass -> keep the top num_features (r² rounded 6dp desc,
+    name asc — the same fixed-point ranking as the SQL twin, so last-ulp
+    differences in distributed float summation can never flip the selected
+    set between runs)."""
     from ..stages.predictors import select_features
 
     category_values = _discover_categories(peripheral_ds, spec)
@@ -479,12 +482,15 @@ def autofit(population_ds, peripheral_ds, spec: AutoFitSpec, *,
         population_ds, peripheral_ds, spec, candidates,
         target_col=target_col, sample=True,
     )
-    top = select_features(
+    scored = select_features(
         feats,
         feature_cols=[c.name for c in candidates],
         target_col=target_col,
-        k=spec.num_features,
+        k=len(candidates),
     )
+    scored = [(name, float(np.rint(r2 * 1e6) / 1e6)) for name, r2 in scored]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    top = scored[: spec.num_features]
     chosen = {name for name, _ in top}
     selected = [c for c in candidates if c.name in chosen]
     return AutoFitResult(
