@@ -542,3 +542,152 @@ FROM m
 
 CORPUS_QUERIES["quantize_embeddings_int8"] = q_quantize_embeddings
 CORPUS_ORACLE_SQL["quantize_embeddings_int8"] = SQL_QUANTIZE_EMBEDDINGS
+
+
+# ---------------------------------------------------------------------------
+# Corpus-composition lanes: Gopher repetition filters, deterministic
+# mixture sampling, concat-and-chunk sequence packing (stages/packing.py,
+# stages/text.ngram_repetition).
+# ---------------------------------------------------------------------------
+
+def q_ngram_repetition(sf_dir: str):
+    from ..stages.text import ngram_repetition
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_repetition(ds, text_col="text", id_col="doc_id",
+                            n_top=2, n_dup=3)
+
+
+SQL_NGRAM_REPETITION = r"""
+WITH w AS (
+    SELECT doc_id, len(lower(text)) AS n_chars,
+           regexp_split_to_array(lower(text), '\s+') AS words
+    FROM documents
+), g2 AS (
+    SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i + 1])) AS gram
+    FROM w
+), c2 AS (
+    SELECT doc_id, gram, count(*) AS cnt, len(gram) AS gchars
+    FROM g2 GROUP BY doc_id, gram
+), t2 AS (
+    SELECT doc_id, cnt * gchars AS top_chars,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram ASC) AS rn
+    FROM c2
+), g3 AS (
+    SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(words) - 2),
+               i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]))
+               AS gram
+    FROM w
+), c3 AS (
+    SELECT doc_id, gram, count(*) AS cnt, len(gram) AS gchars
+    FROM g3 GROUP BY doc_id, gram
+), d3 AS (
+    SELECT doc_id,
+           sum(CASE WHEN cnt > 1 THEN cnt * gchars ELSE 0 END) AS dup_chars
+    FROM c3 GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(round(coalesce(t2.top_chars, 0)
+                  / CASE WHEN w.n_chars > 0 THEN w.n_chars ELSE 1 END
+                  * 1000000.0) AS BIGINT) / 1000000.0 AS top2_frac,
+       CAST(round(coalesce(d3.dup_chars, 0)
+                  / CASE WHEN w.n_chars > 0 THEN w.n_chars ELSE 1 END
+                  * 1000000.0) AS BIGINT) / 1000000.0 AS dup3_frac
+FROM w
+LEFT JOIN t2 ON t2.doc_id = w.doc_id AND t2.rn = 1
+LEFT JOIN d3 ON d3.doc_id = w.doc_id
+"""
+
+
+MIXTURE_WEIGHTS = {f"src{i}": 0.125 + (i % 4) * 0.25 for i in range(20)}
+
+
+def q_mixture_sample(sf_dir: str):
+    from ..stages.packing import mixture_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return mixture_sample(ds, id_col="doc_id", source_col="source",
+                          weights=MIXTURE_WEIGHTS)
+
+
+def _sql_mixture_sample() -> str:
+    from ..stages.packing import mixture_sample_sql
+
+    return mixture_sample_sql("documents", id_col="doc_id",
+                              source_col="source", weights=MIXTURE_WEIGHTS)
+
+
+PACK_CONTEXT_LEN = 2048
+PACK_SHARDS = 4
+
+
+def q_sequence_packing(sf_dir: str):
+    """Concat-and-chunk packing over the documents table: token counts
+    from the BPE-ish lexer, 4 deterministic shards per source, context
+    2048 — emits every document's (bin_id, bin_offset) layout."""
+    import pyarrow.compute as pc
+
+    from ..stages.packing import pack_documents
+    from ..stages.text import _BPE_ASCII_RE  # noqa: F401 (regex parity)
+    import re
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    bpe = re.compile(r"\w{1,4}|[^\w\s]", re.ASCII)
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        txt = np.asarray(b["text"]).astype(str)
+        n = np.fromiter(
+            (len(bpe.findall(t)) for t in txt), count=len(txt),
+            dtype=np.int64,
+        )
+        return pa.table({
+            "doc_id": b["doc_id"], "source": b["source"],
+            "n_tokens": pa.array(n),
+        })
+
+    return pack_documents(
+        ds.map_batches(count_tokens, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        id_col="doc_id", source_col="source", n_tok_col="n_tokens",
+        context_len=PACK_CONTEXT_LEN, num_shards=PACK_SHARDS,
+    )
+
+
+SQL_SEQUENCE_PACKING = rf"""
+WITH t AS (
+    SELECT doc_id, source, doc_id % {PACK_SHARDS} AS shard,
+           CAST(len(regexp_extract_all(text, '\w{{1,4}}|[^\w\s]'))
+                AS BIGINT) AS n_tokens
+    FROM documents
+), s AS (
+    SELECT *,
+           coalesce(SUM(n_tokens) OVER (
+               PARTITION BY source, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start
+    FROM t
+)
+SELECT doc_id, source, shard, n_tokens,
+       CAST(start // {PACK_CONTEXT_LEN} AS BIGINT) AS bin_id,
+       CAST(start % {PACK_CONTEXT_LEN} AS BIGINT) AS bin_offset
+FROM s
+"""
+
+CORPUS_QUERIES.update(
+    {
+        "ngram_repetition_documents": q_ngram_repetition,
+        "mixture_sample_documents": q_mixture_sample,
+        "sequence_packing_documents": q_sequence_packing,
+    }
+)
+CORPUS_ORACLE_SQL.update(
+    {
+        "ngram_repetition_documents": SQL_NGRAM_REPETITION,
+        "mixture_sample_documents": _sql_mixture_sample(),
+        "sequence_packing_documents": SQL_SEQUENCE_PACKING,
+    }
+)

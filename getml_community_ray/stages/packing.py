@@ -1,0 +1,167 @@
+"""Corpus-composition operators for LLM training-data pipelines:
+deterministic source-weighted mixture sampling and concat-and-chunk
+sequence packing.
+
+Neither exists in the reference (its corpus surface is tabular feature
+engineering), but both are required stages of any 100 TB pretraining
+pipeline: mixing decides WHICH documents enter the corpus, packing
+decides HOW documents are laid out into fixed-length training sequences.
+Both are expressed as pure Ray Data transforms with exact DuckDB twins:
+
+- `mixture_sample`: keep a row iff splitmix64(id) < floor(weight[source]
+  * 2^64). The per-row hash is the engine's vectorized splitmix64
+  (kernels/hashing.py:36) and the threshold is an exact integer computed
+  once on the driver, so engine and SQL oracle agree bit-for-bit. No
+  shuffle — a stateless `map_batches` filter, trivially linear at scale.
+
+- `pack_documents`: GPT-style concat-and-chunk packing. Documents are
+  ordered by id within a (source, shard = id % num_shards) stream; each
+  document's start offset is the exclusive prefix sum of token counts in
+  that stream, its bin is floor(start / context_len). Sharding makes the
+  prefix sum embarrassingly parallel (one vectorized pass per hash
+  partition — the sessionize pattern, stages/windows.py:166) and mirrors
+  how real pipelines pack per input shard rather than globally. The
+  whole layout is a window function in SQL, so the oracle is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.hashing import splitmix64
+from .rollup import crc_hash_sources
+
+_M64 = 1 << 64
+
+
+def mixture_thresholds(weights: dict[str, float]) -> dict[str, int]:
+    """Exact integer keep-thresholds: floor(clamp(w) * 2^64). Computed in
+    arbitrary-precision Python once so the engine comparison and the SQL
+    HUGEINT literal are the same number."""
+    from fractions import Fraction
+
+    out = {}
+    for s, w in weights.items():
+        w = min(max(float(w), 0.0), 1.0)
+        out[s] = min(int(Fraction(w) * _M64), _M64)  # exact floor
+    return out
+
+
+def mixture_sample(ds, *, id_col: str, source_col: str,
+                   weights: dict[str, float]):
+    """Deterministic source-weighted subsample (data mixing / temperature
+    reweighting): keep a row iff splitmix64(id) < floor(weight[source] *
+    2^64). Rows from sources absent from `weights` are dropped. The same
+    id always gets the same verdict at any scale or partitioning — the
+    sample is reproducible and resumable by construction."""
+    thr = mixture_thresholds(weights)
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64).view(np.uint64)
+        h = splitmix64(ids)
+        src = np.asarray(b[source_col]).astype(str)
+        keep = np.zeros(len(b), dtype=bool)
+        for s, t in thr.items():
+            m = src == s
+            if t >= _M64:
+                keep |= m
+            elif t > 0:
+                keep |= m & (h < np.uint64(t))
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mixture_sample_sql(table: str, *, id_col: str, source_col: str,
+                       weights: dict[str, float],
+                       extra_cols: tuple[str, ...] = ()) -> str:
+    """DuckDB twin of `mixture_sample` via the splitmix64 SQL fragments."""
+    from ..kernels.hashing import sql_splitmix64_cols
+
+    thr = mixture_thresholds(weights)
+    cases = " ".join(
+        f"WHEN '{s}' THEN CAST({t} AS HUGEINT)" for s, t in sorted(thr.items())
+    )
+    cols = ", ".join((id_col, source_col) + tuple(extra_cols))
+    mix = ",\n       ".join(
+        sql_splitmix64_cols(f"CAST({id_col} AS UBIGINT)", "h")
+    )
+    return f"""
+WITH m AS (
+    SELECT {cols},
+       {mix}
+    FROM {table}
+)
+SELECT {cols}
+FROM m
+WHERE CAST(hout AS HUGEINT) < CASE {source_col} {cases} ELSE -1 END
+"""
+
+
+def pack_documents(ds, *, id_col: str, source_col: str, n_tok_col: str,
+                   context_len: int, num_shards: int = 8,
+                   num_partitions: int | None = None):
+    """Concat-and-chunk sequence packing: within each (source,
+    shard = id % num_shards) stream ordered by id, a document's tokens
+    start at the exclusive prefix sum of the stream's token counts;
+    `bin_id` = start // context_len and `bin_offset` = start %
+    context_len. Documents may straddle bin boundaries (the standard
+    pretraining layout — no padding, no document drops).
+
+    One hash shuffle on (source, shard), then a single vectorized
+    lexsort + segmented cumsum per partition. Partition count is a
+    memory knob only: every (source, shard) stream lands whole in
+    exactly one partition, so results are partitioning-invariant."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+    C = int(context_len)
+    S = int(num_shards)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        src = crc_hash_sources(np.asarray(b[source_col]).astype(str))
+        shard = np.asarray(b[id_col], dtype=np.int64) % S
+        part = ((src * 31 + shard) * 0x9E3779B1) % num_partitions
+        return b.append_column("_part", pa.array(part.astype(np.int64)))
+
+    def part_fn(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        ntok = np.asarray(b[n_tok_col], dtype=np.int64)
+        src = np.asarray(b[source_col]).astype(str)
+        shard = ids % S
+        # stream id = dense code of (source, shard)
+        _, scode = np.unique(src, return_inverse=True)
+        stream = scode * S + shard
+        order = np.lexsort((ids, stream))
+        st, nt = stream[order], ntok[order]
+        cs = np.cumsum(nt) - nt  # exclusive prefix sum, global
+        seg_first = np.ones(len(st), dtype=bool)
+        if len(st) > 1:
+            seg_first[1:] = st[1:] != st[:-1]
+        # subtract each stream's starting offset
+        seg_id = np.cumsum(seg_first) - 1
+        start = cs - cs[seg_first][seg_id]
+        take = pa.array(order)
+        return pa.table(
+            {
+                id_col: b[id_col].combine_chunks().take(take),
+                source_col: b[source_col].combine_chunks().take(take),
+                "shard": pa.array(shard[order]),
+                n_tok_col: b[n_tok_col].combine_chunks().take(take),
+                "bin_id": pa.array(start // C),
+                "bin_offset": pa.array(start % C),
+            }
+        )
+
+    cols = list(dict.fromkeys([id_col, source_col, n_tok_col]))
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda t: part_fn(t.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -329,3 +329,100 @@ def pii_scrub(ds, *, text_col: str, id_col: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_repetition(ds, *, text_col: str, id_col: str,
+                     n_top: int = 2, n_dup: int = 3):
+    """Gopher/MassiveText repetition filters (Rae et al. 2021, table A1):
+
+    - ``top{n}_frac``: characters covered by the MOST frequent word
+      n-gram — count * len(gram) / len(text); ties resolve to the
+      lexicographically smallest gram so the DuckDB oracle's
+      ``row_number() OVER (ORDER BY cnt DESC, gram ASC)`` agrees exactly.
+    - ``dup{n}_frac``: sum over n-grams occurring MORE THAN ONCE of
+      count * len(gram) / len(text). Overlap-agnostic upper bound of the
+      original rule (Gopher counts overlapping characters once — a
+      sequential per-doc scan); documented divergence, identical on both
+      the engine and oracle side.
+
+    Grams are built zero-copy from the flattened word array with ONE
+    ``binary_join_element_wise`` per n (no per-row Python); counting is a
+    single pandas factorize (C hash table) + np.unique over packed
+    (doc, gram-code) keys, the per-doc argmax a lexsort over the distinct
+    entries. Words split on whitespace over lowercased text, matching the
+    rest of this module's quality signals."""
+    import pandas as pd
+
+    def gram_stats(flat: pa.Array, doc_idx: np.ndarray, n_docs: int,
+                   n: int):
+        """(top_chars, dup_chars) per doc for one n."""
+        m = len(flat) - (n - 1)
+        top = np.zeros(n_docs, dtype=np.float64)
+        dup = np.zeros(n_docs, dtype=np.float64)
+        if m <= 0:
+            return top, dup
+        parts = [flat.slice(j, m) for j in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        valid = doc_idx[: m] == doc_idx[n - 1:]
+        gsel = np.asarray(grams)[valid]
+        dsel = doc_idx[:m][valid]
+        if not len(gsel):
+            return top, dup
+        codes, uniq = pd.factorize(gsel)
+        glen = np.asarray(
+            pc.utf8_length(pa.array(uniq)), dtype=np.float64
+        )
+        k = len(uniq)
+        packed, counts = np.unique(dsel * k + codes, return_counts=True)
+        e_doc = packed // k
+        e_code = (packed % k).astype(np.int64)
+        e_chars = glen[e_code]
+        # top gram per doc: order by (doc asc, count desc, gram asc)
+        order = np.lexsort((uniq[e_code], -counts, e_doc))
+        first = np.ones(len(order), dtype=bool)
+        d_s = e_doc[order]
+        if len(d_s) > 1:
+            first[1:] = d_s[1:] != d_s[:-1]
+        sel = order[first]
+        top[e_doc[sel]] = counts[sel] * e_chars[sel]
+        dmask = counts > 1
+        if dmask.any():
+            dup += np.bincount(
+                e_doc[dmask], weights=counts[dmask] * e_chars[dmask],
+                minlength=n_docs,
+            )
+        return top, dup
+
+    def fixed6(x: np.ndarray) -> pa.Array:
+        # half-away-from-zero (x >= 0 here) — matches DuckDB round();
+        # np.rint's half-to-even diverges at exact .5 ulps (power-of-two
+        # doc lengths hit these)
+        return pa.array(np.floor(x * 1e6 + 0.5) / 1e6)
+
+    def f(b: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(b[text_col].combine_chunks())
+        n_chars = np.asarray(pc.utf8_length(txt), dtype=np.float64)
+        split = pc.split_pattern_regex(txt, pattern=_WORD_RE)
+        flat = split.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        offs = np.asarray(split.offsets, dtype=np.int64)
+        doc_idx = np.repeat(
+            np.arange(len(b), dtype=np.int64), np.diff(offs - offs[0])
+        )
+        top_c, _ = gram_stats(flat, doc_idx, len(b), n_top)
+        _, dup_c = gram_stats(flat, doc_idx, len(b), n_dup)
+        safe = np.where(n_chars > 0, n_chars, 1.0)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                f"top{n_top}_frac": fixed6(
+                    np.where(n_chars > 0, top_c / safe, 0.0)
+                ),
+                f"dup{n_dup}_frac": fixed6(
+                    np.where(n_chars > 0, dup_c / safe, 0.0)
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,145 @@
+"""Corpus-composition ops: mixture sampling, sequence packing, n-gram
+repetition signals (stages/packing.py, stages/text.ngram_repetition)."""
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs():
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "x", "yy", "zzz"]
+    texts = [
+        " ".join(rng.choice(words, size=int(rng.integers(0, 30))))
+        for _ in range(80)
+    ]
+    texts += ["", "solo", "a b a b a b a b", "  pad  ded  "]
+    return pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "source": [f"s{i % 3}" for i in range(len(texts))],
+        }
+    )
+
+
+def test_mixture_sample_deterministic_and_exact(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.kernels.hashing import splitmix64
+    from getml_community_ray.stages.packing import (
+        mixture_sample,
+        mixture_thresholds,
+    )
+
+    df = _docs()
+    w = {"s0": 0.0, "s1": 0.5, "s2": 1.0}
+    out = (
+        mixture_sample(
+            rd.from_pandas(df), id_col="doc_id", source_col="source",
+            weights=w,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    thr = mixture_thresholds(w)
+    h = splitmix64(df.doc_id.to_numpy(np.uint64))
+    exp = df[
+        [
+            thr[s] >= 1 << 64 or int(hv) < thr[s]
+            for s, hv in zip(df.source, h)
+        ]
+    ]
+    assert out.doc_id.tolist() == exp.doc_id.tolist()
+    # w=0 drops everything, w=1 keeps everything
+    assert not (out.source == "s0").any()
+    assert (out.source == "s2").sum() == (df.source == "s2").sum()
+    # rerun identical
+    out2 = (
+        mixture_sample(
+            rd.from_pandas(df), id_col="doc_id", source_col="source",
+            weights=w,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out.doc_id.tolist() == out2.doc_id.tolist()
+
+
+def test_pack_documents_matches_bruteforce_any_partitioning(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.packing import pack_documents
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "source": [f"s{i % 3}" for i in range(200)],
+            "n_tokens": rng.integers(0, 900, size=200),
+        }
+    )
+    expected = {}
+    S, C = 4, 512
+    for (_, _), grp in df.assign(shard=df.doc_id % S).groupby(
+        ["source", "shard"]
+    ):
+        g = grp.sort_values("doc_id")
+        start = g.n_tokens.cumsum().shift(fill_value=0)
+        for did, st in zip(g.doc_id, start):
+            expected[did] = (int(st) // C, int(st) % C)
+    for parts in (1, 7):
+        out = (
+            pack_documents(
+                rd.from_pandas(df), id_col="doc_id", source_col="source",
+                n_tok_col="n_tokens", context_len=C, num_shards=S,
+                num_partitions=parts,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        got = {
+            int(r.doc_id): (int(r.bin_id), int(r.bin_offset))
+            for r in out.itertuples()
+        }
+        assert got == expected, f"num_partitions={parts}"
+
+
+def _brute_ngram(text, n):
+    t = text.lower()
+    nc = len(t)
+    words = re.split(r"\s+", t)
+    grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    if not grams or nc == 0:
+        return 0.0, 0.0
+    c = Counter(grams)
+    g, cnt = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    top = cnt * len(g) / nc
+    dup = sum(k * len(s) for s, k in c.items() if k > 1) / nc
+    return top, dup
+
+
+@pytest.mark.parametrize("n_top,n_dup", [(2, 3), (3, 5)])
+def test_ngram_repetition_matches_bruteforce(ray_session, n_top, n_dup):
+    import ray.data as rd
+
+    from getml_community_ray.stages.text import ngram_repetition
+
+    df = _docs()
+    out = (
+        ngram_repetition(
+            rd.from_pandas(df), text_col="text", id_col="doc_id",
+            n_top=n_top, n_dup=n_dup,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, row in out.iterrows():
+        bt, _ = _brute_ngram(df.text[row.doc_id], n_top)
+        _, bd = _brute_ngram(df.text[row.doc_id], n_dup)
+        assert row[f"top{n_top}_frac"] == pytest.approx(bt, abs=1e-6)
+        assert row[f"dup{n_dup}_frac"] == pytest.approx(bd, abs=1e-6)
