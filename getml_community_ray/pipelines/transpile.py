@@ -86,6 +86,13 @@ DIALECTS = {
     "bigquery": Dialect("bigquery", "`", "`", False, False, False),
     "tsql": Dialect("tsql", "[", "]", False, False, False),
 }
+# The reference's dialect names (`getml/pipeline/dialect.py:33-43`) as
+# aliases. `human_readable_sql` is the reference's display dialect — a
+# sqlite3-flavored rendering (HumanReadableSQLGenerator.cpp: double-quoted
+# identifiers, float-seconds timestamps), so it shares the sqlite Dialect.
+DIALECTS["sqlite3"] = DIALECTS["sqlite"]
+DIALECTS["spark_sql"] = DIALECTS["spark"]
+DIALECTS["human_readable_sql"] = DIALECTS["sqlite"]
 
 
 def _median_sql(d: Dialect, arg: str) -> str:

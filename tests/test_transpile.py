@@ -164,6 +164,14 @@ def test_dialect_emission_shapes():
     with pytest.raises(ValueError):
         fastprop_to_sql(bad, dialect="sqlite", **kw)
 
+    # reference dialect-name aliases (getml/pipeline/dialect.py:33-43):
+    # human_readable_sql renders like sqlite3; spark_sql == spark
+    assert fastprop_to_sql(spec, dialect="human_readable_sql", **kw) == \
+        fastprop_to_sql(spec, dialect="sqlite3", **kw) == \
+        fastprop_to_sql(spec, dialect="sqlite", **kw)
+    assert fastprop_to_sql(spec, dialect="spark_sql", **kw) == \
+        fastprop_to_sql(spec, dialect="spark", **kw)
+
 
 def test_upper_bound_transpiles():
     spec = FastPropSpec(
