@@ -691,3 +691,108 @@ CORPUS_ORACLE_SQL.update(
         "sequence_packing_documents": SQL_SEQUENCE_PACKING,
     }
 )
+
+
+def q_c4_line_filter(sf_dir: str):
+    """C4 line-filter lane: the synthetic corpus has no newlines or
+    punctuation, so inject deterministic line structure first (every
+    ' data ' becomes '.' + newline — same replace() on the oracle side),
+    then run the real rules. The full cleaned text is value-compared."""
+    import pyarrow.compute as pc
+
+    from ..stages.text import c4_line_filter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        t = pc.replace_substring(b["text"], pattern=" data ",
+                                 replacement=".\n")
+        return pa.table({"doc_id": b["doc_id"], "text": t})
+
+    return c4_line_filter(
+        ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True),
+        text_col="text", id_col="doc_id",
+    )
+
+
+SQL_C4_LINE_FILTER = r"""
+WITH t AS (
+    SELECT doc_id, replace(text, ' data ', '.' || chr(10)) AS text
+    FROM documents
+), l AS (
+    SELECT doc_id, text, string_split(text, chr(10)) AS lines
+    FROM t
+), f AS (
+    SELECT doc_id,
+           len(lines) AS n_lines,
+           list_filter(lines, x ->
+               regexp_matches(x, '[.!?"]$')
+               AND len(regexp_extract_all(x, '\S+')) >= 3
+               AND NOT contains(lower(x), 'javascript')
+               AND NOT contains(x, '{')) AS kept,
+           CAST(contains(lower(text), 'lorem ipsum') AS BIGINT) AS has_lorem
+    FROM l
+)
+SELECT doc_id, n_lines,
+       len(kept) AS n_kept,
+       CAST(round(CAST(len(kept) AS DOUBLE)
+                  / CASE WHEN n_lines > 0 THEN n_lines ELSE 1 END
+                  * 1000000.0) AS BIGINT) / 1000000.0 AS kept_frac,
+       has_lorem,
+       coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+FROM f
+"""
+
+
+CHUNK_WORDS = 32
+CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(sf_dir: str):
+    from ..stages.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, text_col="text", id_col="doc_id",
+                           chunk_words=CHUNK_WORDS,
+                           overlap_words=CHUNK_OVERLAP)
+
+
+_STRIDE = CHUNK_WORDS - CHUNK_OVERLAP
+SQL_CHUNK_DOCUMENTS = rf"""
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+    FROM documents
+), n AS (
+    SELECT doc_id, words, len(words) AS w,
+           CASE WHEN len(words) <= {CHUNK_WORDS} THEN 1
+                ELSE 1 + CAST(ceil((len(words) - {CHUNK_WORDS})
+                                   / {_STRIDE}.0) AS BIGINT)
+           END AS n_chunks
+    FROM w
+), c AS (
+    SELECT doc_id, words, w,
+           unnest(generate_series(0, n_chunks - 1)) AS chunk_ix
+    FROM n
+)
+SELECT doc_id, chunk_ix,
+       least({CHUNK_WORDS}, w - chunk_ix * {_STRIDE}) AS n_chunk_words,
+       array_to_string(
+           list_slice(words, chunk_ix * {_STRIDE} + 1,
+                      chunk_ix * {_STRIDE}
+                      + least({CHUNK_WORDS}, w - chunk_ix * {_STRIDE})),
+           ' ') AS chunk_text
+FROM c
+"""
+
+CORPUS_QUERIES.update(
+    {
+        "c4_line_filter_documents": q_c4_line_filter,
+        "chunk_documents_documents": q_chunk_documents,
+    }
+)
+CORPUS_ORACLE_SQL.update(
+    {
+        "c4_line_filter_documents": SQL_C4_LINE_FILTER,
+        "chunk_documents_documents": SQL_CHUNK_DOCUMENTS,
+    }
+)

@@ -426,3 +426,131 @@ def ngram_repetition(ds, *, text_col: str, id_col: str,
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def c4_line_filter(ds, *, text_col: str, id_col: str,
+                   min_words: int = 3):
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep a
+    line iff it ends in terminal punctuation (. ! ? "), has at least
+    `min_words` words, and contains neither 'javascript' (case-insensitive)
+    nor a curly brace; flag documents containing 'lorem ipsum'. Emits the
+    cleaned text (kept lines rejoined with newlines) plus line counts.
+
+    Vectorized: one newline split per batch, per-line RE2 kernels over the
+    flattened line array, per-doc rebuild via ListArray offsets + one
+    binary_join — no per-row Python."""
+
+    def fixed6(x: np.ndarray) -> pa.Array:
+        return pa.array(np.floor(x * 1e6 + 0.5) / 1e6)
+
+    def f(b: pa.Table) -> pa.Table:
+        txt = b[text_col].combine_chunks()
+        split = pc.split_pattern(txt, pattern="\n")
+        flat = split.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        offs = np.asarray(split.offsets, dtype=np.int64)
+        n_lines = np.diff(offs)
+        doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), n_lines)
+
+        ends = np.asarray(
+            pc.match_substring_regex(flat, pattern=r'[.!?"]$').fill_null(False)
+        )
+        enough = (
+            np.asarray(
+                pc.count_substring_regex(flat, pattern=r"\S+"),
+                dtype=np.int64,
+            )
+            >= min_words
+        )
+        js = np.asarray(
+            pc.match_substring(flat, pattern="javascript",
+                               ignore_case=True).fill_null(False)
+        )
+        brace = np.asarray(
+            pc.match_substring(flat, pattern="{").fill_null(False)
+        )
+        keep = ends & enough & ~js & ~brace
+
+        kept_cnt = np.bincount(doc_idx[keep], minlength=len(b))
+        new_offs = np.concatenate([[0], np.cumsum(kept_cnt)])
+        kept_lines = flat.filter(pa.array(keep))
+        lists = pa.ListArray.from_arrays(
+            pa.array(new_offs, type=pa.int32()), kept_lines
+        )
+        cleaned = pc.binary_join(lists, "\n")
+        lorem = pc.match_substring(txt, pattern="lorem ipsum",
+                                   ignore_case=True).fill_null(False)
+        nl = n_lines.astype(np.float64)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_lines": pa.array(n_lines.astype(np.int64)),
+                "n_kept": pa.array(kept_cnt.astype(np.int64)),
+                "kept_frac": fixed6(
+                    np.divide(kept_cnt, nl, out=np.zeros(len(b)),
+                              where=nl > 0)
+                ),
+                "has_lorem": pc.cast(lorem, pa.int64()),
+                "cleaned": cleaned,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents(ds, *, text_col: str, id_col: str,
+                    chunk_words: int = 64, overlap_words: int = 16):
+    """RAG-style sliding-window chunking: split each document into word
+    windows of `chunk_words` with `overlap_words` overlap (stride =
+    chunk - overlap); emit one row per chunk with its index and text.
+    A document with w words yields 1 chunk if w <= chunk_words else
+    1 + ceil((w - chunk_words) / stride).
+
+    Fully vectorized expansion: the flattened word array is gathered with
+    one take() over computed indices and rebuilt as a ListArray, one
+    binary_join per batch. Stateless map_batches — linear at any scale."""
+    C, S = int(chunk_words), int(chunk_words) - int(overlap_words)
+    if S <= 0:
+        raise ValueError("overlap_words must be < chunk_words")
+
+    def f(b: pa.Table) -> pa.Table:
+        txt = b[text_col].combine_chunks()
+        split = pc.split_pattern_regex(txt, pattern=_WORD_RE)
+        flat = split.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        offs = np.asarray(split.offsets, dtype=np.int64)
+        w = np.diff(offs)
+        doc_word0 = offs[:-1] - offs[0]
+        n_chunks = np.where(
+            w <= C, 1, 1 + np.ceil((w - C) / S).astype(np.int64)
+        ).astype(np.int64)
+
+        tot = int(n_chunks.sum())
+        doc_of = np.repeat(np.arange(len(b), dtype=np.int64), n_chunks)
+        c0 = np.concatenate([[0], np.cumsum(n_chunks)])
+        chunk_ix = np.arange(tot, dtype=np.int64) - c0[doc_of]
+        start = chunk_ix * S
+        cnt = np.minimum(C, w[doc_of] - start)
+
+        g0 = doc_word0[doc_of] + start  # global start of each chunk
+        t0 = np.concatenate([[0], np.cumsum(cnt)])
+        idx = np.repeat(g0, cnt) + (
+            np.arange(int(t0[-1]), dtype=np.int64) - np.repeat(t0[:-1], cnt)
+        )
+        lists = pa.ListArray.from_arrays(
+            pa.array(t0, type=pa.int32()), flat.take(pa.array(idx))
+        )
+        chunks = pc.binary_join(lists, " ")
+        take = pa.array(doc_of)
+        return pa.table(
+            {
+                id_col: b[id_col].combine_chunks().take(take),
+                "chunk_ix": pa.array(chunk_ix),
+                "n_chunk_words": pa.array(cnt.astype(np.int64)),
+                "chunk_text": chunks,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -143,3 +143,75 @@ def test_ngram_repetition_matches_bruteforce(ray_session, n_top, n_dup):
         _, bd = _brute_ngram(df.text[row.doc_id], n_dup)
         assert row[f"top{n_top}_frac"] == pytest.approx(bt, abs=1e-6)
         assert row[f"dup{n_dup}_frac"] == pytest.approx(bd, abs=1e-6)
+
+
+def test_c4_line_filter_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.text import c4_line_filter
+
+    texts = [
+        "Good line with words.\nshort.\nno punctuation here\n"
+        "has javascript inside.\nbraces { bad }.\nAnother fine line!",
+        "",
+        "single unpunctuated line",
+        'quoted line ends well."\nLorem Ipsum is flagged.',
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        c4_line_filter(rd.from_pandas(df), text_col="text", id_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def brute(t):
+        lines = t.split("\n")
+        kept = [
+            ln
+            for ln in lines
+            if re.search(r'[.!?"]$', ln)
+            and len(re.findall(r"\S+", ln)) >= 3
+            and "javascript" not in ln.lower()
+            and "{" not in ln
+        ]
+        return len(lines), len(kept), "\n".join(kept), int("lorem ipsum" in t.lower())
+
+    for i, row in out.iterrows():
+        nl, nk, cleaned, lorem = brute(texts[row.doc_id])
+        assert (row.n_lines, row.n_kept, row.cleaned, row.has_lorem) == (
+            nl, nk, cleaned, lorem,
+        ), row.doc_id
+
+
+def test_chunk_documents_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.text import chunk_documents
+
+    df = _docs()
+    C, O = 8, 3
+    out = (
+        chunk_documents(
+            rd.from_pandas(df), text_col="text", id_col="doc_id",
+            chunk_words=C, overlap_words=O,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_ix"])
+        .reset_index(drop=True)
+    )
+    S = C - O
+    rows = []
+    for did, t in zip(df.doc_id, df.text):
+        words = re.split(r"\s+", t)
+        w = len(words)
+        n = 1 if w <= C else 1 + int(np.ceil((w - C) / S))
+        for j in range(n):
+            seg = words[j * S : j * S + C]
+            rows.append((did, j, len(seg), " ".join(seg)))
+    exp = pd.DataFrame(
+        rows, columns=["doc_id", "chunk_ix", "n_chunk_words", "chunk_text"]
+    )
+    pd.testing.assert_frame_equal(
+        out[exp.columns].astype(exp.dtypes.to_dict()), exp
+    )
