@@ -375,6 +375,114 @@ def run_scaling() -> dict:
     }
 
 
+
+
+# ---------------------------------------------------------------------------
+# LLM-corpus lane benchmark: quality filters, near-dedup e2e, packing on the
+# deterministic synthetic TEXT corpus (sources/synth.generate_text_corpus).
+#   python bench.py --corpus       # $GRAFT_CORPUS_DOCS docs (default 1M)
+# ---------------------------------------------------------------------------
+
+N_DOCS = int(os.environ.get("GRAFT_CORPUS_DOCS", "1000000"))
+TEXT_CORPUS_DIR = f"/tmp/graft_text_bench_{N_DOCS}"
+
+
+def run_corpus() -> dict:
+    import ray
+    import ray.data as rd
+
+    from getml_community_ray.sources.synth import generate_text_corpus
+    from getml_community_ray.stages.dedup import near_dedup_clusters
+    from getml_community_ray.stages.packing import pack_documents
+    from getml_community_ray.stages.text import (
+        c4_line_filter,
+        gopher_quality,
+        ngram_repetition,
+        token_count_bpe,
+    )
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    rd.DataContext.get_current().enable_progress_bars = False
+    generate_text_corpus(TEXT_CORPUS_DIR, N_DOCS)
+
+    def read():
+        return rd.read_parquet(TEXT_CORPUS_DIR, columns=["doc_id", "text",
+                                                          "source"])
+
+    stages: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    n_q = _consume(
+        gopher_quality(read(), text_col="text", id_col="doc_id")
+    )
+    stages["gopher_quality"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _consume(
+        ngram_repetition(read(), text_col="text", id_col="doc_id")
+    )
+    stages["ngram_repetition"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _consume(c4_line_filter(read(), text_col="text", id_col="doc_id"))
+    stages["c4_line_filter"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    clusters = near_dedup_clusters(
+        read(), text_col="text", id_col="doc_id", threshold=0.5,
+    )
+    n_docs = 0
+    n_dup = 0
+    for b in clusters.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n_docs += len(b)
+        import pyarrow.compute as pc
+
+        n_dup += int(
+            pc.sum(pc.cast(pc.greater(b["cluster_size"], 1), "int64")).as_py()
+            or 0
+        )
+    stages["near_dedup_e2e"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+
+    def count_tokens(b):
+        import re as _re
+
+        import numpy as _np
+        import pyarrow as _pa
+
+        bpe = _re.compile(r"\w{1,4}|[^\w\s]", _re.ASCII)
+        txt = _np.asarray(b["text"]).astype(str)
+        n = _np.fromiter((len(bpe.findall(t)) for t in txt),
+                         count=len(txt), dtype=_np.int64)
+        return _pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                          "n_tokens": _pa.array(n)})
+
+    _consume(
+        pack_documents(
+            read().map_batches(count_tokens, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            id_col="doc_id", source_col="source",
+            n_tok_col="n_tokens", context_len=2048,
+        )
+    )
+    stages["token_count_and_pack"] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(stages.values()), 3)
+    ray.shutdown()
+    return {
+        "metric": "LLM-corpus lanes wall time (quality + near-dedup e2e + packing)",
+        "value": total,
+        "unit": "sec",
+        "stages": stages,
+        "docs": n_q,
+        "in_dup_clusters": n_dup,
+        "docs_per_sec_total": round(5 * n_q / total, 1),
+        "num_cpus": NUM_CPUS,
+    }
+
 if __name__ == "__main__" and "--lane" in sys.argv:
     run_lane(sys.argv[sys.argv.index("--lane") + 1])
     sys.exit(0)
@@ -382,5 +490,7 @@ if __name__ == "__main__" and "--lane" in sys.argv:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--corpus" in sys.argv:
+        print(json.dumps(run_corpus()))
     else:
         print(json.dumps(run_once()))

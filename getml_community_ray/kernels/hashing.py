@@ -33,12 +33,76 @@ MIX2 = 0x94D049BB133111EB
 POLY_B = 0x100000001B3  # FNV-ish odd multiplier for the rolling hash
 
 
+def _s64(c: int) -> np.int64:
+    """Constant as a two's-complement int64 (for wraparound multiplies)."""
+    return np.int64(c - _M64 if c >= 1 << 63 else c)
+
+
+def _mulw(x: np.ndarray, c: int) -> np.ndarray:
+    """x * c mod 2^64 on a uint64 array — computed on int64 VIEWS.
+
+    numpy 1.26 has no SIMD kernel for uint64 multiply (measured 32M/s vs
+    438M/s for int64 on this box, a 14x cliff); int64 multiplication wraps
+    mod 2^64 with the same low-64 bits, so viewing through int64 is
+    bit-identical and ~14x faster. Shifts/xors stay uint64 (logical
+    shift; those kernels are fast in both dtypes)."""
+    return (x.view(np.int64) * _s64(c)).view(np.uint64)
+
+
+_A_GOLDEN = np.full(1, GOLDEN, dtype=np.uint64)
+
+
+def splitmix64_into(x: np.ndarray, out: np.ndarray,
+                    tmp: np.ndarray) -> np.ndarray:
+    """splitmix64 with caller-provided buffers (`x is out` allowed).
+
+    Three perf cliffs measured on this box drive the shape of this kernel
+    (all bit-identical to the plain formulation):
+    - numpy 1.26 u64-array x u64-scalar multiply has no SIMD path
+      (32M/s vs 438M/s for int64): multiplies run on int64 views, which
+      wrap mod 2^64 with the same bits;
+    - u64-array + scalar add is ~17x slower than array + array: the
+      GOLDEN add broadcasts a 1-element array;
+    - fresh multi-MB temporaries cost a page-fault storm per call under
+      this hypervisor (composed throughput 1-5M/s vs 300M/s per op):
+      every op writes into `out`/`tmp`, so a caller looping over chunks
+      allocates exactly twice."""
+    np.add(x, _A_GOLDEN, out=out)
+    np.right_shift(out, U64(30), out=tmp)
+    np.bitwise_xor(out, tmp, out=out)
+    oi = out.view(np.int64)
+    np.multiply(oi, _s64(MIX1), out=oi)
+    np.right_shift(out, U64(27), out=tmp)
+    np.bitwise_xor(out, tmp, out=out)
+    np.multiply(oi, _s64(MIX2), out=oi)
+    np.right_shift(out, U64(31), out=tmp)
+    np.bitwise_xor(out, tmp, out=out)
+    return out
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer over uint64 (wraparound semantics)."""
-    x = x.astype(np.uint64) + U64(GOLDEN)
-    z = (x ^ (x >> U64(30))) * U64(MIX1)
-    z = (z ^ (z >> U64(27))) * U64(MIX2)
-    return z ^ (z >> U64(31))
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    out = np.empty_like(x)
+    return splitmix64_into(x, out, np.empty_like(x))
+
+
+_SCRATCH: dict = {}
+
+
+def scratch_u64(key: str, n: int) -> np.ndarray:
+    """Persistent per-process uint64 scratch buffer (grow-only).
+
+    Under this hypervisor the first touch of a fresh multi-MB mmap costs
+    orders of magnitude more than the compute that fills it (measured:
+    identical xor kernel 25s cold vs 0.06s warm on a 26MB buffer). Hot
+    per-batch kernels therefore reuse one named buffer per worker process
+    instead of allocating per call; Ray map_batches tasks run
+    single-threaded per worker, so a module-level cache is safe."""
+    a = _SCRATCH.get(key)
+    if a is None or len(a) < n:
+        _SCRATCH[key] = a = np.empty(n, dtype=np.uint64)
+    return a[:n]
 
 
 def perm_seeds(num_perm: int) -> np.ndarray:
@@ -55,7 +119,7 @@ def poly_hash_bytes(buf: np.ndarray, k: int) -> np.ndarray:
         return poly_hash_whole(buf)[None][:0]  # empty; caller handles short
     out = buf[: n - k + 1].astype(np.uint64)
     for j in range(1, k):
-        out = out * U64(POLY_B) + buf[j : n - k + 1 + j].astype(np.uint64)
+        out = _mulw(out, POLY_B) + buf[j : n - k + 1 + j].astype(np.uint64)
     return out
 
 

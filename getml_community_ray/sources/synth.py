@@ -189,3 +189,106 @@ def ensure_local_corpus(
         pq.write_table(tbl, tmp, row_group_size=100_000)
         os.replace(tmp, path)
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Deterministic TEXT corpus (documents-table shape) for benchmarking the
+# LLM-pipeline lanes (dedup / quality / packing) at scale. Same contract as
+# generate_sequences: shard content depends only on (shard, params, seed),
+# shards are written atomically and reruns converge.
+# ---------------------------------------------------------------------------
+
+_GLUE = [
+    "the", "and", "of", "to", "in", "is", "that", "for", "with", "on",
+    "as", "by", "at", "from", "or", "an", "be", "this", "are", "it",
+]
+
+
+def generate_text_shard(
+    shard: int,
+    n_shards: int,
+    n_docs: int,
+    n_sources: int,
+    seed: int,
+    dup_frac: float,
+) -> pa.Table:
+    """One shard of the text corpus: (doc_id, text, source). Texts are
+    20-80 words from a 1020-word vocabulary (zipf-ish via squared
+    uniform); the last `dup_frac` of each shard's docs are near-dups of
+    its first docs (same text + one extra word) so the dedup lanes have
+    real positives. Fully vectorized (one take + one binary_join)."""
+    import pyarrow.compute as pc
+
+    lo = shard * n_docs // n_shards
+    hi = (shard + 1) * n_docs // n_shards
+    n = hi - lo
+    if n <= 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+            }
+        )
+    rng = np.random.default_rng(seed * 1_000_003 + shard)
+    vocab = pa.array(_GLUE + [f"w{i:03d}" for i in range(1000)])
+    V = len(vocab)
+
+    n_dup = int(n * dup_frac)
+    n_base = n - n_dup
+    lens = rng.integers(20, 81, size=n_base).astype(np.int64)
+    total = int(lens.sum())
+    # squared uniform -> low ids (glue words) much more frequent
+    codes = (rng.random(total) ** 2 * V).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    lists = pa.ListArray.from_arrays(
+        pa.array(offs, type=pa.int32()), vocab.take(pa.array(codes))
+    )
+    base = pc.binary_join(lists, " ")
+    if n_dup:
+        dup = pc.binary_join_element_wise(
+            base.slice(0, n_dup), "w000", " "
+        )
+        text = pa.concat_arrays([base, dup])
+    else:
+        text = base
+    doc_id = pa.array(np.arange(lo, hi, dtype=np.int64))
+    src = pa.array(
+        np.char.add(
+            "src", (np.arange(lo, hi) % n_sources).astype(str)
+        )
+    )
+    return pa.table({"doc_id": doc_id, "text": text, "source": src})
+
+
+def generate_text_corpus(
+    out_dir: str,
+    n_docs: int,
+    n_shards: int = 32,
+    n_sources: int = 16,
+    seed: int = 42,
+    dup_frac: float = 0.03,
+) -> str:
+    """Write the deterministic text corpus via Ray tasks (resumable)."""
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def _write(k: int) -> str:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(out_dir, f"shard-{k:05d}.parquet")
+        if os.path.exists(path):
+            return path
+        tbl = generate_text_shard(k, n_shards, n_docs, n_sources, seed,
+                                  dup_frac)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp, row_group_size=100_000)
+        os.replace(tmp, path)
+        return path
+
+    ray.get([_write.remote(k) for k in range(n_shards)])
+    return out_dir

@@ -23,11 +23,11 @@ _MIX2 = np.uint64(0x94D049BB133111EB)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
-    x = x + np.uint64(0x9E3779B97F4A7C15)
-    z = x
-    z = (z ^ (z >> np.uint64(30))) * _MIX1
-    z = (z ^ (z >> np.uint64(27))) * _MIX2
-    return z ^ (z >> np.uint64(31))
+    # same bits as kernels.hashing.splitmix64 (int64-view multiplies —
+    # numpy has no SIMD uint64 multiply; int64 wraps identically mod 2^64)
+    from ..kernels.hashing import splitmix64
+
+    return splitmix64(x)
 
 
 def _hash_str_array(texts: np.ndarray, seed: int = 0) -> np.ndarray:
@@ -83,7 +83,12 @@ def _shingle_minhash(
     ~64 MB regardless of batch text volume. The arithmetic has an exact
     DuckDB twin (kernels/hashing sql_* generators) used by the driver
     oracle for `minhash_lsh_documents`."""
-    from ..kernels.hashing import batch_gram_hashes, perm_seeds, splitmix64
+    from ..kernels.hashing import (
+        batch_gram_hashes,
+        perm_seeds,
+        scratch_u64,
+        splitmix64_into,
+    )
 
     n = len(texts)
     sigs = np.empty((n, num_perm), dtype=np.uint64)
@@ -92,13 +97,21 @@ def _shingle_minhash(
     tb = [t.encode() if isinstance(t, str) else bytes(t) for t in texts]
     hs, off = batch_gram_hashes(tb, shingle)
     seeds = perm_seeds(num_perm)
-    chunk = max(1, min(num_perm, (64 << 20) // (8 * max(1, len(hs)))))
+    m = max(1, len(hs))
+    chunk = max(1, min(num_perm, (32 << 20) // (8 * m)))
+    # perm-MAJOR layout (v[perm, gram]): the xor broadcast writes and the
+    # segmented minimum both run over contiguous gram runs (measured 400x
+    # vs gram-major on this box); persistent scratch avoids per-call
+    # first-touch page-fault storms (kernels/hashing.scratch_u64)
+    buf = scratch_u64("minhash_buf", m * chunk)
+    tmp = scratch_u64("minhash_tmp", m * chunk)
     for c0 in range(0, num_perm, chunk):
         sub = seeds[c0 : c0 + chunk]
-        mixed = splitmix64(hs[:, None] ^ sub[None, :])
-        sigs[:, c0 : c0 + len(sub)] = np.minimum.reduceat(
-            mixed, off[:-1], axis=0
-        )
+        k = len(sub)
+        v = buf[: m * k].reshape(k, m)
+        np.bitwise_xor(hs[None, :], sub[:, None], out=v)
+        splitmix64_into(v.reshape(-1), v.reshape(-1), tmp[: m * k])
+        sigs[:, c0 : c0 + k] = np.minimum.reduceat(v, off[:-1], axis=1).T
     return sigs
 
 
