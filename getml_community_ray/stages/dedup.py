@@ -474,26 +474,75 @@ def cosine_neardup_lsh(
             }
         )
 
-    def verify(group: pa.Table) -> pa.Table:
-        X = _stack_embeddings(group[emb_col]).astype(np.float64)
-        ids = np.asarray(group[id_col], dtype=np.int64)
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
-        sims = Xn @ Xn.T
-        ii, jj = np.nonzero(sims >= threshold)
-        keep = ids[ii] < ids[jj]
+    def verify_partition(part: pa.Table) -> pa.Table:
+        """Exact cosine verify for every (table, sig) bucket of one hash
+        partition — one Ray task per PARTITION (a per-bucket map_groups
+        schedules one task per bucket, O(corpus) of them; the numpy loop
+        over bucket segments here costs microseconds per bucket)."""
+        tid = np.asarray(part["table_id"], dtype=np.int64)
+        sig = np.asarray(part["sig"], dtype=np.int64)
+        ids = np.asarray(part[id_col], dtype=np.int64)
+        X = _stack_embeddings(part[emb_col]).astype(np.float64)
+        order = np.lexsort((ids, sig, tid))
+        t_s, s_s, i_s = tid[order], sig[order], ids[order]
+        Xs = X[order]
+        new = np.ones(len(t_s), dtype=bool)
+        if len(t_s) > 1:
+            new[1:] = (t_s[1:] != t_s[:-1]) | (s_s[1:] != s_s[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(t_s)]])
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            gi = i_s[s:e]
+            Xg = Xs[s:e]
+            Xn = Xg / np.maximum(
+                np.linalg.norm(Xg, axis=1, keepdims=True), 1e-30
+            )
+            sims = Xn @ Xn.T
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = gi[ii] < gi[jj]
+            out_a.append(gi[ii][keep])
+            out_b.append(gi[jj][keep])
+            out_c.append(np.rint(sims[ii, jj][keep] * 1e6) / 1e6)
+        if not out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "id_a": pa.array(ids[ii][keep]),
-                "id_b": pa.array(ids[jj][keep]),
-                "cosine": pa.array(np.rint(sims[ii, jj][keep] * 1e6) / 1e6),
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+                "cosine": pa.array(np.concatenate(out_c)),
             }
         )
+
+    from .partitioning import auto_partitions
+
+    num_partitions = auto_partitions(ds)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        sig = np.asarray(b["sig"], dtype=np.int64).view(np.uint64)
+        tid = np.asarray(b["table_id"], dtype=np.int64).view(np.uint64)
+        part = _splitmix64(sig ^ (tid << np.uint64(56))) % np.uint64(
+            num_partitions
+        )
+        return b.append_column("_part", pa.array(part.astype(np.int64)))
 
     pairs = (
         ds.select_columns([id_col, emb_col])
         .map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["table_id", "sig"])
-        .map_groups(verify, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda t: verify_partition(t.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
     )
     # dedupe pairs found in multiple tables
     from ray.data.aggregate import Max
@@ -662,10 +711,50 @@ def simhash_candidates(
             }
         )
 
+    def verify_partition(part: pa.Table) -> pa.Table:
+        """One Ray task per hash PARTITION; the chunked-hamming `verify`
+        runs per (band, band_val) segment inside a numpy loop (per-bucket
+        map_groups would schedule one task per populated bucket — up to
+        4 x 65536 of them)."""
+        band = np.asarray(part["band"], dtype=np.int64)
+        bv = np.asarray(part["band_val"], dtype=np.int64)
+        order = np.lexsort((bv, band))
+        sorted_part = part.take(pa.array(order))
+        b_s, v_s = band[order], bv[order]
+        new = np.ones(len(b_s), dtype=bool)
+        if len(b_s) > 1:
+            new[1:] = (b_s[1:] != b_s[:-1]) | (v_s[1:] != v_s[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(b_s)]])
+        outs = [
+            verify(sorted_part.slice(s, e - s))
+            for s, e in zip(starts, ends)
+            if e - s >= 2
+        ]
+        if not outs:
+            return verify(sorted_part.slice(0, 0))
+        return pa.concat_tables(outs)
+
+    from .partitioning import auto_partitions
+
+    num_partitions = auto_partitions(ds)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        bv = np.asarray(b["band_val"], dtype=np.int64).view(np.uint64)
+        band = np.asarray(b["band"], dtype=np.int64).view(np.uint64)
+        part = _splitmix64(bv ^ (band << np.uint64(56))) % np.uint64(
+            num_partitions
+        )
+        return b.append_column("_part", pa.array(part.astype(np.int64)))
+
     pairs = (
         sigs.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "band_val"])
-        .map_groups(verify, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda t: verify_partition(t.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
     )
     from ray.data.aggregate import Min
 
