@@ -231,7 +231,11 @@ def generate_text_shard(
             }
         )
     rng = np.random.default_rng(seed * 1_000_003 + shard)
-    vocab = pa.array(_GLUE + [f"w{i:03d}" for i in range(1000)])
+    # 20k-word body vocabulary: a 1k vocab makes random-pair shingle
+    # Jaccard high enough that LSH coincidental candidates grow
+    # superlinearly with corpus size (measured: 1 pair/doc at 100k docs,
+    # 4 at 300k) — unrepresentative of real web text
+    vocab = pa.array(_GLUE + [f"w{i:05d}" for i in range(20000)])
     V = len(vocab)
 
     n_dup = int(n * dup_frac)

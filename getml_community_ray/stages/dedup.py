@@ -326,28 +326,47 @@ def ngram_jaccard_pairs(
     )
 
     def verify(b: pa.Table) -> pa.Table:
-        ta = b["_text_a"].to_pylist()
-        tb = b["_text_b"].to_pylist()
-        ja = np.empty(len(b), dtype=np.float64)
+        """Exact distinct-shingle Jaccard per candidate pair, vectorized:
+        ONE fused rolling-hash pass over the batch's unique texts
+        (kernels/hashing.batch_gram_hashes), per-text sorted unique hash
+        sets, then a C merge (`np.intersect1d(assume_unique=True)`) per
+        pair — no per-shingle Python. Shingle identity is its 64-bit
+        polynomial hash; vs the oracle's distinct-substring sets this
+        diverges only on a 64-bit collision within one pair's union
+        (p < m²/2⁶⁴ ≈ 1e-14 per pair; a hit would surface as a one-cell
+        selfcheck diff)."""
+        import pandas as pd
 
-        def sh(t: str) -> frozenset:
-            bb = t.encode()
-            if len(bb) < shingle:
-                return frozenset([bb])
-            return frozenset(
-                bb[j : j + shingle] for j in range(len(bb) - shingle + 1)
+        from ..kernels.hashing import batch_gram_hashes
+
+        m = len(b)
+        if m == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
             )
-
-        cache: dict = {}
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sa = cache.get(x)
-            if sa is None:
-                sa = cache[x] = sh(x)
-            sb = cache.get(y)
-            if sb is None:
-                sb = cache[y] = sh(y)
-            union = len(sa | sb)
-            ja[i] = len(sa & sb) / union if union else 1.0
+        ta = np.asarray(b["_text_a"])
+        tb = np.asarray(b["_text_b"])
+        codes, uniq = pd.factorize(np.concatenate([ta, tb]))
+        hs, off = batch_gram_hashes([str(u).encode() for u in uniq], shingle)
+        sets = [
+            np.unique(hs[off[i] : off[i + 1]]) for i in range(len(uniq))
+        ]
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        ia, ib = codes[:m], codes[m:]
+        inter = np.fromiter(
+            (
+                len(np.intersect1d(sets[x], sets[y], assume_unique=True))
+                for x, y in zip(ia, ib)
+            ),
+            count=m,
+            dtype=np.int64,
+        )
+        union = sizes[ia] + sizes[ib] - inter
+        ja = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         keep = ja >= threshold
         return pa.table(
             {
@@ -357,7 +376,10 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return both.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    return both.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=8192,
+    )
 
 
 def _empty_pairs():
