@@ -203,6 +203,31 @@ _GLUE = [
     "as", "by", "at", "from", "or", "an", "be", "this", "are", "it",
 ]
 
+_VOCAB = None
+
+
+def _text_vocab() -> "pa.Array":
+    """20 glue words + 20k random 3-9 char a-z words (fixed seed).
+
+    Byte diversity matters: sequential words like w00123/w00124 share
+    almost all their 5-byte shingles (common prefix), which keeps
+    random-pair shingle Jaccard high enough that LSH coincidental
+    candidates grow superlinearly with corpus size — measured first with
+    a 1k vocab (1 pair/doc at 100k docs, 4 at 300k), still present with
+    20k zero-padded numeric words (1.4 pairs/doc at 1M)."""
+    global _VOCAB
+    if _VOCAB is None:
+        r = np.random.default_rng(12345)
+        lens = r.integers(3, 10, size=20000)
+        letters = r.integers(0, 26, size=int(lens.sum())).astype(np.uint8) + 97
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        words = [
+            letters.tobytes()[s:e].decode("ascii")
+            for s, e in zip(offs[:-1], offs[1:])
+        ]
+        _VOCAB = pa.array(_GLUE + words)
+    return _VOCAB
+
 
 def generate_text_shard(
     shard: int,
@@ -231,11 +256,7 @@ def generate_text_shard(
             }
         )
     rng = np.random.default_rng(seed * 1_000_003 + shard)
-    # 20k-word body vocabulary: a 1k vocab makes random-pair shingle
-    # Jaccard high enough that LSH coincidental candidates grow
-    # superlinearly with corpus size (measured: 1 pair/doc at 100k docs,
-    # 4 at 300k) — unrepresentative of real web text
-    vocab = pa.array(_GLUE + [f"w{i:05d}" for i in range(20000)])
+    vocab = _text_vocab()
     V = len(vocab)
 
     n_dup = int(n * dup_frac)
