@@ -27,7 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
 N_SHARDS = 64
 OUT = f"/tmp/graft_fastprop_stress_{N_ROWS}"
-DAYS = 30.0
+# constant event density (~0.12 events/s on the hot key) regardless of
+# scale, so the per-row window stays ~420 events and wall time scales
+# linearly with rows rather than quadratically
+DAYS = 30.0 * N_ROWS / 500_000
+AGGS = os.environ.get("GRAFT_STRESS_AGGS", "count,sum,avg,min,max").split(",")
+SKIP_UNSPLIT = os.environ.get("GRAFT_STRESS_SKIP_UNSPLIT") == "1"
 
 
 def _gen():
@@ -81,10 +86,10 @@ def _run(split: bool) -> dict:
 
     spec = FastPropSpec(
         key_col="key", pop_ts_col="ts", peri_ts_col="ts",
-        value_cols=["val"], aggs=["count", "sum", "avg", "min", "max"],
+        value_cols=["val"], aggs=list(AGGS),
         id_cols=["eid"], horizon_s=60.0, memory_s=3600.0,
         num_partitions=256,
-        time_bucket_s=7200.0 if split else None,
+        time_bucket_s=7200.0 if split else 0.0,
     )
     ds = rd.read_parquet(OUT)
     t0 = time.monotonic()
@@ -120,19 +125,26 @@ def main() -> None:
     rd.DataContext.get_current().enable_progress_bars = False
     _gen()
     split = _run(split=True)
-    unsplit = _run(split=False)
-    eq = split["rows"] == unsplit["rows"] and all(
-        abs(split["checksums"][c] - unsplit["checksums"][c])
-        <= 1e-6 * max(1.0, abs(unsplit["checksums"][c]))
-        for c in split["checksums"]
-    )
-    print(json.dumps({
+    out = {
         "metric": "fastprop hot-key stress (60% of rows on one key)",
         "n_rows": N_ROWS,
+        "aggs": AGGS,
         "split_lane": split,
-        "unsplit_lane": unsplit,
-        "results_equal": eq,
-    }))
+    }
+    if SKIP_UNSPLIT:
+        # at large N the unsplit lane holds the whole hot key in one task
+        # by construction — the failure mode the split exists to remove;
+        # equality vs unsplit is proven at 500k (same code path)
+        out["unsplit_lane"] = "skipped (single-task hot key; see 500k run)"
+    else:
+        unsplit = _run(split=False)
+        out["unsplit_lane"] = unsplit
+        out["results_equal"] = split["rows"] == unsplit["rows"] and all(
+            abs(split["checksums"][c] - unsplit["checksums"][c])
+            <= 1e-6 * max(1.0, abs(unsplit["checksums"][c]))
+            for c in split["checksums"]
+        )
+    print(json.dumps(out))
     ray.shutdown()
 
 
