@@ -270,7 +270,6 @@ def ngram_jaccard_pairs(
     bounds every post-LSH stage, so a 100 TB corpus streams through.
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
     """
-    from ray.data.aggregate import Count
 
     from .joins import hash_join
 
@@ -296,11 +295,36 @@ def ngram_jaccard_pairs(
             }
         )
 
+    def pair_part(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"], dtype=np.int64).view(np.uint64)
+        c = np.asarray(b["id_b"], dtype=np.int64).view(np.uint64)
+        part = _splitmix64(a ^ _splitmix64(c)) % np.uint64(num_partitions)
+        return b.append_column("_part", pa.array(part.astype(np.int64)))
+
+    def pair_dedup(part: pa.Table) -> pa.Table:
+        """Distinct (id_a, id_b) within one hash partition — replaces a
+        Ray multi-key aggregate, which can emit zero-COLUMN empty blocks
+        that the downstream hash-shuffle join rejects (FieldRef no-match,
+        flaky by partition emptiness)."""
+        a = np.asarray(part["id_a"], dtype=np.int64)
+        c = np.asarray(part["id_b"], dtype=np.int64)
+        order = np.lexsort((c, a))
+        a_s, c_s = a[order], c[order]
+        new = np.ones(len(a_s), dtype=bool)
+        if len(a_s) > 1:
+            new[1:] = (a_s[1:] != a_s[:-1]) | (c_s[1:] != c_s[:-1])
+        return pa.table(
+            {"id_a": pa.array(a_s[new]), "id_b": pa.array(c_s[new])}
+        )
+
     pairs = (
         cands.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="_nbands"))
-        .drop_columns(["_nbands"])
+        .map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda t: pair_dedup(t.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
     )
 
     def rename(side: str):
@@ -311,18 +335,40 @@ def ngram_jaccard_pairs(
 
         return f
 
+    def norm_schema(fields):
+        """Ray's hash-shuffle join emits zero-COLUMN blocks for empty
+        partitions; a second join then fails with 'No match for key field
+        reference' (flaky by partition emptiness). The inter-join schema
+        is static, so rewrite empty blocks with it."""
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0:
+                return pa.table(
+                    {n: pa.array([], type=t) for n, t in fields}
+                )
+            return b
+
+        return f
+
     docs = ds.select_columns([id_col, text_col])
     left = hash_join(
         pairs,
         docs.map_batches(rename("a"), batch_format="pyarrow",
                          zero_copy_batch=True),
         on="id_a", num_partitions=num_partitions,
+    ).map_batches(
+        norm_schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                     ("_text_a", pa.string())]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     both = hash_join(
         left,
         docs.map_batches(rename("b"), batch_format="pyarrow",
                          zero_copy_batch=True),
         on="id_b", num_partitions=num_partitions,
+    ).map_batches(
+        norm_schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                     ("_text_a", pa.string()), ("_text_b", pa.string())]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
     def verify(b: pa.Table) -> pa.Table:
