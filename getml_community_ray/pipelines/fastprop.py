@@ -75,6 +75,10 @@ class FastPropSpec:
     # peripheral rows within `max_lower_s` of a bucket's end are REPLICATED
     # into the next bucket, so a hot key with long memory is bounded by one
     # time range's rows instead of the whole key. Must be >= max_lower_s.
+    # Size BOTH knobs to the data: total task count = num_partitions x
+    # (ts span / time_bucket_s); a narrow bucket over a long span floods
+    # the scheduler with micro-groups (measured: 256 x 28.8k buckets
+    # stalls the driver on block metadata). Aim for O(100) buckets.
     time_bucket_s: float = 0.0
 
     def max_lower_s(self) -> float:

@@ -84,12 +84,18 @@ def _run(split: bool) -> dict:
         time_series_features,
     )
 
+    # bucket width: ~120 buckets across the span, never below the window.
+    # total groups = num_partitions x n_buckets; a tiny bucket at a long
+    # span (e.g. 7200 s over 2400 days = 28.8k buckets x 256 partitions)
+    # floods the scheduler with millions of micro-groups — size BOTH knobs
+    # to the data, the product is what a task holds
+    bucket_s = max(2 * 3600.0, DAYS * 86400.0 / 120.0)
     spec = FastPropSpec(
         key_col="key", pop_ts_col="ts", peri_ts_col="ts",
         value_cols=["val"], aggs=list(AGGS),
         id_cols=["eid"], horizon_s=60.0, memory_s=3600.0,
         num_partitions=256,
-        time_bucket_s=7200.0 if split else 0.0,
+        time_bucket_s=bucket_s if split else 0.0,
     )
     ds = rd.read_parquet(OUT)
     t0 = time.monotonic()
