@@ -11,6 +11,9 @@ Also times a sample of the testdata-backed queries (per-query seconds in
   python bench.py --scaling    # fresh processes at 8 and 32 CPUs on the
                                # same input; reports throughputs + efficiency
                                # (sandbox stand-in for N vs 4N nodes)
+  python bench.py --corpus     # LLM-corpus lanes (quality filters,
+                               # near-dedup e2e, packing) over the synthetic
+                               # text corpus ($GRAFT_CORPUS_DOCS, default 1M)
 """
 
 from __future__ import annotations
