@@ -389,15 +389,33 @@ def fastprop_features(population_ds, peripheral_ds, spec: FastPropSpec):
             + ([spec.upper_ts_col] if spec.upper_ts_col else [])
         )
     )
-    pop = population_ds.select_columns(pop_cols).map_batches(
-        tag_pop, batch_format="pyarrow", zero_copy_batch=True
-    )
-    peri = peripheral_ds.select_columns(peri_cols).map_batches(
-        tag_peri, batch_format="pyarrow", zero_copy_batch=True
-    )
     kernel = _PartitionKernel(spec)
+    if population_ds is peripheral_ds:
+        # Self-join: ONE read, one operator emitting both tagged copies.
+        # A two-branch union over the same large dataset stalls the
+        # streaming executor (UnionOperator parked producing no output —
+        # same pathology as the rollup lanes' lazy two-branch union, see
+        # README scale lessons; reproduced at 200M rows).
+        all_cols = list(dict.fromkeys(pop_cols + peri_cols))
+
+        def tag_both(b: pa.Table) -> pa.Table:
+            a = tag_pop(b)
+            c = tag_peri(b)
+            return pa.concat_tables([a, c.select(a.column_names)])
+
+        tagged = population_ds.select_columns(all_cols).map_batches(
+            tag_both, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        pop = population_ds.select_columns(pop_cols).map_batches(
+            tag_pop, batch_format="pyarrow", zero_copy_batch=True
+        )
+        peri = peripheral_ds.select_columns(peri_cols).map_batches(
+            tag_peri, batch_format="pyarrow", zero_copy_batch=True
+        )
+        tagged = pop.union(peri)
     return (
-        pop.union(peri)
+        tagged
         .groupby("_part")
         .map_groups(
             lambda g: kernel(g.drop_columns(["_part"])), batch_format="pyarrow"
