@@ -400,8 +400,12 @@ def fastprop_features(population_ds, peripheral_ds, spec: FastPropSpec):
 
         def tag_both(b: pa.Table) -> pa.Table:
             a = tag_pop(b)
-            c = tag_peri(b)
-            return pa.concat_tables([a, c.select(a.column_names)])
+            c = tag_peri(b).select(a.column_names)
+            if c.schema != a.schema:
+                # the batch carries the true id-col types (self-join); the
+                # build-time id_types guess can be stale (schema() fallback)
+                c = c.cast(a.schema)
+            return pa.concat_tables([a, c])
 
         tagged = population_ds.select_columns(all_cols).map_batches(
             tag_both, batch_format="pyarrow", zero_copy_batch=True
