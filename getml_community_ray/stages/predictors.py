@@ -160,13 +160,18 @@ class LinearRegression:
         if d == 0:
             coef = np.array([])
         else:
-            try:
-                coef = np.linalg.solve(G, g)
-            except np.linalg.LinAlgError:
-                # collinear features (common after an automated feature
-                # search selects e.g. count and count_distinct together):
-                # fall back to the minimum-norm least-squares solution
-                coef = np.linalg.lstsq(G, g, rcond=None)[0]
+            # Minimum-norm solve with a relative eigenvalue cutoff, always.
+            # A near-singular Gram matrix (collinear features — common after
+            # an automated feature search selects e.g. count and
+            # count_distinct together) makes np.linalg.solve amplify
+            # last-ulp differences from distributed summation order into
+            # visibly different coefficients between runs; truncating
+            # eigenvalues below 1e-10 * max is deterministic and stable.
+            w, V = np.linalg.eigh(G)
+            cut = float(w[-1]) * 1e-10
+            keep = w > cut
+            inv_w = np.where(keep, 1.0 / np.where(keep, w, 1.0), 0.0)
+            coef = V @ (inv_w * (V.T @ g))
         self.coef_ = coef
         self.intercept_ = float(my - mx @ coef)
         self._n = n
