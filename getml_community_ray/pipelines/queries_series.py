@@ -227,3 +227,79 @@ FROM s
 
 SERIES_QUERIES["sessionize_events"] = q_sessionize_events
 SERIES_ORACLE_SQL["sessionize_events"] = SQL_SESSIONIZE
+
+
+def q_asof_join_events(sf_dir: str):
+    """Backward as-of join: each click gets the latest prior purchase value
+    of the same user (distributed point-in-time lookup, stages/asof.py)."""
+    from ..stages.asof import asof_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+    left = ev.filter(expr="event_type == 'click'")
+    right = ev.filter(expr="event_type == 'purchase'")
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], id_cols=["event_id"], num_partitions=16,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": b["_ts"],
+                "value_asof": b["value_asof"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, r.value AS value_asof
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_asof_tolerance_events(sf_dir: str):
+    """As-of join with a 1-hour staleness bound (tolerance_s)."""
+    from ..stages.asof import asof_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+    left = ev.filter(expr="event_type == 'click'")
+    right = ev.filter(expr="event_type == 'purchase'")
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], id_cols=["event_id"], tolerance_s=3600.0,
+        num_partitions=16,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts_us": b["_ts"],
+                "value_asof": b["value_asof"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_ASOF_TOLERANCE = """
+SELECT l.event_id, epoch_us(l.ts) AS ts_us,
+       (SELECT r.value FROM events r
+         WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+           AND r.ts <= l.ts AND l.ts - r.ts <= INTERVAL '3600 seconds'
+         ORDER BY r.ts DESC LIMIT 1) AS value_asof
+FROM events l WHERE l.event_type = 'click'
+"""
+
+SERIES_QUERIES["asof_join_events"] = q_asof_join_events
+SERIES_ORACLE_SQL["asof_join_events"] = SQL_ASOF_JOIN
+SERIES_QUERIES["asof_tolerance_events"] = q_asof_tolerance_events
+SERIES_ORACLE_SQL["asof_tolerance_events"] = SQL_ASOF_TOLERANCE

@@ -1,0 +1,132 @@
+"""asof_join: backward point-in-time lookup vs a brute-force oracle."""
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _brute(left: pd.DataFrame, right: pd.DataFrame, tol_us=None):
+    out = []
+    for _, lr in left.iterrows():
+        cand = right[(right.k == lr.k) & (right.ts_us <= lr.ts_us)]
+        if tol_us is not None:
+            cand = cand[lr.ts_us - cand.ts_us <= tol_us]
+        if len(cand):
+            # last among max ts in input order
+            best = cand[cand.ts_us == cand.ts_us.max()].iloc[-1]
+            out.append(best.v)
+        else:
+            out.append(np.nan)
+    return np.array(out)
+
+
+def _frames(seed=7, n_l=300, n_r=200, str_key=False):
+    rng = np.random.default_rng(seed)
+    keys = np.array(["a", "b", "c", "never_right"]) if str_key else np.arange(6)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n_l),
+            "k": rng.choice(keys, n_l),
+            "ts_us": rng.integers(0, 10_000_000, n_l),
+        }
+    )
+    rkeys = keys[:-1] if str_key else keys[:-1]
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(rkeys, n_r),
+            "ts_us": rng.integers(0, 10_000_000, n_r),
+            "v": rng.normal(size=n_r),
+        }
+    )
+    return left, right
+
+
+def _run(left, right, tol_s=None, parts=5, self_join=False):
+    import ray.data as rd
+
+    from getml_community_ray.stages.asof import asof_join
+
+    l = left.copy()
+    l["ts"] = pd.to_datetime(l.pop("ts_us"), unit="us")
+    r = right.copy()
+    r["ts"] = pd.to_datetime(r.pop("ts_us"), unit="us")
+    if self_join:
+        # one table, sides split by a flag column — exercises the fused
+        # single-operator tagger path via left_ds is right_ds
+        l2 = l.assign(side="l", v=np.nan)
+        r2 = r.assign(side="r", lid=-1)
+        both = pd.concat([l2, r2], ignore_index=True)
+        ds = rd.from_pandas(both)
+        lds = ds.filter(expr="side == 'l'")
+        rds = ds.filter(expr="side == 'r'")
+        out = asof_join(
+            lds, rds, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], id_cols=["lid"],
+            tolerance_s=tol_s, num_partitions=parts,
+        )
+    else:
+        out = asof_join(
+            rd.from_pandas(l), rd.from_pandas(r), on="k", left_ts="ts",
+            right_ts="ts", value_cols=["v"], id_cols=["lid"],
+            tolerance_s=tol_s, num_partitions=parts,
+        )
+    df = out.to_pandas().sort_values("lid").reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("str_key", [False, True])
+def test_asof_matches_brute_force(ray_session, str_key):
+    left, right = _frames(str_key=str_key)
+    df = _run(left, right)
+    exp = _brute(left.sort_values("lid"), right)
+    got = df["v_asof"].to_numpy()
+    assert np.allclose(got, exp, equal_nan=True)
+
+
+def test_asof_tolerance(ray_session):
+    left, right = _frames(seed=13)
+    tol_s = 1.5
+    df = _run(left, right, tol_s=tol_s)
+    exp = _brute(left.sort_values("lid"), right, tol_us=int(tol_s * 1e6))
+    assert np.allclose(df["v_asof"].to_numpy(), exp, equal_nan=True)
+    # tolerance must strictly reduce or keep the match count
+    df0 = _run(left, right)
+    assert df["v_asof"].notna().sum() <= df0["v_asof"].notna().sum()
+
+
+def test_asof_partition_invariance(ray_session):
+    left, right = _frames(seed=29)
+    a = _run(left, right, parts=2)["v_asof"].to_numpy()
+    b = _run(left, right, parts=17)["v_asof"].to_numpy()
+    assert np.allclose(a, b, equal_nan=True)
+
+
+def test_asof_self_dataset_fused(ray_session):
+    """left_ds is right_ds goes through the fused single-operator tagger:
+    every row is both a left row and a right candidate (ts <= ts always
+    matches itself — the latest right row at or before each ts)."""
+    import ray.data as rd
+
+    from getml_community_ray.stages.asof import asof_join
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "lid": np.arange(50),
+            "k": rng.choice(3, 50),
+            "ts": pd.to_datetime(rng.integers(0, 1_000_000, 50), unit="us"),
+            "v": rng.normal(size=50),
+        }
+    )
+    ds = rd.from_pandas(df)
+    out = asof_join(
+        ds, ds, on="k", left_ts="ts", right_ts="ts", value_cols=["v"],
+        id_cols=["lid"], num_partitions=4,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    # self-match: the latest right ts <= own ts is the row itself (unique ts
+    # per key with this seed) — verify against brute force
+    b = pd.DataFrame(
+        {"k": df.k, "ts_us": df.ts.astype("int64"), "v": df.v}
+    )
+    l = pd.DataFrame({"lid": df.lid, "k": df.k, "ts_us": df.ts.astype("int64")})
+    exp = _brute(l, b)
+    assert np.allclose(out["v_asof"].to_numpy(), exp, equal_nan=True)
