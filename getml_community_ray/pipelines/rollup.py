@@ -73,6 +73,12 @@ class RollupConfig:
     # become one 10 GB task; a span cut inside a source-run just makes
     # the cut bucket boundary on both sides (merged exactly downstream).
     max_task_rows: int = 8_000_000
+    # TEST-ONLY fault injection: when set to a directory path, every fused
+    # task kills its worker (os._exit) on the FIRST attempt per work item,
+    # immediately AFTER its side-channel boundary/state put — the worst
+    # failure point for exactly-once. Ray retries the task; the keyed put
+    # overwrites. tests/test_rollup_fault.py asserts bit-equal output.
+    fault_inject_dir: str | None = None
 
 
 def _tier_widths_ok(tiers: dict[str, int]) -> list[tuple[str, int]]:
@@ -582,6 +588,24 @@ def _check_boundary_intervals(
             prev_max, prev_path = row["max"], row["_path"]
 
 
+def _maybe_crash(inject_dir: str | None, item_key: str) -> None:
+    """Test-only: first attempt per work item dies (simulated worker
+    crash) right after its side-channel put. No-op when inject_dir unset.
+    A marker file (not process state) tracks attempts, so the retry —
+    which may land on any worker — sees it and proceeds."""
+    if not inject_dir:
+        return
+    import os
+
+    marker = os.path.join(
+        inject_dir, item_key.replace("/", "_").replace("#", "_")
+    )
+    if not os.path.exists(marker):
+        with open(marker, "w"):
+            pass
+        os._exit(1)
+
+
 def _fused_task_items(paths: list[str], max_rows: int):
     """One work item per (path, row-group span), spans sized <= max_rows
     from footer metadata only. Small files stay one task; a huge file
@@ -673,6 +697,7 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
             )
             bmask = parts["_boundary"].combine_chunks()
             ray.get(acc.put.remote(f"{p}#{lo}", parts.filter(bmask)))
+            _maybe_crash(cfg.fault_inject_dir, f"{p}#{lo}")
             inner = parts.filter(pc.invert(bmask))
             fin = R.finalize_tiered(inner, aggs=cfg.aggs)
             if fin is not None:
@@ -845,6 +870,7 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
             ).tolist()
             ref = ray.put(st_sorted, _owner=reg)
             ray.get(reg.put.remote(f"{p}#{lo}", (ref, offs), hull))
+            _maybe_crash(cfg.fault_inject_dir, f"{p}#{lo}")
             outs.append(hc.interior(t))
         return pa.concat_tables(outs) if outs else hc.final_schema().empty_table()
 
