@@ -16,10 +16,13 @@ Delta-of-delta varint stream:
   first ts: 8-byte little-endian; second: zigzag varint of delta;
   then zigzag varints of delta-of-delta (regular grids -> mostly 1 byte).
 
-The bit-packing loop is per-element Python over precomputed numpy arrays
-(xor, leading, trailing) — the vectorizable parts are vectorized; a
-production build would drop the pack loop into a C kernel, the stream format
-would not change.
+Encode is vectorized end-to-end: a lean Python state-machine pass emits
+(value, nbits) token pairs (the window-reuse chain is sequentially
+dependent by format), then ONE numpy pass expands tokens to bits and
+`np.packbits` them. Varint encode/decode are fully vectorized
+(repeat/cumsum byte expansion; bitwise_or.reduceat parse). Gorilla decode
+keeps a Python loop (bit-level control flow), with byte-span reads instead
+of bit-by-bit.
 """
 
 from __future__ import annotations
@@ -59,12 +62,12 @@ class _BitReader:
         self.pos = 0
 
     def read(self, bits: int) -> int:
-        out = 0
-        for _ in range(bits):
-            byte = self.data[self.pos >> 3]
-            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return out
+        pos = self.pos
+        end = pos + bits
+        b0, b1 = pos >> 3, (end + 7) >> 3
+        val = int.from_bytes(self.data[b0:b1], "big") >> ((b1 << 3) - end)
+        self.pos = end
+        return val & ((1 << bits) - 1)
 
 
 def gorilla_encode(values: np.ndarray) -> bytes:
@@ -91,29 +94,60 @@ def gorilla_encode(values: np.ndarray) -> bytes:
         lead[nz] = 63 - hi
         trail[nz] = _trailing_zeros(x)
 
-    w = _BitWriter()
-    w.write(int(bits[0]), 64)
-    prev_lead, prev_len = -1, -1
+    # state-machine pass: emit (value, nbits) token pairs into plain
+    # Python lists (the window-reuse chain is sequentially dependent by
+    # format); the expensive bit packing happens once, vectorized
+    xs = xors.tolist()
+    les = lead.tolist()
+    trs = trail.tolist()
+    vals = [int(bits[0])]
+    nbs = [64]
+    prev_lead, prev_len, prev_trail = -1, -1, 129
     for i in range(1, n):
-        x = int(xors[i])
+        x = xs[i]
         if x == 0:
-            w.write(0, 1)
+            vals.append(0)
+            nbs.append(1)
             continue
-        le, tr = int(lead[i]), int(trail[i])
-        le = min(le, 31)
-        mlen = 64 - le - tr
-        prev_trail = 64 - prev_lead - prev_len
-        if prev_lead >= 0 and le >= prev_lead and tr >= prev_trail:
-            # value fits the previous (leading, length) window
-            w.write(0b10, 2)
-            w.write(x >> prev_trail, prev_len)
+        le, tr = les[i], trs[i]
+        if le > 31:
+            le = 31
+        if le >= prev_lead >= 0 and tr >= prev_trail:
+            # value fits the previous (leading, length) window; tag and
+            # payload stay separate tokens (fused could exceed 64 bits
+            # when prev_len == 64)
+            vals.append(0b10)
+            nbs.append(2)
+            vals.append(x >> prev_trail)
+            nbs.append(prev_len)
         else:
-            w.write(0b11, 2)
-            w.write(le, 5)
-            w.write(mlen, 6)  # 64 wraps to 0; decoder maps 0 -> 64
-            w.write(x >> tr, mlen)
-            prev_lead, prev_len = le, mlen
-    return w.finish()
+            mlen = 64 - le - tr
+            # '11' + 5b leading + 6b length (64 wraps to 0; decoder maps
+            # 0 -> 64) fused into a 13-bit token; payload separate (the
+            # fused form could exceed 64 bits)
+            vals.append((0b11 << 11) | (le << 6) | (mlen & 63))
+            nbs.append(13)
+            vals.append(x >> tr)
+            nbs.append(mlen)
+            prev_lead, prev_len, prev_trail = le, mlen, tr
+    return _pack_tokens(
+        np.array(vals, dtype=np.uint64), np.array(nbs, dtype=np.int64)
+    )
+
+
+def _pack_tokens(vals: np.ndarray, nbits: np.ndarray) -> bytes:
+    """MSB-first bit-pack of variable-width tokens, one numpy pass:
+    expand every token to its bits (repeat/cumsum indexing), packbits.
+    The final byte is zero-padded on the right, same as _BitWriter."""
+    total = int(nbits.sum())
+    if total == 0:
+        return b""
+    ends = np.cumsum(nbits)
+    tok = np.repeat(np.arange(len(vals)), nbits)
+    k = np.arange(total) - np.repeat(ends - nbits, nbits)
+    sh = (nbits[tok] - 1 - k).astype(np.uint64)
+    bitstream = ((vals[tok] >> sh) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bitstream).tobytes()
 
 
 def _trailing_zeros(x: np.ndarray) -> np.ndarray:
@@ -169,24 +203,29 @@ def dod_encode(ts_us: np.ndarray) -> bytes:
     n = len(t)
     if n == 0:
         return b""
-    out = bytearray(int(t[0]).to_bytes(8, "little", signed=True))
+    head = int(t[0]).to_bytes(8, "little", signed=True)
     if n == 1:
-        return bytes(out)
+        return head
     deltas = np.diff(t)
     stream = np.empty(n - 1, dtype=np.int64)
     stream[0] = deltas[0]
     stream[1:] = np.diff(deltas)
-    for v in stream:
-        z = _zigzag(int(v))
-        while True:
-            b = z & 0x7F
-            z >>= 7
-            if z:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                break
-    return bytes(out)
+    # vectorized zigzag varint: (v<<1)^(v>>63) on int64 IS the zigzag map
+    # (arithmetic shift), viewed unsigned for the byte split
+    z = ((stream << 1) ^ (stream >> 63)).view(np.uint64)
+    nb = np.ones(len(z), dtype=np.int64)
+    for k in range(1, 10):
+        nb[z >= (np.uint64(1) << np.uint64(7 * k))] = k + 1
+    total = int(nb.sum())
+    ends = np.cumsum(nb)
+    tok = np.repeat(np.arange(len(z)), nb)
+    # multiply in int64 (u64 array x scalar has no SIMD path on numpy
+    # 1.26 — see kernels/hashing.py), cast to u64 only for the shift
+    sh = ((np.arange(total) - np.repeat(ends - nb, nb)) * 7).astype(np.uint64)
+    b = ((z[tok] >> sh) & np.uint64(0x7F)).astype(np.uint8)
+    cont = np.arange(total) != np.repeat(ends, nb) - 1
+    b[cont] |= 0x80
+    return head + b.tobytes()
 
 
 def dod_decode(data: bytes, n: int) -> np.ndarray:
@@ -195,24 +234,27 @@ def dod_decode(data: bytes, n: int) -> np.ndarray:
     t0 = int.from_bytes(data[:8], "little", signed=True)
     out = np.empty(n, dtype=np.int64)
     out[0] = t0
-    pos = 8
-    vals = []
-    for _ in range(n - 1):
-        z, shift = 0, 0
-        while True:
-            b = data[pos]
-            pos += 1
-            z |= (b & 0x7F) << shift
-            shift += 7
-            if not b & 0x80:
-                break
-        vals.append(_unzigzag(z))
-    if n >= 2:
-        delta = vals[0]
-        out[1] = t0 + delta
-        for i in range(2, n):
-            delta += vals[i - 1]
-            out[i] = out[i - 1] + delta
+    if n == 1:
+        return out
+    # vectorized varint parse: terminator bytes (high bit clear) delimit
+    # tokens; per-byte 7-bit contributions OR-reduce per token
+    buf = np.frombuffer(data, dtype=np.uint8, offset=8)
+    term = (buf & 0x80) == 0
+    ends = np.flatnonzero(term)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    widths = ends - starts + 1
+    sh = ((np.arange(len(buf)) - np.repeat(starts, widths)) * 7).astype(
+        np.uint64
+    )
+    contrib = (buf & np.uint8(0x7F)).astype(np.uint64) << sh
+    z = np.bitwise_or.reduceat(contrib, starts)
+    # unzigzag: (z>>1) ^ -(z&1), two's complement via u64 subtract
+    one = np.array(1, dtype=np.uint64)  # array const: u64 scalar add/sub cliff
+    s = ((z >> one) ^ (np.uint64(0) - (z & one))).view(np.int64)
+    # stream[0] is the first delta, the rest are delta-of-deltas:
+    # deltas = cumsum(stream); ts = t0 + cumsum(deltas)
+    np.cumsum(s, out=s)
+    out[1:] = t0 + np.cumsum(s)
     return out
 
 
