@@ -796,3 +796,33 @@ CORPUS_ORACLE_SQL.update(
         "chunk_documents_documents": SQL_CHUNK_DOCUMENTS,
     }
 )
+
+
+def q_sample_per_key(sf_dir: str):
+    """Deterministic 20-per-user event subsample (bottom-k by
+    splitmix64(event_id); reservoir-sample analog that is reproducible and
+    partitioning-independent)."""
+    import ray.data as rd
+
+    from ..stages.packing import sample_per_key
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    return sample_per_key(
+        ev, id_col="event_id", key_col="user_id", k=20, num_partitions=16
+    )
+
+
+def _sql_sample_per_key() -> str:
+    from ..stages.packing import sample_per_key_sql
+
+    return sample_per_key_sql(
+        "events", id_col="event_id", key_col="user_id", k=20,
+        select_cols=["event_id", "user_id", "event_type", "value"],
+    )
+
+
+CORPUS_QUERIES["sample_per_key_events"] = q_sample_per_key
+CORPUS_ORACLE_SQL["sample_per_key_events"] = _sql_sample_per_key()

@@ -165,3 +165,87 @@ def pack_documents(ds, *, id_col: str, source_col: str, n_tok_col: str,
             batch_format="pyarrow",
         )
     )
+
+
+def _bottom_k_local(b: pa.Table, *, id_col: str, key_col: str, k: int,
+                    hash_col: str) -> pa.Table:
+    """Keep each key's k smallest-hash rows within this table (exact
+    bottom-k is a semilattice: local prune then merge gives the global
+    answer). Ties broken by id — deterministic at any partitioning."""
+    ids = np.asarray(b[id_col], dtype=np.int64)
+    if hash_col in b.column_names:
+        h = np.asarray(b[hash_col], dtype=np.int64).view(np.uint64)
+    else:
+        h = splitmix64(ids.view(np.uint64))
+        b = b.append_column(hash_col, pa.array(h.view(np.int64)))
+    key = np.asarray(b[key_col])
+    uniq, gid = np.unique(key, return_inverse=True)
+    order = np.lexsort((ids, h.view(np.uint64), gid))
+    g_sorted = gid[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(g_sorted)) + 1))
+    counts = np.diff(np.concatenate((starts, [len(g_sorted)])))
+    pos = np.arange(len(g_sorted)) - np.repeat(starts, counts)
+    keep = order[pos < k]
+    keep.sort()
+    return b.take(pa.array(keep))
+
+
+def sample_per_key(ds, *, id_col: str, key_col: str, k: int,
+                   num_partitions: int | None = None):
+    """Deterministic k-per-key subsample: keep the k rows with the
+    smallest splitmix64(id) within each key (ties by id). Equivalent to a
+    seeded uniform reservoir sample but reproducible, resumable and
+    partitioning-independent by construction.
+
+    Scale shape: a per-batch bottom-k COMBINER prunes candidates to at
+    most k x keys-per-batch BEFORE the one hash exchange, so the shuffle
+    moves O(k x keys) rows, not the table."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+    hash_col = "_smpl_h"
+
+    def local(b: pa.Table) -> pa.Table:
+        out = _bottom_k_local(
+            b, id_col=id_col, key_col=key_col, k=k, hash_col=hash_col
+        )
+        key = np.asarray(out[key_col])
+        if key.dtype.kind in "iu":
+            hk = key.astype(np.int64)
+        else:
+            hk = crc_hash_sources(key.astype(str))
+        part = (hk * 0x9E3779B1 % num_partitions).astype(np.int64)
+        return out.append_column("_part", pa.array(part))
+
+    def final(t: pa.Table) -> pa.Table:
+        out = _bottom_k_local(
+            t.drop_columns(["_part"]), id_col=id_col, key_col=key_col,
+            k=k, hash_col=hash_col,
+        )
+        return out.drop_columns([hash_col])
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def sample_per_key_sql(table: str, *, id_col: str, key_col: str, k: int,
+                       select_cols: list[str]) -> str:
+    """DuckDB twin: the same splitmix64 ranking via QUALIFY."""
+    from ..kernels.hashing import sql_splitmix64_cols
+
+    sm = ",\n       ".join(
+        sql_splitmix64_cols(f"CAST({id_col} AS UBIGINT)", "s_")
+    )
+    cols = ", ".join(select_cols)
+    return f"""
+WITH h AS (
+  SELECT {cols}, {id_col} AS _sid, {key_col} AS _skey,
+       {sm}
+  FROM {table})
+SELECT {cols} FROM h
+QUALIFY row_number() OVER (PARTITION BY _skey ORDER BY s_out, _sid) <= {k}
+"""

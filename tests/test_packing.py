@@ -215,3 +215,41 @@ def test_chunk_documents_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         out[exp.columns].astype(exp.dtypes.to_dict()), exp
     )
+
+
+def test_sample_per_key_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.packing import sample_per_key
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "id": rng.permutation(5000),
+            "k": rng.choice(["a", "b", "c", "rare"], 5000,
+                            p=[0.5, 0.3, 0.19, 0.01]),
+        }
+    )
+    outs = []
+    for parts, blocks in ((3, 1), (17, 8)):
+        ds = rd.from_pandas(df).repartition(blocks)
+        out = sample_per_key(ds, id_col="id", key_col="k", k=9,
+                             num_partitions=parts).to_pandas()
+        outs.append(out.sort_values("id").reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    counts = outs[0].groupby("k").size()
+    assert (counts <= 9).all()
+    assert counts[["a", "b", "c"]].eq(9).all()  # dense keys fill k
+
+
+def test_sample_per_key_fewer_than_k(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.packing import sample_per_key
+
+    df = pd.DataFrame({"id": range(4), "k": ["x"] * 4})
+    out = sample_per_key(
+        rd.from_pandas(df), id_col="id", key_col="k", k=10,
+        num_partitions=2,
+    ).to_pandas()
+    assert sorted(out.id) == [0, 1, 2, 3]
