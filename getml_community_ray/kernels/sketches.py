@@ -1,0 +1,87 @@
+"""Mergeable cardinality sketches (HyperLogLog).
+
+At 10^12-sequence scale an exact COUNT_DISTINCT is a full shuffle of every
+distinct value; an HLL sketch is O(m) per group, mergeable by register-max —
+the decomposable-aggregate shape the rollup lanes are built on (Flajolet et
+al. 2007; the reference's COUNT_DISTINCT is exact, `Aggregator.cpp` — this
+is the documented approximation lane beside it, not a replacement).
+
+Design for oracle-exactness: the distributed artifact is the REGISTER table
+(group, reg, rho) — all integers, bit-reproducible at any partitioning, and
+spellable in SQL (splitmix64 twin + printf('%b') bit-length). The float
+estimate is a trivial driver-side fold over it.
+
+Layout: h = splitmix64(key); reg = h mod m (low p bits); w = h >> p;
+rho = (64-p) - bitlen(w) + 1  (w = 0 -> (64-p)+1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import splitmix64, sql_splitmix64_cols
+
+
+def _bitlen_u64(w: np.ndarray) -> np.ndarray:
+    """Exact integer bit length of uint64 (0 -> 0), vectorized shift
+    ladder — float log2 is wrong above 2^53."""
+    out = np.zeros(len(w), dtype=np.int64)
+    x = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(shift))
+        out[m] += shift
+        x[m] >>= np.uint64(shift)
+    out[w > 0] += 1
+    return out
+
+
+def hll_rows(keys: np.ndarray, gid: np.ndarray, n_groups: int, *,
+             p: int = 10):
+    """Partial HLL registers for one batch: (gid, reg, rho) with per-
+    (gid, reg) max rho, rho >= 1 only for observed registers. Integer
+    arrays, mergeable by max."""
+    m = 1 << p
+    h = splitmix64(keys.astype(np.uint64))
+    reg = (h % np.uint64(m)).astype(np.int64)
+    w = h >> np.uint64(p)
+    rho = (64 - p) - _bitlen_u64(w) + 1
+    flat = gid.astype(np.int64) * m + reg
+    acc = np.zeros(n_groups * m, dtype=np.int64)
+    np.maximum.at(acc, flat, rho)
+    nz = np.flatnonzero(acc)
+    return nz // m, nz % m, acc[nz]
+
+
+def hll_estimate(regs: np.ndarray, *, p: int = 10) -> float:
+    """Standard HLL estimate from a DENSE register vector (missing
+    registers = 0), with the small-range linear-counting correction."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.ldexp(1.0, -regs.astype(np.int64)))
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return float(e)
+
+
+def sql_hll_registers(table: str, *, key_expr: str, group_col: str,
+                      p: int = 10) -> str:
+    """DuckDB twin of the register table: same splitmix64, same layout.
+    bitlen(w) is length(bin(w)) — exact for 64-bit integers (w > 0)."""
+    m = 1 << p
+    sm = ",\n       ".join(sql_splitmix64_cols(key_expr, "h_"))
+    return f"""
+WITH h AS (
+  SELECT {group_col} AS grp,
+       {sm}
+  FROM {table}),
+r AS (
+  SELECT grp,
+         CAST(h_out % {m} AS BIGINT) AS reg,
+         CASE WHEN h_out // {m} = 0 THEN {64 - p + 1}
+              ELSE {64 - p} - length(bin(h_out // {m})) + 1
+         END AS rho
+  FROM h)
+SELECT grp, reg, CAST(max(rho) AS BIGINT) AS rho
+FROM r GROUP BY grp, reg
+"""

@@ -826,3 +826,32 @@ def _sql_sample_per_key() -> str:
 
 CORPUS_QUERIES["sample_per_key_events"] = q_sample_per_key
 CORPUS_ORACLE_SQL["sample_per_key_events"] = _sql_sample_per_key()
+
+
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog register table for distinct users per event_type — the
+    mergeable COUNT_DISTINCT scale lane (integer registers, oracle-exact;
+    kernels/sketches.py)."""
+    import ray.data as rd
+
+    from ..stages.groupby import hll_count_distinct
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return hll_count_distinct(
+        ev, key_col="user_id", group_col="event_type", p=10
+    )
+
+
+def _sql_hll_registers() -> str:
+    from ..kernels.sketches import sql_hll_registers
+
+    return sql_hll_registers(
+        "events", key_expr="CAST(user_id AS UBIGINT)",
+        group_col="event_type", p=10,
+    )
+
+
+CORPUS_QUERIES["hll_registers_events"] = q_hll_registers
+CORPUS_ORACLE_SQL["hll_registers_events"] = _sql_hll_registers()

@@ -164,3 +164,39 @@ def add_rank_by_key(ds, key_col: str, *, num_buckets: int = 64,
         .groupby("_bucket")
         .map_groups(rank_bucket, batch_format="pyarrow")
     )
+
+
+def hll_count_distinct(ds, *, key_col: str, group_col: str, p: int = 10):
+    """Approximate per-group COUNT DISTINCT via HyperLogLog registers
+    (kernels/sketches.py). The scale lane beside the exact
+    count_distinct aggregation: each batch contributes O(m) integer
+    register rows (a combiner — the shuffle moves registers, never
+    values), merged by a max aggregate. Returns the REGISTER table
+    (grp, reg, rho), bit-reproducible at any partitioning; fold with
+    `hll_estimate` for the numeric estimate."""
+    from ray.data.aggregate import Max
+
+    from ..kernels.sketches import hll_rows
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b[key_col])
+        if keys.dtype.kind not in "iu":
+            keys = crc_hash_sources(keys.astype(str))
+        grp = np.asarray(b[group_col])
+        uniq, gid = np.unique(grp, return_inverse=True)
+        g_ix, reg, rho = hll_rows(
+            keys.astype(np.int64).view(np.uint64), gid, len(uniq), p=p
+        )
+        return pa.table(
+            {
+                "grp": pa.array(uniq[g_ix]),
+                "reg": pa.array(reg),
+                "rho": pa.array(rho),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["grp", "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+    )
