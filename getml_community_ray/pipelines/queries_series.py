@@ -303,3 +303,54 @@ SERIES_QUERIES["asof_join_events"] = q_asof_join_events
 SERIES_ORACLE_SQL["asof_join_events"] = SQL_ASOF_JOIN
 SERIES_QUERIES["asof_tolerance_events"] = q_asof_tolerance_events
 SERIES_ORACLE_SQL["asof_tolerance_events"] = SQL_ASOF_TOLERANCE
+
+
+def q_rolling_rows_events(sf_dir: str):
+    """5-row rolling window per user (SQL ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW): count/sum/avg/min/max over integer cents — integer sums
+    are order-exact, so engine and SQL agree bit-for-bit."""
+    from ..stages.windows import rolling_rows
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "user_id": b["user_id"],
+                "cents": pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+            }
+        )
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = rolling_rows(
+        ds, key_col="user_id", ts_col="ts", value_col="cents",
+        id_cols=["event_id"], window_rows=5, num_partitions=16,
+    )
+    return out.map_batches(
+        lambda b: b.select(
+            ["event_id", "r_count", "r_sum", "r_avg", "r_min", "r_max"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_ROLLING_ROWS = """
+WITH c AS (
+  SELECT event_id, ts, user_id, round(value * 100) AS cents FROM events)
+SELECT event_id,
+       CAST(count(*) OVER w AS DOUBLE) AS r_count,
+       CAST(sum(cents) OVER w AS DOUBLE) AS r_sum,
+       CAST(sum(cents) OVER w AS DOUBLE) / count(*) OVER w AS r_avg,
+       min(cents) OVER w AS r_min,
+       max(cents) OVER w AS r_max
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+SERIES_QUERIES["rolling_rows_events"] = q_rolling_rows_events
+SERIES_ORACLE_SQL["rolling_rows_events"] = SQL_ROLLING_ROWS

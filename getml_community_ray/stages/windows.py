@@ -237,3 +237,114 @@ def sessionize(
             lambda t: part_fn(t.drop_columns(["_part"])), batch_format="pyarrow"
         )
     )
+
+
+def rolling_rows(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_cols: list[str],
+    window_rows: int,
+    aggs: tuple[str, ...] = ("count", "sum", "avg", "min", "max"),
+    num_partitions: int | None = None,
+):
+    """Row-count rolling window per key — SQL's
+    `ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW` over
+    (PARTITION BY key ORDER BY ts, id). Partial windows at each key's head
+    use the available rows, exactly like SQL.
+
+    One hash exchange by key; per partition a single lexsort, then
+    prefix-sum (count/sum/avg) and reduceat (min/max) kernels — per-task
+    cost O(rows) + O(rows x window) for min/max, bounded by the partition.
+    Output: id_cols + key + ts + `r_<agg>` float64 columns."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    order_id = id_cols[0] if id_cols else None
+
+    def part_fn(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch[key_col])
+        ts_us = ts_to_us(batch[ts_col].combine_chunks())
+        v = np.asarray(
+            batch[value_col].combine_chunks(), dtype=np.float64
+        )
+        uniq, gid = np.unique(key, return_inverse=True)
+        if order_id is not None:
+            oid = np.asarray(batch[order_id])
+            order = np.lexsort((oid, ts_us, gid))
+        else:
+            order = np.lexsort((ts_us, gid))
+        g_s, v_s = gid[order], v[order]
+        n = len(g_s)
+        seg_start_pos = np.zeros(n, dtype=np.int64)
+        if n:
+            new_seg = np.ones(n, dtype=bool)
+            new_seg[1:] = g_s[1:] != g_s[:-1]
+            starts_ix = np.flatnonzero(new_seg)
+            seg_start_pos = starts_ix[np.cumsum(new_seg) - 1]
+        i = np.arange(n)
+        w_start = np.maximum(i - window_rows + 1, seg_start_pos)
+        cnt = (i - w_start + 1).astype(np.float64)
+
+        out = {}
+        for c in id_cols:
+            out[c] = batch[c].combine_chunks().take(pa.array(order))
+        out[key_col] = pa.array(uniq[g_s])
+        out[ts_col] = batch[ts_col].combine_chunks().take(pa.array(order))
+        need = set(aggs)
+        if need & {"sum", "avg"}:
+            csum = np.concatenate(([0.0], np.cumsum(v_s)))
+            wsum = csum[i + 1] - csum[w_start]
+        if "count" in need:
+            out["r_count"] = pa.array(cnt)
+        if "sum" in need:
+            out["r_sum"] = pa.array(wsum)
+        if "avg" in need:
+            out["r_avg"] = pa.array(wsum / cnt)
+        if need & {"min", "max"} and n:
+            # variable-length windows via interleaved reduceat pairs
+            # (w_start, i): reduces [w_start, i) — reduceat indices must be
+            # < n, so the current row is folded in afterwards; a (i, i)
+            # pair returns v_s[i] by reduceat's >=-rule, folding is a no-op
+            bounds = np.empty(2 * n, dtype=np.int64)
+            bounds[0::2] = w_start
+            bounds[1::2] = i
+            if "min" in need:
+                out["r_min"] = pa.array(
+                    np.minimum(np.minimum.reduceat(v_s, bounds)[0::2], v_s)
+                )
+            if "max" in need:
+                out["r_max"] = pa.array(
+                    np.maximum(np.maximum.reduceat(v_s, bounds)[0::2], v_s)
+                )
+        elif need & {"min", "max"}:
+            if "min" in need:
+                out["r_min"] = pa.array(np.empty(0, dtype=np.float64))
+            if "max" in need:
+                out["r_max"] = pa.array(np.empty(0, dtype=np.float64))
+        return pa.table(out)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col])
+        if k.dtype.kind in "iu":
+            h = k.astype(np.int64)
+        else:
+            h = crc_hash_sources(k.astype(str))
+        return b.append_column(
+            "_part", pa.array((h * 0x9E3779B1 % num_partitions).astype(np.int64))
+        )
+
+    cols = list(dict.fromkeys(id_cols + [key_col, ts_col, value_col]))
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda t: part_fn(t.drop_columns(["_part"])), batch_format="pyarrow"
+        )
+    )

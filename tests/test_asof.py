@@ -130,3 +130,38 @@ def test_asof_self_dataset_fused(ray_session):
     l = pd.DataFrame({"lid": df.lid, "k": df.k, "ts_us": df.ts.astype("int64")})
     exp = _brute(l, b)
     assert np.allclose(out["v_asof"].to_numpy(), exp, equal_nan=True)
+
+
+def test_rolling_rows_brute_force(ray_session):
+    """rolling_rows vs a per-row pandas brute force, incl. partial head
+    windows and partition invariance."""
+    import ray.data as rd
+
+    from getml_community_ray.stages.windows import rolling_rows
+
+    rng = np.random.default_rng(17)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "lid": np.arange(n),
+            "k": rng.choice(["a", "b", "c"], n),
+            "ts": pd.to_datetime(rng.integers(0, 1_000_000, n), unit="us"),
+            "v": rng.integers(-50, 50, n).astype(np.float64),
+        }
+    )
+    outs = []
+    for parts in (2, 11):
+        out = rolling_rows(
+            rd.from_pandas(df), key_col="k", ts_col="ts", value_col="v",
+            id_cols=["lid"], window_rows=4, num_partitions=parts,
+        ).to_pandas().sort_values("lid").reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    got = outs[0]
+    sdf = df.sort_values(["k", "ts", "lid"]).reset_index(drop=True)
+    roll = sdf.groupby("k")["v"].rolling(4, min_periods=1)
+    for agg, col in (("sum", "r_sum"), ("min", "r_min"), ("max", "r_max"),
+                     ("count", "r_count"), ("mean", "r_avg")):
+        exp = getattr(roll, agg)().reset_index(level=0, drop=True)
+        exp = pd.Series(exp.to_numpy(), index=sdf.lid).sort_index().to_numpy()
+        assert np.allclose(got[col].to_numpy(), exp), agg
