@@ -354,3 +354,57 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 
 SERIES_QUERIES["rolling_rows_events"] = q_rolling_rows_events
 SERIES_ORACLE_SQL["rolling_rows_events"] = SQL_ROLLING_ROWS
+
+
+def q_range_join_events(sf_dir: str):
+    """Range join: each click joined to every purchase window
+    [purchase_ts, purchase_ts + 30min] of the same user
+    (stages/rangejoin.py — bucket-replicated intervals, one exchange)."""
+    from ..stages.rangejoin import range_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+    points = ev.filter(expr="event_type == 'click'")
+
+    def mk_ivl(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "start_ts": b["ts"],
+                "end_ts": _pc.add(
+                    b["ts"], pa.scalar(1_800_000_000, pa.duration("us"))
+                ),
+                "iid": b["event_id"],
+                "ival": b["value"],
+            }
+        )
+
+    intervals = ev.filter(expr="event_type == 'purchase'").map_batches(
+        mk_ivl, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = range_join(
+        points, intervals, on="user_id", point_ts="ts",
+        start_ts="start_ts", end_ts="end_ts", point_id_cols=["event_id"],
+        interval_cols=["iid", "ival"], max_interval_s=1800.0,
+        num_partitions=16,
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "_ts", "iid", "ival"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS _ts,
+       i.event_id AS iid, i.value AS ival
+FROM (SELECT * FROM events WHERE event_type = 'click') p
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') i
+  ON p.user_id = i.user_id
+ AND p.ts >= i.ts AND p.ts <= i.ts + INTERVAL '1800 seconds'
+"""
+
+SERIES_QUERIES["range_join_events"] = q_range_join_events
+SERIES_ORACLE_SQL["range_join_events"] = SQL_RANGE_JOIN

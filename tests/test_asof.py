@@ -165,3 +165,59 @@ def test_rolling_rows_brute_force(ray_session):
         exp = getattr(roll, agg)().reset_index(level=0, drop=True)
         exp = pd.Series(exp.to_numpy(), index=sdf.lid).sort_index().to_numpy()
         assert np.allclose(got[col].to_numpy(), exp), agg
+
+
+def test_range_join_brute_force(ray_session):
+    """range_join vs brute force: long intervals spanning many buckets,
+    overlap stacking, partition invariance, oversize-interval guard."""
+    import ray.data as rd
+
+    from getml_community_ray.stages.rangejoin import range_join
+
+    rng = np.random.default_rng(41)
+    n_p, n_i = 1200, 300
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n_p),
+            "k": rng.choice(["a", "b", "c"], n_p),
+            "ts_us": rng.integers(0, 20_000_000, n_p),
+        }
+    )
+    start = rng.integers(0, 20_000_000, n_i)
+    ln = rng.integers(0, 5_000_000, n_i)
+    ivl = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], n_i),
+            "s_us": start,
+            "e_us": start + ln,
+            "iid": np.arange(n_i),
+        }
+    )
+    exp = pts.merge(ivl, on="k")
+    exp = exp[(exp.ts_us >= exp.s_us) & (exp.ts_us <= exp.e_us)]
+    exp = set(zip(exp.pid, exp.iid))
+
+    p = pts.assign(ts=pd.to_datetime(pts.ts_us, unit="us")).drop(columns="ts_us")
+    iv = ivl.assign(
+        start_ts=pd.to_datetime(ivl.s_us, unit="us"),
+        end_ts=pd.to_datetime(ivl.e_us, unit="us"),
+    ).drop(columns=["s_us", "e_us"])
+    got_sets = []
+    for parts, bucket in ((3, 5.0), (11, 0.5)):  # 0.5s bucket: 10+ replicas
+        out = range_join(
+            rd.from_pandas(p), rd.from_pandas(iv), on="k", point_ts="ts",
+            start_ts="start_ts", end_ts="end_ts", point_id_cols=["pid"],
+            interval_cols=["iid"], max_interval_s=5.0, bucket_s=bucket,
+            num_partitions=parts,
+        ).to_pandas()
+        got_sets.append(set(zip(out.pid, out.iid)))
+        assert len(out) == len(got_sets[-1])  # no duplicate pairs
+    assert got_sets[0] == exp
+    assert got_sets[1] == exp
+
+    with pytest.raises(Exception, match="max_interval_s"):
+        range_join(
+            rd.from_pandas(p), rd.from_pandas(iv), on="k", point_ts="ts",
+            start_ts="start_ts", end_ts="end_ts", point_id_cols=["pid"],
+            interval_cols=["iid"], max_interval_s=1.0, num_partitions=3,
+        ).to_pandas()
