@@ -914,3 +914,79 @@ def _read_cols(paths: list[str], cfg: RollupConfig):
         else [cfg.value_col]
     )
     return rd.read_parquet(list(paths), columns=cols)
+
+
+def rewrite_clustered(
+    paths: list[str],
+    out_dir: str,
+    *,
+    bucket_s: float,
+    ts_col: str = "event_ts",
+    source_col: str = "source",
+    num_partitions_hint: int | None = None,
+):
+    """Rewrite ANY shard layout into the event-time-clustered lake layout
+    the fused lanes' footer guard (`clustered_files_nonoverlapping`) can
+    PROVE: one Parquet file per `bucket_s`-wide time bucket, rows sorted by
+    (source, ts) inside, every column (tokens included) passed through
+    byte-equal. After the rewrite `assume_clustered="auto"` takes the fused
+    fast path with no vouch.
+
+    One exchange (hash by bucket); each bucket task writes its own file —
+    resumable/idempotent output: the file name is the bucket id, a retry
+    or re-run overwrites the same file with the same bytes. Returns the
+    manifest Dataset (path, bucket, rows, min_ts, max_ts)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.rollup import ts_to_us
+
+    os.makedirs(out_dir, exist_ok=True)
+    W_us = int(round(bucket_s * 1_000_000))
+    if W_us <= 0:
+        raise ValueError("bucket_s must be positive")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        tus = ts_to_us(b[ts_col].combine_chunks())
+        return b.append_column("_bucket", pa.array(tus // W_us))
+
+    def write_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "path": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "rows": pa.array([], pa.int64()),
+                    "min_ts": pa.array([], pa.int64()),
+                    "max_ts": pa.array([], pa.int64()),
+                }
+            )
+        bucket = int(t["_bucket"][0].as_py())
+        t = t.drop_columns(["_bucket"])
+        src = np.asarray(t[source_col]).astype(str)
+        tus = ts_to_us(t[ts_col].combine_chunks())
+        order = np.lexsort((tus, src))
+        t = t.take(pa.array(order)).combine_chunks()
+        path = os.path.join(out_dir, f"bucket-{bucket:012d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)  # atomic: readers never see a partial file
+        return pa.table(
+            {
+                "path": pa.array([path]),
+                "bucket": pa.array([bucket], pa.int64()),
+                "rows": pa.array([len(t)], pa.int64()),
+                "min_ts": pa.array([int(tus.min())], pa.int64()),
+                "max_ts": pa.array([int(tus.max())], pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(paths)
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+    )

@@ -354,3 +354,64 @@ def test_fused_row_group_split_equal(tmp_path, ray_session):
     want2 = _sorted_df(rollup_holistic_long(rd.read_parquet(p), cfg2))
     got2 = _sorted_df(rollup_holistic_clustered_fused([p], cfg2))
     pd.testing.assert_frame_equal(got2, want2)
+
+
+def test_rewrite_clustered_enables_fused_auto(ray_session, tmp_path_factory):
+    """The interleaved bench layout fails the footer guard; after
+    rewrite_clustered the guard PROVES the layout (no vouch) and the fused
+    lane matches the sort-based lane on the original shards; every column
+    (tokens included) round-trips byte-equal."""
+    import glob
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from getml_community_ray.pipelines.rollup import (
+        rewrite_clustered,
+        rollup_decomposable_clustered_fused,
+    )
+    from getml_community_ray.sources.synth import generate_sequences
+    from getml_community_ray.stages.rollup import (
+        clustered_files_nonoverlapping,
+    )
+
+    src = str(tmp_path_factory.mktemp("rw_src"))
+    generate_sequences(src, n_rows=30_000, n_shards=5, seed=23,
+                       with_tokens=True)
+    src_paths = sorted(glob.glob(f"{src}/*.parquet"))
+    assert not clustered_files_nonoverlapping(src_paths, ts_col="event_ts")
+
+    out_dir = str(tmp_path_factory.mktemp("rw_out"))
+    manifest = rewrite_clustered(
+        src_paths, out_dir, bucket_s=6 * 3600.0
+    ).to_pandas()
+    new_paths = sorted(glob.glob(f"{out_dir}/*.parquet"))
+    assert sorted(manifest.path) == new_paths
+    n_src = sum(pq.ParquetFile(p).metadata.num_rows for p in src_paths)
+    assert manifest.rows.sum() == n_src
+    assert clustered_files_nonoverlapping(new_paths, ts_col="event_ts")
+
+    # fused lane now runs on "auto" — no vouch — and matches the
+    # sort-based lane over the ORIGINAL shards
+    cfg_auto = RollupConfig(retention={}, num_partitions=8,
+                            cache_intermediates=False)  # assume="auto"
+    a = _sorted_df(rollup_decomposable_clustered_fused(new_paths, cfg_auto))
+    b = _sorted_df(rollup_decomposable_long(_read(src), cfg_auto))
+    assert len(a) == len(b)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.allclose(av, bv, rtol=0, atol=0, equal_nan=True), c
+        else:
+            assert (av == bv).all(), c
+
+    # token byte-equality through the rewrite
+    def tok_crc(paths):
+        acc = {}
+        for p in paths:
+            t = pq.read_table(p, columns=["doc_id", "tokens"])
+            ids = t["doc_id"].to_pylist()
+            for i, arr in enumerate(t["tokens"].to_pylist()):
+                acc[ids[i]] = zlib.crc32(np.asarray(arr, np.int32).tobytes())
+        return acc
+    assert tok_crc(src_paths) == tok_crc(new_paths)
