@@ -530,3 +530,50 @@ FROM orders GROUP BY 1
 
 IO_QUERIES["from_db_sqlite_orders"] = q_from_db_sqlite_orders
 IO_ORACLE_SQL["from_db_sqlite_orders"] = SQL_FROM_DB_SQLITE
+
+
+def q_semi_join_lineitem(sf_dir: str):
+    """Semi + anti join coverage (stages/joins.semi_join_filter): lineitem
+    rows whose order is URGENT (semi) counted against the rest (anti).
+    The key set is driver-small (broadcast via ray.put once; reference
+    staging joins prune the same way, `staging/Join.cpp` semantics)."""
+    import ray.data as rd
+
+    from ..stages.joins import semi_join_filter
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    keys = [
+        r["o_orderkey"]
+        for r in orders.filter(
+            expr="o_orderpriority == '1-URGENT'"
+        ).take_all()
+    ]
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    semi = semi_join_filter(li, keys, on="l_orderkey")
+    anti = semi_join_filter(li, keys, on="l_orderkey", anti=True)
+    import pyarrow as pa
+
+    n_semi = semi.count()
+    n_anti = anti.count()
+    return pa.table(
+        {"n_semi": pa.array([n_semi], pa.int64()),
+         "n_anti": pa.array([n_anti], pa.int64())}
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT
+  CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IN
+        (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+       AS BIGINT) AS n_semi,
+  CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+       AS BIGINT) AS n_anti
+"""
+
+IO_QUERIES["semi_join_lineitem"] = q_semi_join_lineitem
+IO_ORACLE_SQL["semi_join_lineitem"] = SQL_SEMI_JOIN
