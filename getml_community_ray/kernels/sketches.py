@@ -85,3 +85,39 @@ r AS (
 SELECT grp, reg, CAST(max(rho) AS BIGINT) AS rho
 FROM r GROUP BY grp, reg
 """
+
+
+def histogram_quantile(bins: np.ndarray, cnts: np.ndarray, *, mn: float,
+                       mx: float, n_bins: int, q: float) -> float:
+    """Quantile estimate from a (bin, cnt) histogram: the UPPER edge of
+    the bin where the cumulative count first reaches ceil(q * n) — within
+    one bin width of the exact q-quantile."""
+    order = np.argsort(bins)
+    b, c = bins[order], cnts[order]
+    n = int(c.sum())
+    if n == 0:
+        return float("nan")
+    target = max(1, int(np.ceil(q * n)))
+    ix = int(np.searchsorted(np.cumsum(c), target))
+    width = (mx - mn) / n_bins
+    return mn + (int(b[ix]) + 1) * width
+
+
+def sql_grouped_histogram(table: str, *, value_col: str, group_col: str,
+                          n_bins: int = 64) -> str:
+    """DuckDB twin of grouped_histogram: identical IEEE double bin
+    arithmetic, integer output rows."""
+    return f"""
+WITH mm AS (
+  SELECT {group_col} AS grp, min({value_col}) AS mn, max({value_col}) AS mx
+  FROM {table} GROUP BY 1),
+b AS (
+  SELECT t.{group_col} AS grp,
+         CASE WHEN mm.mx = mm.mn THEN 0
+              ELSE CAST(least(floor(({value_col} - mm.mn)
+                              / ((mm.mx - mm.mn) / {n_bins})),
+                        {n_bins - 1}) AS BIGINT)
+         END AS bin
+  FROM {table} t JOIN mm ON t.{group_col} = mm.grp)
+SELECT grp, bin, count(*) AS cnt FROM b GROUP BY grp, bin
+"""

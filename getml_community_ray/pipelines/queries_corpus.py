@@ -855,3 +855,31 @@ def _sql_hll_registers() -> str:
 
 CORPUS_QUERIES["hll_registers_events"] = q_hll_registers
 CORPUS_ORACLE_SQL["hll_registers_events"] = _sql_hll_registers()
+
+
+def q_histogram_events(sf_dir: str):
+    """Fixed-grid per-group histogram of event values — the bounded-memory
+    approximate-quantile lane (integer rows, oracle-exact;
+    stages/groupby.grouped_histogram)."""
+    import ray.data as rd
+
+    from ..stages.groupby import grouped_histogram
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value", "event_type"]
+    )
+    return grouped_histogram(
+        ev, value_col="value", group_col="event_type", n_bins=64
+    )
+
+
+def _sql_histogram_events() -> str:
+    from ..kernels.sketches import sql_grouped_histogram
+
+    return sql_grouped_histogram(
+        "events", value_col="value", group_col="event_type", n_bins=64
+    )
+
+
+CORPUS_QUERIES["histogram_events"] = q_histogram_events
+CORPUS_ORACLE_SQL["histogram_events"] = _sql_histogram_events()

@@ -200,3 +200,75 @@ def hll_count_distinct(ds, *, key_col: str, group_col: str, p: int = 10):
         .groupby(["grp", "reg"])
         .aggregate(Max("rho", alias_name="rho"))
     )
+
+
+def grouped_histogram(ds, *, value_col: str, group_col: str,
+                      n_bins: int = 64):
+    """Deterministic fixed-grid histogram per group — the bounded-memory
+    approximate-quantile lane beside the holistic lane's exact quantiles
+    (whose mergeable states are O(distinct values); this is O(n_bins)).
+
+    Two linear passes: (1) per-group min/max (tiny partial rows, merged by
+    a min/max aggregate, broadcast back); (2) per-batch bincount combiner
+    -> sum merge. Output: integer rows (grp, bin, cnt) — deterministic at
+    any partitioning, exact SQL twin (same IEEE double bin arithmetic).
+    Quantiles fold from the histogram with error <= one bin width
+    (kernels/sketches.histogram_quantile)."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[value_col].combine_chunks(), dtype=np.float64)
+        grp = np.asarray(b[group_col])
+        uniq, gid = np.unique(grp, return_inverse=True)
+        mn = np.full(len(uniq), np.inf)
+        mx = np.full(len(uniq), -np.inf)
+        np.minimum.at(mn, gid, v)
+        np.maximum.at(mx, gid, v)
+        return pa.table(
+            {"grp": pa.array(uniq), "mn": pa.array(mn), "mx": pa.array(mx)}
+        )
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("grp")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+    )
+    bounds = {
+        r.grp: (float(r.mn), float(r.mx)) for r in mm.itertuples(index=False)
+    }
+    ref = ray.put(bounds)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        bd = ray.get(ref)
+        v = np.asarray(b[value_col].combine_chunks(), dtype=np.float64)
+        grp = np.asarray(b[group_col])
+        uniq, gid = np.unique(grp, return_inverse=True)
+        mn = np.array([bd[g][0] for g in uniq.tolist()])
+        mx = np.array([bd[g][1] for g in uniq.tolist()])
+        width = (mx - mn) / n_bins
+        # degenerate group (all values equal): every row in bin 0 — the
+        # SQL twin spells the same CASE
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = np.floor((v - mn[gid]) / width[gid])
+        bins = np.where(
+            width[gid] == 0.0, 0.0, np.minimum(raw, n_bins - 1)
+        ).astype(np.int64)
+        flat = gid * n_bins + bins
+        acc = np.bincount(flat, minlength=len(uniq) * n_bins)
+        nz = np.flatnonzero(acc)
+        return pa.table(
+            {
+                "grp": pa.array(uniq[nz // n_bins]),
+                "bin": pa.array((nz % n_bins).astype(np.int64)),
+                "cnt": pa.array(acc[nz].astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(hist_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["grp", "bin"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )

@@ -56,3 +56,50 @@ def test_hll_partition_invariance(ray_session):
         exact = df[df.g == g].k.nunique()
         est = hll_estimate(dense, p=8)
         assert abs(est - exact) / exact < 0.15
+
+
+def test_histogram_quantile_bound(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.kernels.sketches import histogram_quantile
+    from getml_community_ray.stages.groupby import grouped_histogram
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "v": np.concatenate(
+                [rng.normal(0, 1, 40_000), rng.exponential(5, 40_000)]
+            ),
+            "g": np.repeat(["n", "e"], 40_000),
+        }
+    )
+    outs = []
+    for blocks in (1, 9):
+        ds = rd.from_pandas(df).repartition(blocks)
+        h = grouped_histogram(ds, value_col="v", group_col="g", n_bins=128)
+        outs.append(
+            h.to_pandas().sort_values(["grp", "bin"]).reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])  # partition-invariant
+    for g in ("n", "e"):
+        vals = df[df.g == g].v.to_numpy()
+        sub = outs[0][outs[0].grp == g]
+        width = (vals.max() - vals.min()) / 128
+        for q in (0.1, 0.5, 0.9, 0.99):
+            est = histogram_quantile(
+                sub.bin.to_numpy(), sub.cnt.to_numpy(),
+                mn=vals.min(), mx=vals.max(), n_bins=128, q=q,
+            )
+            assert abs(est - np.quantile(vals, q)) <= width + 1e-12
+
+
+def test_histogram_degenerate_group(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.groupby import grouped_histogram
+
+    df = pd.DataFrame({"v": [3.5] * 10, "g": ["x"] * 10})
+    h = grouped_histogram(
+        rd.from_pandas(df), value_col="v", group_col="g", n_bins=16
+    ).to_pandas()
+    assert len(h) == 1 and h.bin.iloc[0] == 0 and h.cnt.iloc[0] == 10
