@@ -135,39 +135,84 @@ def asof_join(
     tolerance_s: float | None = None,
     suffix: str = "_asof",
     num_partitions: int | None = None,
+    time_bucket_s: float | None = None,
 ):
     """Backward as-of join: for each left row the latest right row with
     right_ts <= left_ts on the same key. Returns id_cols + on + _ts (us
-    int64 of left_ts) + `<value_col><suffix>` float64 columns."""
+    int64 of left_ts) + `<value_col><suffix>` float64 columns.
+
+    `time_bucket_s` bounds hot keys the same way FastPropSpec.time_bucket_s
+    does: partitions become (key-hash, time bucket), and right rows within
+    `tolerance_s` of a bucket's end are replicated into the next bucket —
+    exact because a match can reach at most `tolerance_s` back. Requires
+    tolerance_s (an unbounded-lookback as-of would need a last-row carry
+    chain across every earlier bucket) and time_bucket_s >= tolerance_s."""
     if num_partitions is None:
         from .partitioning import auto_partitions
 
         num_partitions = auto_partitions(left_ds)
     tol_us = None if tolerance_s is None else int(round(tolerance_s * US))
+    W_us = 0
+    if time_bucket_s is not None:
+        if tol_us is None:
+            raise ValueError(
+                "time_bucket_s requires tolerance_s: unbounded-lookback "
+                "as-of cannot be time-split exactly (use key-only "
+                "partitioning or set a tolerance)"
+            )
+        W_us = int(round(time_bucket_s * US))
+        if W_us < tol_us:
+            raise ValueError(
+                f"time_bucket_s ({time_bucket_s}) must be >= tolerance_s "
+                f"({tolerance_s}): one-bucket replication only covers "
+                "lookbacks no wider than the bucket"
+            )
+    P = num_partitions
+
+    def _parts(key: np.ndarray, tus: np.ndarray) -> np.ndarray:
+        part = _hash_part(key, P)
+        if W_us:
+            part = part + P * (tus // W_us)
+        return part
 
     # null-type placeholders on each side must carry the OTHER side's
     # types; ints/strings pass through from the left batch itself
     def tag_left(b: pa.Table) -> pa.Table:
         key = np.asarray(b[on])
+        tus = ts_to_us(b[left_ts].combine_chunks())
         cols = {c: b[c] for c in id_cols}
         cols[on] = b[on]
-        cols["_ts"] = pa.array(ts_to_us(b[left_ts].combine_chunks()))
+        cols["_ts"] = pa.array(tus)
         for c in value_cols:
             cols[c] = pa.nulls(len(b), pa.float64())
         cols["_side"] = pa.array(np.zeros(len(b), dtype=np.int8))
-        cols["_part"] = pa.array(_hash_part(key, num_partitions))
+        cols["_part"] = pa.array(_parts(key, tus))
         return pa.table(cols)
 
     def tag_right(b: pa.Table, id_types: dict) -> pa.Table:
         key = np.asarray(b[on])
+        tus = ts_to_us(b[right_ts].combine_chunks())
         cols = {c: pa.nulls(len(b), id_types[c]) for c in id_cols}
         cols[on] = b[on]
-        cols["_ts"] = pa.array(ts_to_us(b[right_ts].combine_chunks()))
+        cols["_ts"] = pa.array(tus)
         for c in value_cols:
             cols[c] = b[c].cast(pa.float64())
         cols["_side"] = pa.array(np.ones(len(b), dtype=np.int8))
-        cols["_part"] = pa.array(_hash_part(key, num_partitions))
-        return pa.table(cols)
+        full = pa.table(cols)
+        part = _hash_part(key, P)
+        if not W_us:
+            return full.append_column("_part", pa.array(part))
+        bucket = tus // W_us
+        orig = full.append_column("_part", pa.array(part + P * bucket))
+        # rows within tolerance of the bucket end also serve the NEXT
+        # bucket's left rows
+        rep_ix = np.flatnonzero(tus - bucket * W_us > W_us - tol_us)
+        if len(rep_ix) == 0:
+            return orig
+        rep = full.take(pa.array(rep_ix)).append_column(
+            "_part", pa.array((part + P * (bucket + 1))[rep_ix])
+        )
+        return pa.concat_tables([orig, rep])
 
     kernel = _AsofKernel(
         on=on,

@@ -221,3 +221,29 @@ def test_range_join_brute_force(ray_session):
             start_ts="start_ts", end_ts="end_ts", point_id_cols=["pid"],
             interval_cols=["iid"], max_interval_s=1.0, num_partitions=3,
         ).to_pandas()
+
+
+def test_asof_time_bucket_split_equality(ray_session):
+    """(key, time-bucket) split asof == key-only asof (tolerance bounds
+    the lookback, replication covers bucket crossings)."""
+    left, right = _frames(seed=47, n_l=600, n_r=500)
+    import ray.data as rd
+
+    from getml_community_ray.stages.asof import asof_join
+
+    l = left.assign(ts=pd.to_datetime(left.ts_us, unit="us")).drop(columns="ts_us")
+    r = right.assign(ts=pd.to_datetime(right.ts_us, unit="us")).drop(columns="ts_us")
+    kw = dict(on="k", left_ts="ts", right_ts="ts", value_cols=["v"],
+              id_cols=["lid"], tolerance_s=2.0)
+    a = asof_join(rd.from_pandas(l), rd.from_pandas(r),
+                  num_partitions=4, **kw).to_pandas()
+    b = asof_join(rd.from_pandas(l), rd.from_pandas(r), num_partitions=4,
+                  time_bucket_s=2.5, **kw).to_pandas()
+    a = a.sort_values("lid").reset_index(drop=True)
+    b = b.sort_values("lid").reset_index(drop=True)
+    assert np.allclose(a["v_asof"], b["v_asof"], equal_nan=True)
+
+    with pytest.raises(ValueError, match="time_bucket_s requires tolerance"):
+        asof_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                  left_ts="ts", right_ts="ts", value_cols=["v"],
+                  id_cols=["lid"], time_bucket_s=2.0, num_partitions=4)
