@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "text_stats_documents",
     "similarity_topk",
+    "asof_join_events",
+    "rolling_rows_events",
+    "histogram_events",
 ]
 
 
