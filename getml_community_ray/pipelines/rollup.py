@@ -638,10 +638,15 @@ def _fused_items_ds(items: list[dict]):
     return rd.from_items(items, override_num_blocks=max(1, len(items)))
 
 
-def _read_span(path: str, lo: int, hi: int, columns: list[str]) -> pa.Table:
+def _read_span(
+    path: str, lo: int, hi: int, columns: list[str],
+    dict_cols: tuple[str, ...] = (),
+) -> pa.Table:
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(path)
+    # decode key columns straight to dictionary: the kernels work on codes,
+    # so dense-string materialization is pure wasted bandwidth
+    pf = pq.ParquetFile(path, read_dictionary=list(dict_cols))
     try:
         return pf.read_row_groups(
             list(range(lo, hi)), columns=columns, use_threads=False
@@ -686,7 +691,8 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
             batch["lo"].to_pylist(),
             batch["hi"].to_pylist(),
         ):
-            t = _read_span(str(p), int(lo), int(hi), cols)
+            t = _read_span(str(p), int(lo), int(hi), cols,
+                           dict_cols=(cfg.source_col,))
             parts = R.tiered_partials_clustered(
                 t,
                 source_col=cfg.source_col,
@@ -850,7 +856,8 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
             batch["lo"].to_pylist(),
             batch["hi"].to_pylist(),
         ):
-            t = _read_span(str(p), int(lo), int(hi), cols)
+            t = _read_span(str(p), int(lo), int(hi), cols,
+                           dict_cols=(cfg.source_col,))
             st = hc.states(t)
             hull = _source_ts_hulls(
                 t, source_col=cfg.source_col, ts_col=cfg.ts_col
