@@ -858,7 +858,8 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
         ):
             t = _read_span(str(p), int(lo), int(hi), cols,
                            dict_cols=(cfg.source_col,))
-            st = hc.states(t)
+            # one shared prep (the lexsort dominates both passes)
+            inter, st = hc.interior_states(t)
             hull = _source_ts_hulls(
                 t, source_col=cfg.source_col, ts_col=cfg.ts_col
             )
@@ -878,7 +879,7 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
             ref = ray.put(st_sorted, _owner=reg)
             ray.get(reg.put.remote(f"{p}#{lo}", (ref, offs), hull))
             _maybe_crash(cfg.fault_inject_dir, f"{p}#{lo}")
-            outs.append(hc.interior(t))
+            outs.append(inter)
         return pa.concat_tables(outs) if outs else hc.final_schema().empty_table()
 
     interior = _fused_items_ds(items).map_batches(
@@ -910,6 +911,187 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
     boundary = rd.from_arrow_refs(final_refs).materialize()
     ray.kill(reg)
     return interior.union(boundary)
+
+
+def rollup_both_clustered_fused(
+    paths: list[str], cfg_d: RollupConfig, cfg_h: RollupConfig
+):
+    """BOTH headline lanes from ONE decode of the corpus.
+
+    A deployment that materializes the decomposable tier cascade AND the
+    holistic (full-vocabulary) cascade over the same corpus pays the
+    dominant cost — Parquet decode of (source, ts, value) — twice when the
+    lanes run as separate jobs. Here each task decodes its row-group span
+    once and feeds both kernels. Both lanes' INTERIOR rows stream out as
+    the map_batches output on a tagged union schema (`_lane` 0=decomp,
+    1=holistic; missing agg columns null-padded — null buffers are free),
+    split afterwards by two cheap filter+project passes over the pinned
+    blocks. Side-channel traffic is ONE keyed actor message per work item
+    (decomp boundary rows + holistic states ref + shard offsets + ts hull
+    — the per-item actor round trips, not put bytes, were measured as the
+    fused lanes' serialization tax) plus one owner-transfer ray.put of the
+    shard-sorted holistic states. The union materialization is the barrier
+    proving every side-channel message arrived; both boundary merges then
+    run exactly as in the single lanes. Returns (decomposable_ds,
+    holistic_ds) — bit-equal to running the two fused lanes separately
+    (tested)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    if not (_clustered_ok(paths, cfg_d) and _clustered_ok(paths, cfg_h)):
+        return (
+            rollup_decomposable_clustered_fused(paths, cfg_d),
+            rollup_holistic_clustered_fused(paths, cfg_h),
+        )
+    if (cfg_d.source_col, cfg_d.ts_col) != (cfg_h.source_col, cfg_h.ts_col):
+        raise ValueError("both-lane fusion requires shared source/ts columns")
+    if isinstance(cfg_d.value_col, (list, tuple)):
+        raise ValueError("both-lane fusion: decomposable lane is single-value")
+    ordered_d = _tier_widths_ok(cfg_d.tiers)
+    need_fl = "first" in cfg_d.aggs or "last" in cfg_d.aggs
+    hc = R.HolisticClustered(
+        source_col=cfg_h.source_col,
+        ts_col=cfg_h.ts_col,
+        value_col=cfg_h.value_col,
+        tiers=dict(_tier_widths_ok(cfg_h.tiers)),
+        aggs=cfg_h.aggs,
+        num_partitions=cfg_h.num_partitions,
+    )
+    vcols_h = (
+        list(cfg_h.value_col)
+        if isinstance(cfg_h.value_col, (list, tuple))
+        else [cfg_h.value_col]
+    )
+    cols = [cfg_d.source_col, cfg_d.ts_col] + sorted(
+        {cfg_d.value_col} | set(vcols_h)
+    )
+    # static output schemas of the two lanes + their tagged union
+    d_names = ["tier", "source", "bucket_ts"] + [
+        a for a in ("count", "sum", "avg", "min", "max", "first", "last")
+        if a in cfg_d.aggs
+    ]
+    h_names = hc.final_schema().names
+    key3 = ["tier", "source", "bucket_ts"]
+    u_aggs = [c for c in h_names if c not in key3] + [
+        c for c in d_names if c not in h_names
+    ]
+    u_names = key3 + u_aggs + ["_lane"]
+
+    def _pad(t: pa.Table, lane: int) -> pa.Table:
+        n = len(t)
+        cols_u = {c: t[c] for c in key3}
+        for c in u_aggs:
+            cols_u[c] = (
+                t[c] if c in t.column_names else pa.nulls(n, pa.float64())
+            )
+        cols_u["_lane"] = pa.array(np.full(n, lane, dtype=np.int8))
+        return pa.table(cols_u)
+
+    reg = _ref_registry()
+    ray.get(reg.collect.remote())  # force actor start before worker puts
+    items = _fused_task_items(paths, min(cfg_d.max_task_rows, cfg_h.max_task_rows))
+    n_merge = max(4, min(64, len(items) // 4 or 1))
+
+    def task(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p, lo, hi in zip(
+            batch["path"].to_pylist(),
+            batch["lo"].to_pylist(),
+            batch["hi"].to_pylist(),
+        ):
+            key = f"{p}#{lo}"
+            t = _read_span(str(p), int(lo), int(hi), cols,
+                           dict_cols=(cfg_d.source_col,))
+            # holistic: one shared-prep pass
+            inter_h, st = hc.interior_states(t)
+            hull = _source_ts_hulls(
+                t, source_col=cfg_h.source_col, ts_col=cfg_h.ts_col
+            )
+            shard = (np.asarray(st["_part"]) % n_merge).astype(np.int64)
+            order = np.argsort(shard, kind="stable")
+            st_sorted = (
+                st.drop_columns(["_part"]).take(pa.array(order)).combine_chunks()
+            )
+            offs = np.concatenate(
+                [[0], np.cumsum(np.bincount(shard, minlength=n_merge))]
+            ).tolist()
+            # decomposable: partials once
+            parts = R.tiered_partials_clustered(
+                t,
+                source_col=cfg_d.source_col,
+                ts_col=cfg_d.ts_col,
+                value_col=cfg_d.value_col,
+                tiers=ordered_d,
+                first_last=need_fl,
+            )
+            bmask = parts["_boundary"].combine_chunks()
+            sref = ray.put(st_sorted, _owner=reg)
+            # ONE keyed side-channel message per item (retry overwrites)
+            ray.get(
+                reg.put.remote(key, (sref, offs, parts.filter(bmask)), hull)
+            )
+            _maybe_crash(cfg_d.fault_inject_dir, key)
+            fin = R.finalize_tiered(parts.filter(pc.invert(bmask)), aggs=cfg_d.aggs)
+            if fin is not None:
+                outs.append(_pad(fin, 0))
+            outs.append(_pad(inter_h, 1))
+        if outs:
+            return pa.concat_tables(outs)
+        fin = R.finalize_partials(
+            R._EMPTY_PARTIALS, width_s=ordered_d[0][1], aggs=cfg_d.aggs
+        )
+        return _pad(
+            fin.add_column(0, "tier", pa.array([], type=pa.string())), 0
+        )
+
+    union = _fused_items_ds(items).map_batches(
+        task, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    entries = ray.get(reg.collect.remote())
+    _check_ts_hulls([(k, h) for k, (_, h) in sorted(entries.items())])
+
+    def _split(lane: int, names: list[str]):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["_lane"], lane)).select(names)
+        return union.map_batches(f, batch_format="pyarrow")
+
+    # decomposable boundary merge (as in the single lane)
+    bparts = {k: b for k, ((_, _, b), _) in entries.items()}
+    _check_boundary_intervals(bparts, tier_col="tier", width_col="width_s")
+    decomp = _split(0, d_names)
+    if bparts:
+        btbl = pa.concat_tables([bparts[k] for k in sorted(bparts)])
+        if len(btbl):
+            decomp = decomp.union(
+                rd.from_arrow(R.merge_tiered(btbl, aggs=cfg_d.aggs))
+            )
+
+    # holistic sharded state merge (as in the single lane)
+    holo = _split(1, h_names)
+    if not entries:
+        ray.kill(reg)
+        return decomp, holo
+    sorted_entries = [v for _, (v, _) in sorted(entries.items())]
+    srefs = [r for r, _, _ in sorted_entries]
+    offsets = [o for _, o, _ in sorted_entries]
+
+    @ray.remote
+    def merge_shard(s, offs, *tables):
+        parts = [
+            t.slice(off[s], off[s + 1] - off[s])
+            for t, off in zip(tables, offs)
+        ]
+        nonempty = [p for p in parts if len(p)]
+        if not nonempty:
+            return hc.final_schema().empty_table()
+        return hc.merge(pa.concat_tables(nonempty))
+
+    final_refs = [merge_shard.remote(s, offsets, *srefs) for s in range(n_merge)]
+    boundary_h = rd.from_arrow_refs(final_refs).materialize()
+    ray.kill(reg)  # merge tasks done (materialized) — states now droppable
+    return decomp, holo.union(boundary_h)
 
 
 def _read_cols(paths: list[str], cfg: RollupConfig):

@@ -840,7 +840,15 @@ class HolisticClustered:
 
     # -- pass 1: finalize interior groups in-task -------------------------
     def interior(self, batch: pa.Table) -> pa.Table:
+        return self._interior_from_prep(self._prep(batch))
+
+    def interior_states(self, batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+        """Both passes from ONE shared prep (the lexsort in _prep dominates;
+        calling interior() and states() separately runs it twice)."""
         prep = self._prep(batch)
+        return self._interior_from_prep(prep), self._states_from_prep(prep)
+
+    def _interior_from_prep(self, prep) -> pa.Table:
         if prep is None:
             return self.final_schema().empty_table()
         dictionary, codes_s, ts_s, run_s, vs_s = prep
@@ -884,7 +892,9 @@ class HolisticClustered:
 
     # -- pass 2: mergeable states for per-tier edge groups ----------------
     def states(self, batch: pa.Table) -> pa.Table:
-        prep = self._prep(batch)
+        return self._states_from_prep(self._prep(batch))
+
+    def _states_from_prep(self, prep) -> pa.Table:
         if prep is None:
             return self.states_schema().empty_table()
         dictionary, codes_s, ts_s, run_s, vs_s = prep

@@ -415,3 +415,34 @@ def test_rewrite_clustered_enables_fused_auto(ray_session, tmp_path_factory):
                 acc[ids[i]] = zlib.crc32(np.asarray(arr, np.int32).tobytes())
         return acc
     assert tok_crc(src_paths) == tok_crc(new_paths)
+
+
+def test_both_fused_equals_single_lanes(corpus, ray_session):
+    """rollup_both_clustered_fused (one decode feeding both kernels) must
+    be bit-equal to running the two fused lanes separately."""
+    import glob
+
+    from getml_community_ray.pipelines.rollup import (
+        rollup_both_clustered_fused,
+        rollup_decomposable_clustered_fused,
+        rollup_holistic_clustered_fused,
+    )
+
+    paths = sorted(glob.glob(f"{corpus}/*.parquet"))
+    cfg_d = RollupConfig(
+        retention={}, num_partitions=4, cache_intermediates=False,
+        assume_clustered=True,
+    )
+    cfg_h = RollupConfig(
+        aggs=HOL_AGGS, retention={}, num_partitions=4,
+        cache_intermediates=False, assume_clustered=True,
+    )
+    both_d, both_h = rollup_both_clustered_fused(paths, cfg_d, cfg_h)
+    pd.testing.assert_frame_equal(
+        _sorted_df(both_d),
+        _sorted_df(rollup_decomposable_clustered_fused(paths, cfg_d)),
+    )
+    pd.testing.assert_frame_equal(
+        _sorted_df(both_h),
+        _sorted_df(rollup_holistic_clustered_fused(paths, cfg_h)),
+    )
