@@ -858,8 +858,11 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
         ):
             t = _read_span(str(p), int(lo), int(hi), cols,
                            dict_cols=(cfg.source_col,))
-            # one shared prep (the lexsort dominates both passes)
-            inter, st = hc.interior_states(t)
+            # states first, put, THEN interior: _prep is cheap (~15% of the
+            # task) so sharing it buys little, while holding both outputs
+            # alive doubles peak worker memory — measurably slower with 32
+            # workers on one memory bus (interleaved A/B at 60M rows)
+            st = hc.states(t)
             hull = _source_ts_hulls(
                 t, source_col=cfg.source_col, ts_col=cfg.ts_col
             )
@@ -879,7 +882,7 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
             ref = ray.put(st_sorted, _owner=reg)
             ray.get(reg.put.remote(f"{p}#{lo}", (ref, offs), hull))
             _maybe_crash(cfg.fault_inject_dir, f"{p}#{lo}")
-            outs.append(inter)
+            outs.append(hc.interior(t))
         return pa.concat_tables(outs) if outs else hc.final_schema().empty_table()
 
     interior = _fused_items_ds(items).map_batches(
