@@ -27,6 +27,16 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# glibc tuning for every process below (lane subprocesses inherit
+# os.environ; Ray workers inherit from the raylet forked off this
+# process): serve large numpy temporaries from the reusable arena heap
+# instead of fresh mmaps. Without this each >128KB temporary is a new
+# mmap whose pages the kernel must zero on first touch — measured 5-7%
+# of holistic-kernel wall at both 8 and 32 concurrent workers, and the
+# mmap_sem traffic grows with worker count.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
 # corpus size scales with the testdata scale factor; GRAFT_BENCH_ROWS
 # overrides (the --scaling mode uses a larger corpus so the job carries
 # enough parallel work to exercise the high-CPU session). Token payloads
@@ -311,6 +321,44 @@ def _capacity_probe(k: int, seconds: float = 6.0) -> float:
     return tot / seconds
 
 
+def _kernel_capacity_probe(k: int, corpus_dir: str) -> float:
+    """Memory-bound capacity probe: the engine's OWN holistic rollup
+    kernel (22 aggs x 3 tiers over one corpus shard) in k single-threaded
+    processes with ZERO Ray — no object store, no scheduler, no exchange.
+    Returns aggregate kernel tasks/sec. The matmul spinner probe above is
+    cache-resident and overstates what the box grants memory-bound work;
+    this probe's hi/lo ratio is the ceiling the PIPELINE could reach even
+    if Ray overhead were free (measured 0.75-0.78 at 8->32 on this box vs
+    0.83 for the spinners)."""
+    child = (
+        "import glob, time, sys, importlib\n"
+        "import pyarrow.parquet as pq\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+        "R = importlib.import_module('getml_community_ray.stages.rollup')\n"
+        f"shards = sorted(glob.glob({corpus_dir!r} + '/*.parquet'))\n"
+        "p = shards[int(sys.argv[1]) % len(shards)]\n"
+        "t = pq.ParquetFile(p, read_dictionary=['source']).read(\n"
+        "    columns=['source', 'event_ts', 'n_tok'], use_threads=False)\n"
+        "hc = R.HolisticClustered(source_col='source', ts_col='event_ts',\n"
+        "    value_col='n_tok', tiers={'1m': 60, '1h': 3600, '1d': 86400},\n"
+        f"    aggs={HOLISTIC_AGGS!r}, num_partitions=64)\n"
+        "hc.interior_states(t)\n"  # warm (first-touch/alloc noise)
+        "t0 = time.perf_counter()\n"
+        "for _ in range(3): hc.interior_states(t)\n"
+        "print((time.perf_counter() - t0) / 3)\n"
+    )
+    env = dict(os.environ, OMP_NUM_THREADS="1")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", child, str(i)], stdout=subprocess.PIPE,
+            env=env, text=True,
+        )
+        for i in range(k)
+    ]
+    secs = [float(p.communicate()[0]) for p in procs]
+    return k / (sum(secs) / len(secs))
+
+
 def run_scaling() -> dict:
     """Two-cluster-size scaling evidence (sandbox stand-in per driver
     instruction: same job, fresh ray.init processes at N and 4N scheduler
@@ -359,6 +407,10 @@ def run_scaling() -> dict:
 
     cap_lo, cap_hi = _capacity_probe(lo), _capacity_probe(hi)
     cap_eff = (cap_hi / cap_lo) / (hi / lo)
+    corpus_dir = f"/tmp/graft_seq_bench_{os.environ['GRAFT_BENCH_ROWS']}_0"
+    kern_lo = _kernel_capacity_probe(lo, corpus_dir)
+    kern_hi = _kernel_capacity_probe(hi, corpus_dir)
+    kern_eff = (kern_hi / kern_lo) / (hi / lo)
 
     # secondary pair (4 -> 16): the host grants near-linear cycles up to
     # ~16 runnable vCPUs (capacity probe), so this pair isolates the
@@ -380,6 +432,9 @@ def run_scaling() -> dict:
         "machine_capacity_ratio": round(cap_hi / cap_lo, 3),
         "machine_capacity_efficiency": round(cap_eff, 3),
         "pipeline_vs_machine_ceiling": round(eff / cap_eff, 3) if cap_eff else None,
+        "kernel_capacity_efficiency": round(kern_eff, 3),
+        "kernel_tasks_per_sec": [round(kern_lo, 2), round(kern_hi, 2)],
+        "pipeline_vs_kernel_ceiling": round(eff / kern_eff, 3) if kern_eff else None,
         "secondary_pair_4_16": {
             "sec_4": r4["value"],
             "sec_16": r16["value"],

@@ -778,30 +778,48 @@ def _check_ts_hulls(hulls: list[tuple[str, pa.Table]]) -> None:
     boundary in BOTH and merges correctly at every tier). A wrong
     `assume_clustered=True` vouch fails loudly instead of double-emitting
     interior buckets."""
-    import pandas as pd
+    import numpy as np
 
-    frames = []
-    for path, h in hulls:
+    tables, path_idx, paths_list = [], [], []
+    for i, (path, h) in enumerate(hulls):
         if h is None or len(h) == 0:
             continue
-        df = h.to_pandas()
-        df["_path"] = path
-        frames.append(df)
-    if not frames:
+        tables.append(h)
+        path_idx.append(np.full(len(h), len(paths_list), dtype=np.int64))
+        paths_list.append(path)
+    if not tables:
         return
-    df = pd.concat(frames, ignore_index=True)
-    for src, g in df.groupby("source"):
-        g = g.sort_values("min_ts")
-        prev_max, prev_path = None, None
-        for _, row in g.iterrows():
-            if prev_max is not None and row["min_ts"] < prev_max:
-                raise ValueError(
-                    "clustered-layout precondition violated: source "
-                    f"{src!r} time ranges overlap between {prev_path} and "
-                    f"{row['_path']}; rerun with assume_clustered=False "
-                    "(unclustered lane) or fix the shard layout"
-                )
-            prev_max, prev_path = row["max_ts"], row["_path"]
+    t = pa.concat_tables(tables)
+    src = np.asarray(t["source"]).astype(str)
+    mn = np.asarray(t["min_ts"], dtype=np.int64)
+    mx = np.asarray(t["max_ts"], dtype=np.int64)
+    pidx = np.concatenate(path_idx)
+    # one vectorized pass: lexsort by (source, min_ts); within a source run,
+    # every interval's min_ts must be >= the running max of previous
+    # intervals' max_ts (shared endpoints allowed — see docstring)
+    order = np.lexsort((mn, src))
+    src_s, mn_s, mx_s, p_s = src[order], mn[order], mx[order], pidx[order]
+    new_src = np.empty(len(src_s), dtype=bool)
+    new_src[0] = True
+    new_src[1:] = src_s[1:] != src_s[:-1]
+    # per-source contiguous runs after the lexsort; the loop is O(#sources)
+    # Python iterations with the O(#files-per-source) work vectorized inside
+    starts = np.flatnonzero(new_src)
+    for s0, s1 in zip(starts, np.append(starts[1:], len(src_s))):
+        if s1 - s0 == 1:
+            continue
+        runmax = np.maximum.accumulate(mx_s[s0:s1])
+        viol = np.flatnonzero(mn_s[s0 + 1:s1] < runmax[:-1])
+        if len(viol):
+            j = s0 + 1 + int(viol[0])
+            raise ValueError(
+                "clustered-layout precondition violated: source "
+                f"{src_s[s0]!r} time ranges overlap between "
+                f"{paths_list[int(p_s[j - 1])]} and "
+                f"{paths_list[int(p_s[j])]}; rerun with "
+                "assume_clustered=False (unclustered lane) or fix the "
+                "shard layout"
+            )
 
 
 def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
