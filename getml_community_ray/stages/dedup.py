@@ -255,7 +255,7 @@ def ngram_jaccard_pairs(
     bands: int = 16,
     shingle: int = 5,
     threshold: float = 0.5,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Exact n-gram Jaccard over MinHash-LSH candidate pairs — fully
     distributed; nothing funnels through the driver.
@@ -263,15 +263,19 @@ def ngram_jaccard_pairs(
     Stage 1 = `minhash_lsh_candidates` (signatures + band buckets — a
     shuffle of small hash columns only). Stage 2 explodes candidate groups
     into a PAIR Dataset inside map_batches, dedupes pairs found in several
-    bands with a groupby, hash-joins the documents' texts to BOTH sides
-    (two Dataset.join exchanges, each carrying only candidate-matched
-    texts on the pair side), and verifies each pair's exact shingle-set
-    Jaccard inside map_batches. Candidate volume — not corpus volume —
-    bounds every post-LSH stage, so a 100 TB corpus streams through.
+    bands with a groupby, and MATERIALIZES the pair list (candidate volume,
+    not corpus volume). The documents table is then cut down to candidate
+    ids with a broadcast Bloom semi-join (`joins.bloom_semi_join` — one
+    pass over the pair list + a fixed-size bitmap broadcast; the corpus
+    itself never shuffles), texts are hash-joined to BOTH pair sides (two
+    exchanges over candidate-sized tables; the joins are exact, so Bloom
+    false positives drop out here), and each pair's exact shingle-set
+    Jaccard is verified inside map_batches. Candidate volume bounds every
+    post-LSH stage, so a 100 TB corpus streams through.
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
     """
 
-    from .joins import hash_join
+    from .joins import bloom_semi_join, hash_join
 
     cands = minhash_lsh_candidates(
         ds, text_col=text_col, id_col=id_col,
@@ -295,10 +299,16 @@ def ngram_jaccard_pairs(
             }
         )
 
+    # pair-dedup shuffle granularity: explicit override, else one hash
+    # partition per ~2 CPUs (the exploded pair list is candidate-sized)
+    from .partitioning import auto_partitions
+
+    dedup_parts = num_partitions or max(8, auto_partitions() // 2)
+
     def pair_part(b: pa.Table) -> pa.Table:
         a = np.asarray(b["id_a"], dtype=np.int64).view(np.uint64)
         c = np.asarray(b["id_b"], dtype=np.int64).view(np.uint64)
-        part = _splitmix64(a ^ _splitmix64(c)) % np.uint64(num_partitions)
+        part = _splitmix64(a ^ _splitmix64(c)) % np.uint64(dedup_parts)
         return b.append_column("_part", pa.array(part.astype(np.int64)))
 
     def pair_dedup(part: pa.Table) -> pa.Table:
@@ -325,6 +335,9 @@ def ngram_jaccard_pairs(
             lambda t: pair_dedup(t.drop_columns(["_part"])),
             batch_format="pyarrow",
         )
+        # candidate volume, not corpus volume — safe to pin in the object
+        # store; consumed twice below (bloom build + the id_a join)
+        .materialize()
     )
 
     def rename(side: str):
@@ -349,12 +362,24 @@ def ngram_jaccard_pairs(
 
         return f
 
-    docs = ds.select_columns([id_col, text_col])
+    # Cut the corpus to candidate docs BEFORE shipping any text: without
+    # this the two joins below shuffle every document's text (round-1
+    # audit finding); with it they move only candidate-matched texts
+    # (+ a ~4e-4 Bloom FP tail that the exact joins drop).
+    docs = bloom_semi_join(
+        ds.select_columns([id_col, text_col]), pairs,
+        on=id_col, keys_on=["id_a", "id_b"],
+    )
+    # join granularity scales with CANDIDATE volume (pairs is materialized,
+    # count is metadata) — each Ray hash-shuffle join partition spawns an
+    # aggregator actor, so corpus- or CPU-proportional counts here spawn
+    # worker storms for tiny post-LSH joins
+    join_parts = num_partitions or int(min(4096, max(8, pairs.count() // 250_000 + 1)))
     left = hash_join(
         pairs,
         docs.map_batches(rename("a"), batch_format="pyarrow",
                          zero_copy_batch=True),
-        on="id_a", num_partitions=num_partitions,
+        on="id_a", num_partitions=join_parts,
     ).map_batches(
         norm_schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                      ("_text_a", pa.string())]),
@@ -364,7 +389,7 @@ def ngram_jaccard_pairs(
         left,
         docs.map_batches(rename("b"), batch_format="pyarrow",
                          zero_copy_batch=True),
-        on="id_b", num_partitions=num_partitions,
+        on="id_b", num_partitions=join_parts,
     ).map_batches(
         norm_schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                      ("_text_a", pa.string()), ("_text_b", pa.string())]),

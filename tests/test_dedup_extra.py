@@ -226,3 +226,40 @@ def test_simhash_candidates(ray_session):
             np.uint64(sigs[int(r.id_a)]) ^ np.uint64(sigs[int(r.id_b)])
         ).count("1")
         assert int(r.hamming) == want
+
+
+def test_bloom_semi_join(ray_session):
+    """No false negatives ever; FP rate bounded; empty keys -> empty; and
+    the result is always a subset of the input."""
+    import ray.data as rd
+
+    from getml_community_ray.stages.joins import bloom_semi_join
+
+    rng = np.random.default_rng(7)
+    big_ids = rng.choice(10_000_000, size=50_000, replace=False).astype(np.int64)
+    big = rd.from_arrow(pa.table({"k": big_ids, "v": big_ids * 2}))
+    key_ids = big_ids[::10]  # 5k true members
+    keys = rd.from_arrow(pa.table({"k": key_ids.copy()}))
+
+    out = bloom_semi_join(big, keys, on="k").to_pandas()
+    got = set(out.k.astype(int))
+    truth = set(key_ids.tolist())
+    assert truth <= got, "bloom semi-join lost a true member (false negative)"
+    extra = got - truth
+    # 16 bits/key, k=6 -> FP ~4e-4; 45k non-members tested
+    assert len(extra) <= 200, f"{len(extra)} false positives — far above spec"
+    assert got <= set(big_ids.tolist())
+    # payload columns ride along untouched
+    sub = out.set_index("k").v
+    assert (sub == sub.index * 2).all()
+
+    # multi-column key side (edge-list shape, like the near-dedup chain)
+    edges = rd.from_arrow(pa.table({
+        "id_a": key_ids[:100].copy(), "id_b": key_ids[100:200].copy()
+    }))
+    out2 = bloom_semi_join(big, edges, on="k", keys_on=["id_a", "id_b"]).to_pandas()
+    assert set(key_ids[:200].tolist()) <= set(out2.k.astype(int))
+
+    # empty key side -> empty result
+    empty = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
+    assert bloom_semi_join(big, empty, on="k").count() == 0
