@@ -883,3 +883,47 @@ def _sql_histogram_events() -> str:
 
 CORPUS_QUERIES["histogram_events"] = q_histogram_events
 CORPUS_ORACLE_SQL["histogram_events"] = _sql_histogram_events()
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs from source 'src0' act as the eval
+    suite; every doc is scored by how many distinct 13-char grams it
+    shares with that suite. Engine = broadcast bench gram-hash set +
+    streaming searchsorted probe (stages/text.ngram_decontaminate);
+    oracle = brute-force substring intersection."""
+    from ..stages.text import ngram_decontaminate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    bench = ds.filter(expr="source == 'src0'")
+    return ngram_decontaminate(
+        ds.select_columns(["doc_id", "text"]), bench,
+        text_col="text", id_col="doc_id", gram=13, min_overlap=1,
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH bench_g AS (
+  SELECT DISTINCT substring(text, CAST(s AS INT), 13) AS g
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(
+           1, greatest(length(text) - 12, 1))) AS s) t
+  WHERE source = 'src0'
+),
+doc_g AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(s AS INT), 13) AS g
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(
+           1, greatest(length(text) - 12, 1))) AS s) t
+),
+ov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM doc_g JOIN bench_g USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(ov.n_overlap, 0) >= 1 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+"""
+
+CORPUS_QUERIES["decontaminate_documents"] = q_decontaminate
+CORPUS_ORACLE_SQL["decontaminate_documents"] = SQL_DECONTAMINATE

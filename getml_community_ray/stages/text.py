@@ -554,3 +554,106 @@ def chunk_documents(ds, *, text_col: str, id_col: str,
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_decontaminate(
+    ds,
+    bench_ds,
+    *,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str | None = None,
+    gram: int = 13,
+    min_overlap: int = 1,
+):
+    """Benchmark decontamination: per training doc, the number of distinct
+    `gram`-char substrings shared with ANY benchmark doc, and a flag at
+    `min_overlap` (the GPT-3 appendix-C / PaLM lane, at char-gram
+    granularity so the exact SQL twin stays substring-expressible).
+
+    The benchmark side is small by definition (eval suites), so its
+    distinct gram-hash set is gathered once — per-block distinct hashes
+    stream to the driver (8 bytes per distinct gram), sorted, `ray.put`
+    once — and the training corpus then streams through one stateless
+    map_batches with a searchsorted membership probe per distinct doc
+    gram: the corpus itself never shuffles and never materializes. Gram
+    identity is the 64-bit polynomial hash (kernels/hashing.poly_hash_*),
+    identical to the near-dedup lanes; vs the oracle's true substring sets
+    this diverges only on a 64-bit collision (p ~ n_grams^2 / 2^64).
+
+    Returns (id_col, n_overlap:int64, contaminated:int64 0/1). Docs shorter
+    than `gram` contribute their whole text as one gram (the engine-wide
+    shingle contract, matching SQL substring() clamping).
+    """
+    import ray
+
+    from ..kernels.hashing import batch_gram_hashes
+
+    btc = bench_text_col or text_col
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        txt = np.asarray(b[btc]).astype(str)
+        hs, _ = batch_gram_hashes([t.encode() for t in txt], gram)
+        return pa.table({"gh": pa.array(np.unique(hs).view(np.int64))})
+
+    parts = bench_ds.map_batches(
+        bench_grams, batch_format="pyarrow", zero_copy_batch=True
+    )
+    arrs = [
+        np.asarray(b["gh"], dtype=np.int64).view(np.uint64)
+        for b in parts.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    bench = (
+        np.unique(np.concatenate(arrs)) if arrs
+        else np.zeros(0, dtype=np.uint64)
+    )
+    ref = ray.put(bench)
+
+    class Probe:
+        def __init__(self):
+            self.bench = ray.get(ref)  # zero-copy plasma read, sorted
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            if n == 0:
+                return pa.table(
+                    {
+                        id_col: b[id_col],
+                        "n_overlap": pa.array([], type=pa.int64()),
+                        "contaminated": pa.array([], type=pa.int64()),
+                    }
+                )
+            txt = np.asarray(b[text_col]).astype(str)
+            hs, off = batch_gram_hashes([t.encode() for t in txt], gram)
+            did = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+            # distinct (doc, gram) pairs, all-vectorized
+            order = np.lexsort((hs, did))
+            d_s, h_s = did[order], hs[order]
+            new = np.ones(len(d_s), dtype=bool)
+            if len(d_s) > 1:
+                new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            d_u, h_u = d_s[new], h_s[new]
+            bench = self.bench
+            if len(bench):
+                idx = np.searchsorted(bench, h_u)
+                hit = (idx < len(bench)) & (
+                    bench[np.minimum(idx, len(bench) - 1)] == h_u
+                )
+            else:
+                hit = np.zeros(len(h_u), dtype=bool)
+            n_ov = np.bincount(d_u[hit], minlength=n).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "n_overlap": pa.array(n_ov),
+                    "contaminated": pa.array(
+                        (n_ov >= min_overlap).astype(np.int64)
+                    ),
+                }
+            )
+
+    return ds.map_batches(
+        Probe, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 16),
+    )

@@ -199,3 +199,41 @@ def test_auto_partitions(ray_session):
     # file-backed dataset: grows with input bytes, capped
     ds = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
     assert 32 <= auto_partitions(ds) <= 4096
+
+
+def test_ngram_decontaminate(ray_session):
+    """Brute-force substring-set oracle on a tiny corpus; short-doc clamp."""
+    import ray.data as rd
+
+    from getml_community_ray.stages.text import ngram_decontaminate
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",   # shares grams w/ bench
+        "completely unrelated text about nothing at all",
+        "the quick brown cat sits under the lazy dog",   # partial overlap
+        "tiny",                                          # shorter than gram
+        "the quick brown fox jumps over the lazy dog",   # exact copy of bench
+    ]
+    bench_txt = ["the quick brown fox jumps over the lazy dog", "tiny"]
+    g = 13
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": docs,
+    }))
+    bench = rd.from_arrow(pa.table({"text": bench_txt}))
+    out = (
+        ngram_decontaminate(ds, bench, text_col="text", id_col="doc_id",
+                            gram=g, min_overlap=1)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+
+    def grams(t):
+        return ({t[i:i + g] for i in range(len(t) - g + 1)} if len(t) >= g
+                else {t})
+
+    bset = set().union(*(grams(t) for t in bench_txt))
+    for i, t in enumerate(docs):
+        want = len(grams(t) & bset)
+        assert int(out.loc[i, "n_overlap"]) == want, (i, t)
+        assert int(out.loc[i, "contaminated"]) == int(want >= 1)
+    assert int(out.loc[3, "contaminated"]) == 1  # whole-short-doc gram hit
