@@ -446,3 +446,47 @@ def test_both_fused_equals_single_lanes(corpus, ray_session):
         _sorted_df(both_h),
         _sorted_df(rollup_holistic_clustered_fused(paths, cfg_h)),
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_holistic_tiled_kernel_bit_equal(seed):
+    """Cache-tiled interior/states kernels must be bit-identical to the
+    untiled kernel on adversarial layouts: runs spanning many tiles,
+    single-row runs, duplicate values, buckets at tile cuts."""
+    import pyarrow as pa
+
+    from getml_community_ray.stages.rollup import HolisticClustered
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    t0 = 1_600_000_000_000_000
+    for s in range(rng.integers(2, 6)):
+        n = int(rng.integers(1, 4000))
+        ts = t0 + np.cumsum(rng.integers(0, 90_000_000, size=n))
+        vals = rng.integers(0, 40, size=n)
+        rows.append((f"src{s}", ts, vals))
+    src = np.concatenate([[s] * len(ts) for s, ts, _ in rows])
+    ts = np.concatenate([ts for _, ts, _ in rows])
+    vals = np.concatenate([v for _, _, v in rows]).astype(np.float64)
+    batch = pa.table(
+        {
+            "source": pa.array(src),
+            "event_ts": pa.array(ts).cast(pa.timestamp("us")),
+            "n_tok": pa.array(vals),
+        }
+    )
+    kw = dict(
+        source_col="source", ts_col="event_ts", value_col="n_tok",
+        tiers={"1m": 60, "1h": 3600, "1d": 86400}, aggs=HOL_AGGS,
+        num_partitions=16,
+    )
+    un = HolisticClustered(**kw, tile_rows=10**9)
+    ti = HolisticClustered(**kw, tile_rows=64)
+    assert un.interior(batch).equals(ti.interior(batch))
+    a = un.states(batch).to_pandas()
+    b = ti.states(batch).to_pandas()
+    key = list(a.columns)
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
