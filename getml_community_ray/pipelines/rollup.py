@@ -284,6 +284,7 @@ def rollup_decomposable_clustered_long(ds, cfg: RollupConfig,
             value_col=cfg.value_col,
             tiers=ordered,
             first_last=need_fl,
+            tile_rows=cfg.tile_rows,
         )
 
     # Two per-block passes over the source, both fully streaming (block
@@ -708,6 +709,7 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
                 value_col=cfg.value_col,
                 tiers=ordered,
                 first_last=need_fl,
+                tile_rows=cfg.tile_rows,
             )
             bmask = parts["_boundary"].combine_chunks()
             ray.get(acc.put.remote(f"{p}#{lo}", parts.filter(bmask)))
@@ -1055,6 +1057,7 @@ def rollup_both_clustered_fused(
                 value_col=cfg_d.value_col,
                 tiers=ordered_d,
                 first_last=need_fl,
+                tile_rows=cfg_d.tile_rows,
             )
             bmask = parts["_boundary"].combine_chunks()
             sref = ray.put(st_sorted, _owner=reg)

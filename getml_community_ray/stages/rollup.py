@@ -534,6 +534,7 @@ def tiered_partials_clustered(
     value_col: str,
     tiers: list[tuple[str, int]],
     first_last: bool = True,
+    tile_rows: int = 48_000,
 ) -> pa.Table:
     """Per-tier partial states with a `_boundary` flag.
 
@@ -585,9 +586,103 @@ def tiered_partials_clustered(
     )
 
     out = []
+    if fast_ok:
+        # tile bounds: cut where the run changes or EVERY tier's bucket
+        # changes, so no group of any tier straddles a tile; per-tile
+        # kernels then produce exactly the untiled groups in the same
+        # order while the working set stays in the worker's private L2
+        # (same rationale + measured win as HolisticClustered._tile_bounds)
+        if n <= tile_rows + tile_rows // 2:
+            bounds = np.array([0, n], dtype=np.int64)
+        else:
+            tier_and = None
+            for _, w in tiers:
+                wus = w * US
+                bc = (ts_all[1:] // wus) != (ts_all[:-1] // wus)
+                tier_and = bc if tier_and is None else (tier_and & bc)
+            allchg = run_change | tier_and
+            cut_ok = np.flatnonzero(allchg) + 1
+            targets = np.arange(tile_rows, n, tile_rows, dtype=np.int64)
+            ix = np.searchsorted(cut_ok, targets)
+            cuts = cut_ok[ix[ix < len(cut_ok)]]
+            bounds = np.unique(np.concatenate([[0], cuts, [n]])).astype(
+                np.int64
+            )
+        per_tier: list[list[pa.Table]] = [[] for _ in tiers]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            first_is_start = a == 0 or codes_all[a - 1] != codes_all[a]
+            last_is_end = b == n or codes_all[b] != codes_all[b - 1]
+            ts_t = ts_all[a:b]
+            v_t = v[a:b]
+            codes_t = codes_all[a:b]
+            nt = b - a
+            rc_t = np.empty(nt, dtype=bool)
+            rc_t[0] = True
+            np.not_equal(codes_t[1:], codes_t[:-1], out=rc_t[1:])
+            rs_t = np.flatnonzero(rc_t)
+            re_t = np.append(rs_t[1:], nt)
+            for ti, (name, w) in enumerate(tiers):
+                w_us = w * US
+                bucket = ts_t // w_us
+                change = np.empty(nt, dtype=bool)
+                change[0] = True
+                change[1:] = rc_t[1:] | (bucket[1:] != bucket[:-1])
+                starts = np.flatnonzero(change)
+                G = len(starts)
+                cnt = np.diff(np.append(starts, nt)).astype(np.float64)
+                s = np.add.reduceat(v_t, starts)
+                mn = np.minimum.reduceat(v_t, starts)
+                mx = np.maximum.reduceat(v_t, starts)
+                if first_last:
+                    dt_in_bucket = ts_t - bucket * w_us
+                    vi = v_t.astype(np.int64)
+                    fkv = (dt_in_bucket << VALUE_BITS) | vi
+                    lkv = (dt_in_bucket << VALUE_BITS) | (VALUE_MASK - vi)
+                    first_key = np.minimum.reduceat(fkv, starts)
+                    last_key = np.maximum.reduceat(lkv, starts)
+                else:
+                    first_key = np.zeros(G, dtype=np.int64)
+                    last_key = np.zeros(G, dtype=np.int64)
+                gid_of_row = np.cumsum(change) - 1
+                boundary = np.zeros(G, dtype=bool)
+                bfirst = gid_of_row[rs_t]
+                blast = gid_of_row[re_t - 1]
+                if not first_is_start:
+                    bfirst = bfirst[1:]
+                if not last_is_end:
+                    blast = blast[:-1]
+                boundary[bfirst] = True
+                boundary[blast] = True
+                p = pa.table(
+                    {
+                        "source": src_vals.take(
+                            pa.array(codes_t[starts])
+                        ).cast(pa.string()),
+                        "bucket": pa.array(bucket[starts]),
+                        "cnt": pa.array(cnt),
+                        "sum": pa.array(s),
+                        "min": pa.array(mn),
+                        "max": pa.array(mx),
+                        "first_key": pa.array(first_key),
+                        "last_key": pa.array(last_key),
+                    }
+                )
+                p = p.append_column(
+                    "tier", pa.array([name] * len(p), type=pa.string())
+                )
+                p = p.append_column(
+                    "width_s", pa.array(np.full(len(p), w, dtype=np.int64))
+                )
+                p = p.append_column("_boundary", pa.array(boundary))
+                per_tier[ti].append(p)
+        out = [t for tier_tables in per_tier for t in tier_tables]
+        return pa.concat_tables(out)
+
+    # fallback (non-finite / non-int-encodable values): generic sort-based
+    # combiner per tier, untiled — rare path, correctness over speed
     for name, w in tiers:
         w_us = w * US
-        if not fast_ok:
+        if True:
             p = partial_states(
                 batch, source_col=source_col, ts_col=ts_col,
                 value_col=value_col, width_s=w, first_last=first_last,
@@ -612,48 +707,6 @@ def tiered_partials_clustered(
                 boundary = np.isin(pkeys, edge_keys)
             else:
                 boundary = np.zeros(0, dtype=bool)
-        else:
-            bucket = ts_all // w_us
-            change = np.empty(n, dtype=bool)
-            change[0] = True
-            change[1:] = run_change | (bucket[1:] != bucket[:-1])
-            starts = np.flatnonzero(change)
-            G = len(starts)
-            cnt = np.diff(np.append(starts, n)).astype(np.float64)
-            s = np.add.reduceat(v, starts)
-            mn = np.minimum.reduceat(v, starts)
-            mx = np.maximum.reduceat(v, starts)
-            if first_last:
-                dt_in_bucket = ts_all - bucket * w_us
-                vi = v.astype(np.int64)
-                fkv = (dt_in_bucket << VALUE_BITS) | vi
-                lkv = (dt_in_bucket << VALUE_BITS) | (VALUE_MASK - vi)
-                first_key = np.minimum.reduceat(fkv, starts)
-                last_key = np.maximum.reduceat(lkv, starts)
-            else:
-                first_key = np.zeros(G, dtype=np.int64)
-                last_key = np.zeros(G, dtype=np.int64)
-            # boundary = first/last group of each run (O(n), no isin):
-            # a group containing a run's first or last row straddles a
-            # batch/block/shard edge by construction
-            gid_of_row = np.cumsum(change) - 1
-            boundary = np.zeros(G, dtype=bool)
-            boundary[gid_of_row[run_starts]] = True
-            boundary[gid_of_row[run_ends - 1]] = True
-            p = pa.table(
-                {
-                    "source": src_vals.take(pa.array(codes_all[starts])).cast(
-                        pa.string()
-                    ),
-                    "bucket": pa.array(bucket[starts]),
-                    "cnt": pa.array(cnt),
-                    "sum": pa.array(s),
-                    "min": pa.array(mn),
-                    "max": pa.array(mx),
-                    "first_key": pa.array(first_key),
-                    "last_key": pa.array(last_key),
-                }
-            )
         p = p.append_column("tier", pa.array([name] * len(p), type=pa.string()))
         p = p.append_column("width_s", pa.array(np.full(len(p), w, dtype=np.int64)))
         p = p.append_column("_boundary", pa.array(boundary))

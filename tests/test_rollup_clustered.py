@@ -490,3 +490,38 @@ def test_holistic_tiled_kernel_bit_equal(seed):
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True),
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_decomposable_tiled_kernel_bit_equal(seed):
+    """Tiled fast-path partials must be bit-identical to the untiled
+    kernel (same groups, same order, same _boundary flags)."""
+    import pyarrow as pa
+
+    from getml_community_ray.stages.rollup import tiered_partials_clustered
+
+    rng = np.random.default_rng(100 + seed)
+    rows = []
+    t0 = 1_600_000_000_000_000
+    for s in range(rng.integers(2, 6)):
+        n = int(rng.integers(1, 4000))
+        ts = t0 + np.cumsum(rng.integers(0, 90_000_000, size=n))
+        vals = rng.integers(0, 40, size=n)
+        rows.append((f"src{s}", ts, vals))
+    src = np.concatenate([[s] * len(ts) for s, ts, _ in rows])
+    ts = np.concatenate([ts for _, ts, _ in rows])
+    vals = np.concatenate([v for _, _, v in rows]).astype(np.float64)
+    batch = pa.table(
+        {
+            "source": pa.array(src),
+            "event_ts": pa.array(ts).cast(pa.timestamp("us")),
+            "n_tok": pa.array(vals),
+        }
+    )
+    kw = dict(
+        source_col="source", ts_col="event_ts", value_col="n_tok",
+        tiers=[("1m", 60), ("1h", 3600), ("1d", 86400)], first_last=True,
+    )
+    un = tiered_partials_clustered(batch, **kw, tile_rows=10**9)
+    ti = tiered_partials_clustered(batch, **kw, tile_rows=64)
+    assert un.combine_chunks().equals(ti.combine_chunks())
