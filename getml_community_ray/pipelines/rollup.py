@@ -712,10 +712,16 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
                 tile_rows=cfg.tile_rows,
             )
             bmask = parts["_boundary"].combine_chunks()
-            ray.get(acc.put.remote(f"{p}#{lo}", parts.filter(bmask)))
-            _maybe_crash(cfg.fault_inject_dir, f"{p}#{lo}")
+            # async put overlapped with the interior finalize; the get
+            # before return still guarantees the boundary rows are durable
+            # when the task is marked done (exactly-once under retry)
+            fut = acc.put.remote(f"{p}#{lo}", parts.filter(bmask))
+            if cfg.fault_inject_dir:
+                ray.get(fut)
+                _maybe_crash(cfg.fault_inject_dir, f"{p}#{lo}")
             inner = parts.filter(pc.invert(bmask))
             fin = R.finalize_tiered(inner, aggs=cfg.aggs)
+            ray.get(fut)
             if fin is not None:
                 outs.append(fin)
         if not outs:
@@ -909,9 +915,14 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
                 [[0], np.cumsum(np.bincount(shard, minlength=n_merge))]
             ).tolist()
             ref = ray.put(st_sorted, _owner=reg)
-            ray.get(reg.put.remote(f"{p}#{lo}", (ref, offs), hull))
-            _maybe_crash(cfg.fault_inject_dir, f"{p}#{lo}")
+            # async registry message overlapped with the interior pass;
+            # the get before return keeps the ref durable-before-done
+            fut = reg.put.remote(f"{p}#{lo}", (ref, offs), hull)
+            if cfg.fault_inject_dir:
+                ray.get(fut)
+                _maybe_crash(cfg.fault_inject_dir, f"{p}#{lo}")
             outs.append(hc.interior(t))
+            ray.get(fut)
         return pa.concat_tables(outs) if outs else hc.final_schema().empty_table()
 
     interior = _fused_items_ds(items).map_batches(
@@ -1061,12 +1072,15 @@ def rollup_both_clustered_fused(
             )
             bmask = parts["_boundary"].combine_chunks()
             sref = ray.put(st_sorted, _owner=reg)
-            # ONE keyed side-channel message per item (retry overwrites)
-            ray.get(
-                reg.put.remote(key, (sref, offs, parts.filter(bmask)), hull)
-            )
-            _maybe_crash(cfg_d.fault_inject_dir, key)
+            # ONE keyed side-channel message per item (retry overwrites),
+            # async and overlapped with the finalize; the get before
+            # return keeps it durable-before-done
+            fut = reg.put.remote(key, (sref, offs, parts.filter(bmask)), hull)
+            if cfg_d.fault_inject_dir:
+                ray.get(fut)
+                _maybe_crash(cfg_d.fault_inject_dir, key)
             fin = R.finalize_tiered(parts.filter(pc.invert(bmask)), aggs=cfg_d.aggs)
+            ray.get(fut)
             if fin is not None:
                 outs.append(_pad(fin, 0))
             outs.append(_pad(inter_h, 1))
