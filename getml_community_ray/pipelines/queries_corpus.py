@@ -927,3 +927,116 @@ FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
 
 CORPUS_QUERIES["decontaminate_documents"] = q_decontaminate
 CORPUS_ORACLE_SQL["decontaminate_documents"] = SQL_DECONTAMINATE
+
+
+def q_token_histogram(sf_dir: str):
+    """Corpus-wide token-id frequency (vocab histogram) over the
+    pre-tokenized sequence table — per-batch bincount combiner over the
+    zero-copy flattened list values, ONE tiny groupby merge
+    (stages/tokens.token_histogram); the token arrays never shuffle."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_histogram
+
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(TOKENS_CORPUS, columns=["tokens"])
+    return token_histogram(ds, tokens_col="tokens")
+
+
+def sql_token_histogram() -> str:
+    _ensure_tokens_corpus()
+    return f"""
+SELECT CAST(t AS BIGINT) AS token_id, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(tokens) AS t
+      FROM read_parquet('{TOKENS_CORPUS}/*.parquet'))
+GROUP BY 1
+"""
+
+
+CORPUS_QUERIES["token_histogram_sequences"] = q_token_histogram
+CORPUS_ORACLE_SQL["token_histogram_sequences"] = sql_token_histogram()
+
+
+def q_token_bigrams(sf_dir: str):
+    """Top-100 adjacent token bigrams (never crossing row boundaries) —
+    packed-key per-batch combiner, one groupby merge, deterministic
+    (cnt desc, t0, t1) tie-break (stages/tokens.token_bigram_counts)."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_bigram_counts
+
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(TOKENS_CORPUS, columns=["tokens"])
+    return token_bigram_counts(ds, tokens_col="tokens", top_k=100)
+
+
+def sql_token_bigrams() -> str:
+    _ensure_tokens_corpus()
+    return f"""
+SELECT CAST(tokens[CAST(i AS INT)] AS BIGINT) AS t0,
+       CAST(tokens[CAST(i AS INT) + 1] AS BIGINT) AS t1,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM read_parquet('{TOKENS_CORPUS}/*.parquet'),
+     LATERAL (SELECT unnest(generate_series(1, len(tokens) - 1)) AS i) s
+GROUP BY 1, 2
+ORDER BY cnt DESC, t0, t1
+LIMIT 100
+"""
+
+
+CORPUS_QUERIES["token_bigrams_sequences"] = q_token_bigrams
+CORPUS_ORACLE_SQL["token_bigrams_sequences"] = sql_token_bigrams()
+
+
+def q_hopping_window(sf_dir: str):
+    """Hopping-window aggregate over events: 1h windows sliding every
+    15min per event_type — each row lands in 4 windows; the per-batch
+    combiner shrinks the 4x expansion to per-(batch, key, window) integer
+    partial states before the ONE groupby exchange
+    (stages/windows.hopping_window)."""
+    import pyarrow.compute as pc
+
+    from ..stages.windows import hopping_window
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+                "cents": pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+            }
+        )
+
+    return hopping_window(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ts_col="ts", key_col="event_type", value_col="cents",
+        width_s=3600, slide_s=900,
+    )
+
+
+SQL_HOPPING_WINDOW = """
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS tsu,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+ex AS (
+  SELECT event_type,
+         ((tsu // 900000000) - CAST(j AS BIGINT)) * 900000000
+             AS window_start_us,
+         cents
+  FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) s
+)
+SELECT event_type AS key, window_start_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS "sum",
+       MIN(cents) AS "min",
+       MAX(cents) AS "max"
+FROM ex GROUP BY 1, 2
+"""
+
+CORPUS_QUERIES["hopping_window_events"] = q_hopping_window
+CORPUS_ORACLE_SQL["hopping_window_events"] = SQL_HOPPING_WINDOW

@@ -348,3 +348,96 @@ def rolling_rows(
             lambda t: part_fn(t.drop_columns(["_part"])), batch_format="pyarrow"
         )
     )
+
+
+def hopping_window(
+    ds,
+    *,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    width_s: int,
+    slide_s: int,
+):
+    """Hopping (sliding) tumbling-grid window aggregate: for every window
+    start `w` (a multiple of slide_s) and key, aggregate rows with
+    w <= ts < w + width_s. Emits (key, window_start_us, n, sum, min, max)
+    with the value pre-converted to exact integers by the caller.
+
+    width_s must be a multiple of slide_s (r = width/slide overlapping
+    windows per row). Scale shape: the per-batch combiner expands each row
+    to its r windows and IMMEDIATELY shrinks to per-(batch, key, window)
+    partial states via one packed-key np.unique — the shuffle carries
+    partials (O(keys x windows) per batch), never the r-times-expanded
+    rows. The merge is ONE small groupby of mergeable states (sum/min/max
+    of integers: order-insensitive, bit-exact at any parallelism)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    if width_s % slide_s != 0:
+        raise ValueError("width_s must be a multiple of slide_s")
+    r = width_s // slide_s
+    s_us = slide_s * US
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = ts_to_us(b[ts_col].combine_chunks())
+        v = np.asarray(b[value_col].combine_chunks()).astype(np.int64)
+        k = np.asarray(b[key_col])
+        empty = pa.table(
+            {
+                "key": pa.array([], type=pa.string()),
+                "window_start_us": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "sum": pa.array([], type=pa.int64()),
+                "min": pa.array([], type=pa.int64()),
+                "max": pa.array([], type=pa.int64()),
+            }
+        )
+        n = len(ts)
+        if n == 0:
+            return empty
+        uniq_k, kid = np.unique(k.astype(str), return_inverse=True)
+        # row i belongs to windows ((ts//S) - j) * S for j in 0..r-1
+        base = ts // s_us
+        wj = np.repeat(base, r) - np.tile(
+            np.arange(r, dtype=np.int64), n
+        )
+        kid_r = np.repeat(kid.astype(np.int64), r)
+        v_r = np.repeat(v, r)
+        # pack (kid, window index) into one sortable key; window indexes
+        # are shifted to >= 0 within the batch
+        wmin = wj.min()
+        span = wj.max() - wmin + 1
+        packed = kid_r * span + (wj - wmin)
+        order = np.argsort(packed, kind="stable")
+        ps = packed[order]
+        vs = v_r[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ps[1:] != ps[:-1]])
+        )
+        cnt = np.diff(np.append(starts, len(ps)))
+        return pa.table(
+            {
+                "key": pa.array(uniq_k[(ps[starts] // span)]),
+                "window_start_us": pa.array(
+                    (ps[starts] % span + wmin) * s_us
+                ),
+                "n": pa.array(cnt.astype(np.int64)),
+                "sum": pa.array(np.add.reduceat(vs, starts)),
+                "min": pa.array(np.minimum.reduceat(vs, starts)),
+                "max": pa.array(np.maximum.reduceat(vs, starts)),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .groupby(["key", "window_start_us"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum", alias_name="sum"),
+            Min("min", alias_name="min"),
+            Max("max", alias_name="max"),
+        )
+    )

@@ -1,0 +1,185 @@
+"""Token-array analytics + hopping windows vs brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _tok_table(rng, n_docs=200, vocab=50):
+    lens = rng.integers(0, 12, size=n_docs)
+    toks = [rng.integers(0, vocab, size=ln).astype(np.int32) for ln in lens]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs)),
+            "tokens": pa.array([t.tolist() for t in toks],
+                               type=pa.list_(pa.int32())),
+        }
+    ), toks
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_token_histogram_vs_brute(ray_session, seed):
+    import ray.data as rd
+
+    from getml_community_ray.stages.tokens import token_histogram
+
+    rng = np.random.default_rng(seed)
+    tbl, toks = _tok_table(rng)
+    got = (
+        token_histogram(rd.from_arrow(tbl), tokens_col="tokens")
+        .to_pandas()
+        .sort_values("token_id")
+        .reset_index(drop=True)
+    )
+    flat = np.concatenate([t for t in toks if len(t)]) if any(
+        len(t) for t in toks
+    ) else np.zeros(0, np.int64)
+    acc = np.bincount(flat.astype(np.int64))
+    nz = np.flatnonzero(acc)
+    want = pd.DataFrame({"token_id": nz, "cnt": acc[nz]})
+    pd.testing.assert_frame_equal(
+        got.astype({"token_id": np.int64, "cnt": np.int64}),
+        want.astype({"token_id": np.int64, "cnt": np.int64}),
+    )
+
+
+def test_token_histogram_sliced_block(ray_session):
+    """flatten() must honor the slice window — a sliced ListArray's raw
+    .values would leak sibling rows."""
+    import ray.data as rd
+
+    from getml_community_ray.stages.tokens import token_histogram
+
+    tbl = pa.table(
+        {"tokens": pa.array([[1, 1], [2], [3, 3, 3]],
+                            type=pa.list_(pa.int32()))}
+    ).slice(1, 2)
+    got = (
+        token_histogram(rd.from_arrow(tbl), tokens_col="tokens")
+        .to_pandas().sort_values("token_id").reset_index(drop=True)
+    )
+    assert got["token_id"].tolist() == [2, 3]
+    assert got["cnt"].tolist() == [1, 3]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_token_bigrams_vs_brute(ray_session, seed):
+    import ray.data as rd
+
+    from getml_community_ray.stages.tokens import token_bigram_counts
+
+    rng = np.random.default_rng(10 + seed)
+    tbl, toks = _tok_table(rng, n_docs=300, vocab=8)
+    got = token_bigram_counts(
+        rd.from_arrow(tbl), tokens_col="tokens", top_k=20
+    ).to_pandas()
+    from collections import Counter
+
+    c = Counter()
+    for t in toks:
+        for a, b in zip(t[:-1], t[1:]):
+            c[(int(a), int(b))] += 1
+    want = (
+        pd.DataFrame(
+            [(a, b, n) for (a, b), n in c.items()],
+            columns=["t0", "t1", "cnt"],
+        )
+        .sort_values(["cnt", "t0", "t1"], ascending=[False, True, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), want.astype(np.int64)
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_hopping_window_vs_brute(ray_session, seed):
+    import ray.data as rd
+
+    from getml_community_ray.stages.windows import hopping_window
+
+    rng = np.random.default_rng(20 + seed)
+    n = 500
+    t0 = 1_600_000_000_000_000
+    ts = t0 + rng.integers(0, 3 * 86_400_000_000, size=n)
+    key = rng.choice(["a", "b", "c"], size=n)
+    val = rng.integers(-50, 500, size=n)
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "k": pa.array(key),
+            "v": pa.array(val.astype(np.float64)),
+        }
+    )
+    W, S = 3600, 900
+    got = (
+        hopping_window(
+            rd.from_arrow(tbl), ts_col="ts", key_col="k", value_col="v",
+            width_s=W, slide_s=S,
+        )
+        .to_pandas()
+        .sort_values(["key", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for kk in ("a", "b", "c"):
+        m = key == kk
+        tt, vv = ts[m], val[m]
+        starts = np.unique((tt // (S * 1_000_000)))
+        cand = np.unique(
+            np.concatenate([starts - j for j in range(W // S)])
+        )
+        for w in cand:
+            w_us = w * S * 1_000_000
+            sel = (tt >= w_us) & (tt < w_us + W * 1_000_000)
+            if sel.any():
+                rows.append(
+                    (kk, w_us, int(sel.sum()), int(vv[sel].sum()),
+                     int(vv[sel].min()), int(vv[sel].max()))
+                )
+    want = (
+        pd.DataFrame(
+            rows, columns=["key", "window_start_us", "n", "sum", "min", "max"]
+        )
+        .sort_values(["key", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hopping_window_block_invariance(ray_session):
+    """Same result at 1 block and many tiny blocks (combiner/merge split
+    can't change the answer)."""
+    import ray.data as rd
+
+    from getml_community_ray.stages.windows import hopping_window
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t0 = 1_600_000_000_000_000
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                t0 + rng.integers(0, 86_400_000_000, size=n)
+            ).cast(pa.timestamp("us")),
+            "k": pa.array(rng.choice(["x", "y"], size=n)),
+            "v": pa.array(rng.integers(0, 100, size=n).astype(np.float64)),
+        }
+    )
+    kw = dict(ts_col="ts", key_col="k", value_col="v", width_s=1800,
+              slide_s=600)
+    a = (
+        hopping_window(rd.from_arrow(tbl), **kw)
+        .to_pandas().sort_values(["key", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    b = (
+        hopping_window(
+            rd.from_arrow(tbl).repartition(16), **kw
+        )
+        .to_pandas().sort_values(["key", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
