@@ -121,3 +121,77 @@ b AS (
   FROM {table} t JOIN mm ON t.{group_col} = mm.grp)
 SELECT grp, bin, count(*) AS cnt FROM b GROUP BY grp, bin
 """
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (heavy-hitter / frequency counters)
+# ---------------------------------------------------------------------------
+
+# odd salt spacing the d hash rows; j-th row hashes splitmix64(key + j*SALT)
+CMS_SALT = 0xD1B54A32D192ED03
+
+
+def cms_rows(keys: np.ndarray, *, depth: int = 4, width: int = 1024):
+    """Count-min counter increments for one batch: (row_j, slot, cnt).
+
+    All integers, mergeable by SUM — the same decomposable shape as the
+    HLL register table. Point estimate for a key is min_j counters[j,
+    h_j(key)], an upper bound with error <= n * e / width at confidence
+    1 - e^-depth (Cormode & Muthukrishnan 2005). The distributed artifact
+    is the counter table, bit-reproducible at any partitioning."""
+    from .hashing import splitmix64
+
+    k = np.ascontiguousarray(keys, dtype=np.uint64)
+    js, slots, cnts = [], [], []
+    for j in range(depth):
+        # 1-element-array add: u64 array + scalar has no SIMD path on
+        # this numpy (see kernels/hashing.py)
+        salt = np.array([(j * CMS_SALT) % (1 << 64)], dtype=np.uint64)
+        h = splitmix64(k + salt)
+        slot = (h % np.uint64(width)).astype(np.int64)
+        acc = np.bincount(slot, minlength=width)
+        nz = np.flatnonzero(acc)
+        js.append(np.full(len(nz), j, dtype=np.int64))
+        slots.append(nz)
+        cnts.append(acc[nz])
+    return (
+        np.concatenate(js),
+        np.concatenate(slots),
+        np.concatenate(cnts).astype(np.int64),
+    )
+
+
+def cms_point_estimate(
+    counters: np.ndarray, key: int, *, depth: int = 4, width: int = 1024
+) -> int:
+    """min over rows of the key's counter; `counters` is dense
+    (depth, width)."""
+    from .hashing import splitmix64
+
+    ks = np.full(depth, np.uint64(key), dtype=np.uint64)
+    salts = (np.arange(depth, dtype=np.uint64) * np.uint64(CMS_SALT))
+    h = splitmix64(ks + salts)
+    slots = (h % np.uint64(width)).astype(np.int64)
+    return int(counters[np.arange(depth), slots].min())
+
+
+def sql_cms_counters(
+    table: str, *, key_expr: str, depth: int = 4, width: int = 1024
+) -> str:
+    """DuckDB twin of the counter table: same splitmix64(key + j*salt),
+    same slot layout, integer counts."""
+    from .hashing import sql_addmod, sql_splitmix64_cols
+
+    parts = []
+    for j in range(depth):
+        salted = sql_addmod(key_expr, (j * CMS_SALT) % (1 << 64))
+        sm = ",\n         ".join(sql_splitmix64_cols(salted, f"h{j}_"))
+        parts.append(
+            f"SELECT {j} AS row_j, CAST(h{j}_out % {width} AS BIGINT) AS slot\n"
+            f"  FROM (SELECT {sm} FROM {table})"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return (
+        f"SELECT row_j, slot, CAST(count(*) AS BIGINT) AS cnt\n"
+        f"FROM (\n{body}\n)\nGROUP BY row_j, slot"
+    )

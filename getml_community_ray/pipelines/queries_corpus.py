@@ -1040,3 +1040,27 @@ FROM ex GROUP BY 1, 2
 
 CORPUS_QUERIES["hopping_window_events"] = q_hopping_window
 CORPUS_ORACLE_SQL["hopping_window_events"] = SQL_HOPPING_WINDOW
+
+
+def q_cms_counters(sf_dir: str):
+    """Count-min sketch over event user_ids — the mergeable
+    point-frequency/heavy-hitter lane (stages/groupby.cms_counters);
+    counter table is integer-exact and partitioning-invariant."""
+    import ray.data as rd
+
+    from ..stages.groupby import cms_counters
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return cms_counters(ev, key_col="user_id", depth=4, width=1024)
+
+
+def _sql_cms_counters() -> str:
+    from ..kernels.sketches import sql_cms_counters
+
+    return sql_cms_counters(
+        "events", key_expr="CAST(user_id AS UBIGINT)", depth=4, width=1024
+    )
+
+
+CORPUS_QUERIES["cms_counters_events"] = q_cms_counters
+CORPUS_ORACLE_SQL["cms_counters_events"] = _sql_cms_counters()

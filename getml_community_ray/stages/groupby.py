@@ -272,3 +272,37 @@ def grouped_histogram(ds, *, value_col: str, group_col: str,
         .groupby(["grp", "bin"])
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
+
+
+def cms_counters(ds, *, key_col: str, depth: int = 4, width: int = 1024):
+    """Count-min sketch counter table over a key column — the mergeable
+    heavy-hitter / point-frequency lane beside exact group counts
+    (kernels/sketches.cms_rows). Each batch contributes O(depth x width)
+    integer rows (combiner); ONE tiny groupby merges by sum. Returns
+    (row_j, slot, cnt), bit-reproducible at any partitioning; probe with
+    `cms_point_estimate`."""
+    from ray.data.aggregate import Sum
+
+    from ..kernels.sketches import cms_rows
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b[key_col])
+        if keys.dtype.kind not in "iu":
+            keys = crc_hash_sources(keys.astype(str))
+        j, slot, cnt = cms_rows(
+            keys.astype(np.int64).view(np.uint64), depth=depth, width=width
+        )
+        return pa.table(
+            {
+                "row_j": pa.array(j),
+                "slot": pa.array(slot),
+                "cnt": pa.array(cnt),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=65536)
+        .groupby(["row_j", "slot"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )

@@ -103,3 +103,41 @@ def test_histogram_degenerate_group(ray_session):
         rd.from_pandas(df), value_col="v", group_col="g", n_bins=16
     ).to_pandas()
     assert len(h) == 1 and h.bin.iloc[0] == 0 and h.cnt.iloc[0] == 10
+
+
+def test_cms_counters_partition_invariance_and_estimate(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from getml_community_ray.kernels.sketches import cms_point_estimate
+    from getml_community_ray.stages.groupby import cms_counters
+
+    rng = np.random.default_rng(3)
+    keys = rng.zipf(1.5, size=5000).astype(np.int64) % 997
+    tbl = pa.table({"k": pa.array(keys)})
+    a = (
+        cms_counters(rd.from_arrow(tbl), key_col="k", depth=4, width=256)
+        .to_pandas().sort_values(["row_j", "slot"]).reset_index(drop=True)
+    )
+    b = (
+        cms_counters(
+            rd.from_arrow(tbl).repartition(13), key_col="k", depth=4,
+            width=256,
+        )
+        .to_pandas().sort_values(["row_j", "slot"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # every row's counters sum to n
+    assert (a.groupby("row_j")["cnt"].sum() == len(keys)).all()
+    dense = np.zeros((4, 256), dtype=np.int64)
+    dense[a["row_j"], a["slot"]] = a["cnt"]
+    # point estimates upper-bound true counts and are close for hot keys
+    from collections import Counter
+
+    true = Counter(keys.tolist())
+    hot = [k for k, _ in true.most_common(5)]
+    for k in hot:
+        est = cms_point_estimate(dense, k, depth=4, width=256)
+        assert est >= true[k]
+        assert est <= true[k] + len(keys) * 2.0 / 256 * 4
