@@ -101,11 +101,14 @@ def _shingle_minhash(
     # segmented minimum both run over contiguous gram runs (measured 400x
     # vs gram-major on this box); persistent scratch avoids per-call
     # first-touch page-fault storms (kernels/hashing.scratch_u64).
-    # Tiles run over GRAMS (doc-aligned, ~8k grams x ALL perms): the whole
+    # Tiles run over GRAMS (doc-aligned, ~4k grams x ALL perms): the whole
     # working set stays cache-resident, so gram hashes are read from DRAM
     # once instead of once per perm chunk — measured 6.9x over perm-chunked
-    # multi-MB sweeps on this box, bit-identical output.
-    tile = 8192
+    # multi-MB sweeps on this box, bit-identical output. 4096 grams x 64
+    # perms x 8B = 2MB = one worker's PRIVATE L2: at 32 concurrent workers
+    # the 8192-gram (4MB) tile spilled to the shared L3/bus and ran ~30%
+    # slower aggregate (interleaved 32-proc sweep).
+    tile = int(__import__("os").environ.get("GRAFT_MINHASH_TILE", "4096"))
     d0 = 0
     while d0 < n:
         d1 = d0
