@@ -408,3 +408,131 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') i
 
 SERIES_QUERIES["range_join_events"] = q_range_join_events
 SERIES_ORACLE_SQL["range_join_events"] = SQL_RANGE_JOIN
+
+
+def q_zscore_anomaly_events(sf_dir: str):
+    """Continuous-aggregate anomaly detection: 1h rollup of cents sums per
+    event_type, then each bucket's z-score against its trailing 24 rollup
+    rows (ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING). All moments come
+    from exact int64 prefix sums (sum and sum-of-squares of integer
+    cents), so mean/var/z evaluate the identical float64 expression tree
+    on both sides; z is 6dp fixed-point. Composition showcase: the
+    detection input is the ROLLUP (O(buckets)), never raw events."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def hourly(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b["ts"].combine_chunks().cast(pa.int64()))
+        cents = np.asarray(
+            pc.round(pc.multiply(b["value"], 100.0), ndigits=0)
+        ).astype(np.int64)
+        src = np.asarray(b["event_type"]).astype(str)
+        bucket = ts // 3_600_000_000 * 3_600_000_000
+        uniq, inv = np.unique(
+            np.char.add(np.char.add(src, "|"), bucket.astype(str)),
+            return_inverse=True,
+        )
+        s = np.bincount(inv, weights=cents.astype(np.float64),
+                        minlength=len(uniq)).astype(np.int64)
+        first = np.full(len(uniq), -1, dtype=np.int64)
+        np.maximum.at(first, inv, np.arange(len(src)))
+        return pa.table(
+            {
+                "source": pa.array(src[first]),
+                "bucket_us": pa.array(bucket[first]),
+                "s": pa.array(s),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rolled = (
+        ev.map_batches(hourly, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "bucket_us"])
+        .aggregate(Sum("s", alias_name="s"))
+    )
+
+    K = 24
+
+    def detect(part: pa.Table) -> pa.Table:
+        src = np.asarray(part["source"]).astype(str)
+        b = np.asarray(part["bucket_us"])
+        s = np.asarray(part["s"])
+        order = np.lexsort((b, src))
+        src, b, s = src[order], b[order], s[order]
+        n = len(s)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new)
+        grp_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        # trailing-K window [lo, i-1] within the group, via exclusive
+        # int64 prefix sums (exact integer arithmetic)
+        i = np.arange(n)
+        lo = np.maximum(i - K, grp_start)
+        pn = i - lo
+        cs0 = np.concatenate([[0], np.cumsum(s)])
+        css0 = np.concatenate([[0], np.cumsum(s * s)])
+        ps = cs0[i] - cs0[lo]
+        pss = css0[i] - css0[lo]
+        full = pn == K
+        mean = ps / float(K)
+        var = pss / float(K) - mean * mean
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (s - mean) / np.sqrt(var)
+        z = np.rint(z * 1e6) / 1e6
+        keep = full & np.isfinite(z)
+        return pa.table(
+            {
+                "source": pa.array(src[keep]),
+                "bucket_ts": pa.array(b[keep]).cast(pa.timestamp("us")),
+                "z": pa.array(z[keep]),
+                "is_anomaly": pa.array(np.abs(z[keep]) > 3.0),
+            }
+        )
+
+    # per-source grouping so every trailing window sees its WHOLE series
+    # (a per-block map would break windows at block edges); the input is
+    # rollup-sized, and each source's buckets land in one group
+    return rolled.groupby("source").map_groups(
+        detect, batch_format="pyarrow"
+    )
+
+
+SQL_ZSCORE_ANOMALY = """
+WITH r AS (
+  SELECT event_type AS source,
+         date_trunc('hour', ts) AS b,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT source, b, s,
+         SUM(s) OVER (PARTITION BY source ORDER BY b
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS ps,
+         SUM(s * s) OVER (PARTITION BY source ORDER BY b
+                          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS pss,
+         COUNT(*) OVER (PARTITION BY source ORDER BY b
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS pn
+  FROM r
+),
+z AS (
+  SELECT source, b,
+         CAST(round(((CAST(s AS DOUBLE) - CAST(ps AS DOUBLE) / 24.0)
+           / sqrt(CAST(pss AS DOUBLE) / 24.0
+                  - (CAST(ps AS DOUBLE) / 24.0) * (CAST(ps AS DOUBLE) / 24.0)))
+           * 1e6) AS BIGINT) / 1000000.0 AS z
+  FROM w WHERE pn = 24
+    AND CAST(pss AS DOUBLE) / 24.0
+        - (CAST(ps AS DOUBLE) / 24.0) * (CAST(ps AS DOUBLE) / 24.0) > 0
+)
+SELECT source, b AS bucket_ts, z, z > 3.0 OR z < -3.0 AS is_anomaly
+FROM z
+"""
+
+SERIES_QUERIES["zscore_anomaly_events"] = q_zscore_anomaly_events
+SERIES_ORACLE_SQL["zscore_anomaly_events"] = SQL_ZSCORE_ANOMALY
