@@ -1064,3 +1064,53 @@ def _sql_cms_counters() -> str:
 
 CORPUS_QUERIES["cms_counters_events"] = q_cms_counters
 CORPUS_ORACLE_SQL["cms_counters_events"] = _sql_cms_counters()
+
+
+def q_token_decontaminate(sf_dir: str):
+    """Benchmark decontamination on the TOKEN level: sequences from
+    source 'src000' act as the eval suite; every sequence is scored by
+    its count of distinct shared token 8-grams. Broadcast sorted
+    bench-gram hash set + streaming rolling-hash probe
+    (stages/tokens.token_ngram_decontaminate) — the corpus never
+    shuffles; oracle = brute-force list-slice gram intersection."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_ngram_decontaminate
+
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(
+        TOKENS_CORPUS, columns=["doc_id", "tokens", "source"]
+    )
+    bench = ds.filter(expr="source == 'src000'").select_columns(["tokens"])
+    return token_ngram_decontaminate(
+        ds.select_columns(["doc_id", "tokens"]), bench,
+        tokens_col="tokens", id_col="doc_id", n=8, min_overlap=1,
+    )
+
+
+def sql_token_decontaminate() -> str:
+    _ensure_tokens_corpus()
+    src = f"read_parquet('{TOKENS_CORPUS}/*.parquet')"
+    return f"""
+WITH g AS (
+  SELECT doc_id, source,
+         tokens[CAST(i AS INT):CAST(i + 7 AS INT)] AS gram
+  FROM {src},
+       LATERAL (SELECT unnest(generate_series(1, len(tokens) - 7)) AS i) s
+  WHERE len(tokens) >= 8
+),
+bench_g AS (SELECT DISTINCT gram FROM g WHERE source = 'src000'),
+doc_g AS (SELECT DISTINCT doc_id, gram FROM g),
+ov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM doc_g JOIN bench_g USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(ov.n_overlap, 0) >= 1 AS BIGINT) AS contaminated
+FROM {src} d LEFT JOIN ov USING (doc_id)
+"""
+
+
+CORPUS_QUERIES["token_decontaminate_sequences"] = q_token_decontaminate
+CORPUS_ORACLE_SQL["token_decontaminate_sequences"] = sql_token_decontaminate()

@@ -110,3 +110,105 @@ def token_bigram_counts(ds, *, tokens_col: str = "tokens", top_k: int = 100):
     return merged.sort(["cnt", "t0", "t1"], descending=[True, False, False]).limit(
         top_k
     )
+
+
+# polynomial base for token n-gram hashing (odd, mixes well mod 2^64)
+_TOK_B = 0x100000001B3
+
+
+def _token_gram_hashes(vals: np.ndarray, off: np.ndarray, n: int):
+    """64-bit polynomial hashes of every length-n token window that does
+    not cross a row boundary: h = sum(v[i+j] * B^(n-1-j)) mod 2^64.
+
+    Returns (hashes, gram_doc) where gram_doc[g] is the row index owning
+    gram g. Vectorized: n shifted int64-view multiplies (wraparound; the
+    u64-scalar-multiply SIMD cliff documented in kernels/hashing.py)."""
+    m = len(vals)
+    if m < n:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    nv = m - n + 1
+    acc = np.zeros(nv, dtype=np.int64)
+    v64 = vals.astype(np.int64)
+    for j in range(n):
+        p = pow(_TOK_B, n - 1 - j, 1 << 64)
+        pc_ = p - (1 << 64) if p >= (1 << 63) else p
+        acc += v64[j : j + nv] * pc_  # int64 wraparound == mod 2^64
+    lens = np.diff(off)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    # gram starting at flat position i belongs to doc d iff the whole
+    # window sits inside d: doc_of[i] == doc_of[i + n - 1]
+    keep = doc_of[: nv] == doc_of[n - 1 :]
+    return acc[keep].view(np.uint64), doc_of[:nv][keep]
+
+
+def token_ngram_decontaminate(
+    ds,
+    bench,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 1,
+):
+    """Benchmark decontamination on the TOKEN level: score every sequence
+    by how many DISTINCT token n-grams it shares with the benchmark set
+    `bench` (a Dataset with the same tokens column).
+
+    Scale shape: the bench gram-hash set is collected once (bench is
+    eval-suite-sized), deduped, sorted, and broadcast via ray.put; the
+    corpus then streams through ONE map_batches doing a vectorized
+    rolling-hash pass + searchsorted probe per batch — the corpus never
+    shuffles and the token payload never leaves the batch. Gram identity
+    is its 64-bit polynomial hash (collision odds ~|grams|^2/2^64 per
+    doc, the same documented stance as the text n-gram Jaccard lane).
+    Returns (id, n_overlap, contaminated)."""
+    import ray
+
+    def bench_hashes(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        flat = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        h, _ = _token_gram_hashes(flat, off, n)
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+    hdf = bench.map_batches(
+        bench_hashes, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # eval-suite-sized by contract
+    bench_set = np.unique(hdf["h"].to_numpy(dtype=np.int64)) if len(hdf) else (
+        np.zeros(0, dtype=np.int64)
+    )
+    ref = ray.put(bench_set)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bs = ray.get(ref)
+        toks = b[tokens_col].combine_chunks()
+        flat = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        h, doc = _token_gram_hashes(flat, off, n)
+        n_docs = len(b)
+        cnt = np.zeros(n_docs, dtype=np.int64)
+        if len(h) and len(bs):
+            hs = h.view(np.int64)
+            # distinct (doc, gram) pairs only
+            order = np.lexsort((hs, doc))
+            d_s, h_s = doc[order], hs[order]
+            first = np.ones(len(d_s), dtype=bool)
+            if len(d_s) > 1:
+                first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            d_u, h_u = d_s[first], h_s[first]
+            ix = np.searchsorted(bs, h_u)
+            hit = (ix < len(bs)) & (bs[np.minimum(ix, len(bs) - 1)] == h_u)
+            np.add.at(cnt, d_u[hit], 1)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_overlap": pa.array(cnt),
+                "contaminated": pa.array(
+                    (cnt >= min_overlap).astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

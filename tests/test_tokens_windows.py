@@ -183,3 +183,43 @@ def test_hopping_window_block_invariance(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_token_decontaminate_vs_brute(ray_session, seed):
+    import ray.data as rd
+
+    from getml_community_ray.stages.tokens import token_ngram_decontaminate
+
+    rng = np.random.default_rng(40 + seed)
+    N = 4
+    docs = []
+    for i in range(120):
+        ln = int(rng.integers(0, 20))
+        docs.append(rng.integers(0, 6, size=ln).astype(np.int32))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs))),
+            "tokens": pa.array([d.tolist() for d in docs],
+                               type=pa.list_(pa.int32())),
+        }
+    )
+    bench_ix = list(range(0, 20))
+    bench = pa.table(
+        {"tokens": pa.array([docs[i].tolist() for i in bench_ix],
+                            type=pa.list_(pa.int32()))}
+    )
+    got = (
+        token_ngram_decontaminate(
+            rd.from_arrow(tbl), rd.from_arrow(bench), n=N, min_overlap=1
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    def grams(d):
+        return {tuple(d[i:i + N]) for i in range(len(d) - N + 1)}
+
+    bset = set().union(*[grams(docs[i]) for i in bench_ix]) if bench_ix else set()
+    want_overlap = [len(grams(d) & bset) for d in docs]
+    assert got["n_overlap"].tolist() == want_overlap
+    assert got["contaminated"].tolist() == [int(x >= 1) for x in want_overlap]
