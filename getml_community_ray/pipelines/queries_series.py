@@ -536,3 +536,100 @@ FROM z
 
 SERIES_QUERIES["zscore_anomaly_events"] = q_zscore_anomaly_events
 SERIES_ORACLE_SQL["zscore_anomaly_events"] = SQL_ZSCORE_ANOMALY
+
+
+def q_rollup_retention_events(sf_dir: str):
+    """Retention-trimmed tier cascade: 1m/1h/1d cents rollups with
+    per-tier TTLs (1m kept 7 days, 1h kept 60 days, 1d forever) against
+    the corpus watermark (max event ts). Buckets whose END falls before
+    watermark - ttl are dropped at materialization
+    (pipelines/rollup._apply_retention); the cascade computes BEFORE
+    retention trims the finer tier, so coarse buckets stay exact even
+    when their constituents expired."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .rollup import RollupConfig, rollup_decomposable
+
+    # watermark from parquet column stats (no data read)
+    wm = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    )["ts"].cast(pa.int64())
+    watermark_us = int(pc.max(wm).as_py())
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+                "cents": pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+            }
+        )
+
+    cfg = RollupConfig(
+        source_col="event_type",
+        ts_col="ts",
+        value_col="cents",
+        tiers={"1m": 60, "1h": 3600, "1d": 86400},
+        aggs=["count", "sum"],
+        retention={"1m": 7 * 86400, "1h": 60 * 86400, "1d": None},
+        watermark_us=watermark_us,
+    )
+    tiers = rollup_decomposable(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        cfg,
+    )
+    out = None
+    for name, d in tiers.items():
+        d = d.map_batches(
+            lambda b, n=name: pa.table(
+                {
+                    "tier": pa.array([n] * len(b), type=pa.string()),
+                    "source": b["source"],
+                    "bucket_ts": b["bucket_ts"],
+                    "n": b["count"].cast(pa.int64()),
+                    "sum_cents": b["sum"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        out = d if out is None else out.union(d)
+    return out
+
+
+SQL_ROLLUP_RETENTION = """
+WITH w AS (SELECT CAST(epoch_us(max(ts)) AS BIGINT) AS wm FROM events),
+e AS (
+  SELECT event_type, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+t AS (
+  SELECT '1m' AS tier, event_type AS source,
+         date_trunc('minute', ts) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n, SUM(cents) AS sum_cents,
+         60000000 AS w_us, CAST(604800 AS BIGINT) AS ttl_s
+  FROM e GROUP BY 2, 3
+  UNION ALL
+  SELECT '1h', event_type, date_trunc('hour', ts),
+         CAST(count(*) AS BIGINT), SUM(cents),
+         3600000000, CAST(5184000 AS BIGINT)
+  FROM e GROUP BY 2, 3
+  UNION ALL
+  SELECT '1d', event_type, date_trunc('day', ts),
+         CAST(count(*) AS BIGINT), SUM(cents),
+         86400000000, NULL
+  FROM e GROUP BY 2, 3
+)
+SELECT tier, source, bucket_ts, n, CAST(sum_cents AS BIGINT) AS sum_cents
+FROM t, w
+WHERE ttl_s IS NULL
+   OR CAST(epoch_us(bucket_ts) AS BIGINT) + w_us >= wm - ttl_s * 1000000
+"""
+
+SERIES_QUERIES["rollup_retention_events"] = q_rollup_retention_events
+SERIES_ORACLE_SQL["rollup_retention_events"] = SQL_ROLLUP_RETENTION
