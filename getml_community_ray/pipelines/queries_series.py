@@ -633,3 +633,100 @@ WHERE ttl_s IS NULL
 
 SERIES_QUERIES["rollup_retention_events"] = q_rollup_retention_events
 SERIES_ORACLE_SQL["rollup_retention_events"] = SQL_ROLLUP_RETENTION
+
+
+def q_late_rerollup_events(sf_dir: str):
+    """North-rule resumability through the correctness gate: stage events
+    as an 'early' shard (first 80% by ts), run the time-range-partitioned
+    checkpointed rollup (state/checkpoint.checkpointed_rollup_timerange —
+    one Parquet file + lineage id + stage metrics per partition), then
+    append a 'late' shard (the remaining 20%) and run AGAIN: only the
+    partitions whose time ranges the late shard touches recompute (their
+    per-partition input fingerprint changed), everything else is skipped
+    by lineage. The returned table is the final on-disk rollup — the
+    oracle is a plain GROUP BY over ALL events, so the hash-match proves
+    the late-data path converges to the full recompute."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..state.checkpoint import checkpointed_rollup_timerange
+    from .rollup import RollupConfig
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/graft_late_rerollup_{tag}"
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(in_dir)
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    cents = pc.round(pc.multiply(ev["value"], 100.0), ndigits=0)
+    ev = pa.table(
+        {"ts": ev["ts"], "event_type": ev["event_type"], "cents": cents}
+    )
+    ts = np.asarray(ev["ts"].combine_chunks().cast(pa.int64()))
+    cut = np.quantile(ts, 0.8)
+    early = ev.filter(pa.array(ts <= cut))
+    late = ev.filter(pa.array(ts > cut))
+    # time-sorted shards (the staging layout of a real ingest)
+    early = early.take(
+        pa.array(np.argsort(np.asarray(early["ts"].combine_chunks().cast(pa.int64())), kind="stable"))
+    )
+    late = late.take(
+        pa.array(np.argsort(np.asarray(late["ts"].combine_chunks().cast(pa.int64())), kind="stable"))
+    )
+    cfg = RollupConfig(
+        source_col="event_type", ts_col="ts", value_col="cents",
+        tiers={"1m": 60, "1h": 3600, "1d": 86400},
+        aggs=["count", "sum"], num_partitions=8, retention={},
+    )
+    pq.write_table(early, f"{in_dir}/shard-early.parquet")
+    checkpointed_rollup_timerange(in_dir, out_dir, cfg, lane="decomposable")
+    pq.write_table(late, f"{in_dir}/shard-late.parquet")
+    checkpointed_rollup_timerange(in_dir, out_dir, cfg, lane="decomposable")
+
+    out = rd.read_parquet(sorted(glob.glob(f"{out_dir}/part-*.parquet")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tier": b["tier"],
+                "source": b["source"],
+                "bucket_ts": b["bucket_ts"],
+                "n": b["count"].cast(pa.int64()),
+                "sum_cents": b["sum"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_LATE_REROLLUP = """
+WITH e AS (
+  SELECT event_type, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT '1m' AS tier, event_type AS source,
+       date_trunc('minute', ts) AS bucket_ts,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM e GROUP BY 2, 3
+UNION ALL
+SELECT '1h', event_type, date_trunc('hour', ts),
+       CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM e GROUP BY 2, 3
+UNION ALL
+SELECT '1d', event_type, date_trunc('day', ts),
+       CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM e GROUP BY 2, 3
+"""
+
+SERIES_QUERIES["late_rerollup_events"] = q_late_rerollup_events
+SERIES_ORACLE_SQL["late_rerollup_events"] = SQL_LATE_REROLLUP

@@ -65,11 +65,30 @@ class Manifest:
         self.out_dir = out_dir
         self.path = os.path.join(out_dir, "_manifest.json")
         self.records: dict[int, PartitionRecord] = {}
+        self.grid: str | None = None
         if os.path.exists(self.path):
             with open(self.path) as f:
                 raw = json.load(f)
             for k, v in raw.get("partitions", {}).items():
                 self.records[int(k)] = PartitionRecord(**v)
+            self.grid = raw.get("grid")
+
+    def set_grid(self, grid: str) -> None:
+        """Declare the partition-grid identity (chunk width + config) of
+        the caller. If it differs from the manifest's stored grid, every
+        on-disk partition file belongs to a DIFFERENT bucket->partition
+        mapping — keeping them would silently mix two grids (stale ranges
+        beside fresh ones), so records and part files are dropped and the
+        run starts clean."""
+        if self.grid == grid:
+            return
+        if self.records:
+            import glob as _glob
+
+            for f in _glob.glob(os.path.join(self.out_dir, "part-*.parquet")):
+                os.remove(f)
+            self.records = {}
+        self.grid = grid
 
     def completed(self, input_fp: str, config_fp: str) -> set[int]:
         done = set()
@@ -88,7 +107,12 @@ class Manifest:
         os.makedirs(self.out_dir, exist_ok=True)
         with open(tmp, "w") as f:
             json.dump(
-                {"partitions": {str(k): asdict(v) for k, v in self.records.items()}},
+                {
+                    "grid": self.grid,
+                    "partitions": {
+                        str(k): asdict(v) for k, v in self.records.items()
+                    },
+                },
                 f,
                 indent=1,
             )
@@ -322,17 +346,35 @@ def checkpointed_rollup_timerange(
     gmax = max(r[1] for r in ranges.values()) // coarse_us
     P = cfg.num_partitions
     span = int(gmax - gmin + 1)
-    per_part = max(1, -(-span // P))  # ceil
+    # ABSOLUTE-anchored power-of-two chunk width: partition id is a pure
+    # function of the bucket number (bucket // w), never of the data's
+    # extent. Appending late/out-of-range shards therefore cannot SHIFT
+    # existing partitions' ranges — only the chunks a new shard actually
+    # touches get a new per-partition fingerprint. When the data span
+    # outgrows w * num_partitions, w doubles; the width is part of the
+    # grid identity below, so a width change invalidates every partition
+    # loudly (full reshard) instead of mixing two grids silently.
+    w = 1
+    while span > w * P:
+        w *= 2
 
     def part_of_bucket(bucket):
-        return np.minimum((bucket - gmin) // per_part, P - 1)
+        return bucket // w
+
+    chunk_ids = sorted(
+        {
+            int(c)
+            for (mn, mx) in ranges.values()
+            for c in range(int(mn // coarse_us // w), int(mx // coarse_us // w) + 1)
+        }
+    )
+    config_fp = config_fp + f"/w{w}"
 
     # per-partition input fingerprint: the files overlapping its bucket range
     part_fps: dict[int, str] = {}
-    for part in range(P):
-        lo_b = gmin + part * per_part
-        hi_b = min(gmin + (part + 1) * per_part - 1, gmax)
-        lo_us, hi_us = lo_b * coarse_us, (hi_b + 1) * coarse_us - 1
+    for part in chunk_ids:
+        lo_us = part * w * coarse_us
+        hi_us = (part + 1) * w * coarse_us - 1
         touching = [
             p for p, (mn, mx) in ranges.items() if mn <= hi_us and mx >= lo_us
         ]
@@ -340,13 +382,15 @@ def checkpointed_rollup_timerange(
 
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(out_dir)
+    manifest.set_grid(config_fp)
     done = {
         part
         for part, rec in manifest.records.items()
-        if rec.lineage_id == lineage_id(part_fps.get(part, ""), config_fp, part)
+        if part in part_fps
+        and rec.lineage_id == lineage_id(part_fps[part], config_fp, part)
         and (not rec.file or os.path.exists(os.path.join(out_dir, rec.file)))
     }
-    pending = sorted(set(range(P)) - done)
+    pending = sorted(set(chunk_ids) - done)
     if not pending:
         return {"computed": [], "skipped": sorted(done), "manifest": manifest}
     pending_arr = np.array(pending, dtype=np.int64)

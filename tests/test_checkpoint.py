@@ -191,3 +191,71 @@ def test_checkpointed_retention(ray_session, tmp_path):
     end_us = m1.bucket_ts.astype("int64") + 60 * 1_000_000
     assert (end_us >= wm - 600 * 1_000_000).all()
     assert len(df[df.tier == "1h"]) > 0  # other tiers untrimmed
+
+
+def test_timerange_append_extends_span(ray_session, tmp_path):
+    """A late shard BEYOND the original time range must not shift existing
+    partitions' ranges (absolute-anchored chunks): the union of kept and
+    recomputed partition files must equal a from-scratch run."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from getml_community_ray.pipelines.rollup import RollupConfig
+    from getml_community_ray.state.checkpoint import (
+        checkpointed_rollup_timerange,
+    )
+
+    src_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src_dir)
+    rng = np.random.default_rng(11)
+    t0 = 1_600_000_000_000_000
+
+    def shard(lo_day, hi_day, n, seed):
+        r = np.random.default_rng(seed)
+        ts = t0 + r.integers(
+            lo_day * 86_400_000_000, hi_day * 86_400_000_000, size=n
+        )
+        ts.sort()
+        return pa.table(
+            {
+                "source": pa.array(
+                    np.repeat("s0", n)
+                ),
+                "event_ts": pa.array(ts).cast(pa.timestamp("us")),
+                "n_tok": pa.array(
+                    r.integers(0, 50, size=n).astype(np.float64)
+                ),
+            }
+        )
+
+    pq.write_table(shard(0, 10, 5000, 1), f"{src_dir}/shard-a.parquet")
+    cfg = RollupConfig(retention={}, num_partitions=4,
+                       cache_intermediates=False)
+    r1 = checkpointed_rollup_timerange(src_dir, out_dir, cfg)
+    assert r1["computed"]
+    # append a shard EXTENDING the global span (days 10..30)
+    pq.write_table(shard(10, 30, 5000, 2), f"{src_dir}/shard-b.parquet")
+    r2 = checkpointed_rollup_timerange(src_dir, out_dir, cfg)
+    assert r2["computed"]
+
+    fresh = str(tmp_path / "fresh")
+    checkpointed_rollup_timerange(src_dir, fresh, cfg)
+    a = (
+        rd.read_parquet(sorted(glob.glob(f"{out_dir}/part-*.parquet")))
+        .to_pandas().sort_values(["tier", "source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    b = (
+        rd.read_parquet(sorted(glob.glob(f"{fresh}/part-*.parquet")))
+        .to_pandas().sort_values(["tier", "source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
