@@ -1114,3 +1114,50 @@ FROM {src} d LEFT JOIN ov USING (doc_id)
 
 CORPUS_QUERIES["token_decontaminate_sequences"] = q_token_decontaminate
 CORPUS_ORACLE_SQL["token_decontaminate_sequences"] = sql_token_decontaminate()
+
+
+def q_topk_per_user(sf_dir: str):
+    """Per-key leaderboard: top-3 events by integer-cents value per user
+    (ties -> smallest event_id), via the combiner-pruned grouped top-k
+    (stages/groupby.grouped_topk) — the exchange carries at most k rows
+    per (batch, user), never raw volume."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.groupby import grouped_topk
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_topk(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="user_id", value_col="cents", id_col="event_id", k=3,
+    )
+
+
+SQL_TOPK_PER_USER = """
+SELECT event_id, user_id,
+       CAST(round(value * 100) AS BIGINT) AS cents,
+       CAST(row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id ASC
+       ) AS BIGINT) AS rank
+FROM events
+QUALIFY rank <= 3
+"""
+
+CORPUS_QUERIES["topk_per_user_events"] = q_topk_per_user
+CORPUS_ORACLE_SQL["topk_per_user_events"] = SQL_TOPK_PER_USER

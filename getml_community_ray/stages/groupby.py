@@ -306,3 +306,49 @@ def cms_counters(ds, *, key_col: str, depth: int = 4, width: int = 1024):
         .groupby(["row_j", "slot"])
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
+
+
+def grouped_topk(ds, *, key_col: str, value_col: str, id_col: str, k: int):
+    """Per-key top-k rows by value (ties broken by smallest id) — the
+    grouped leaderboard beside the global sort+limit.
+
+    Scale shape: a per-batch combiner prunes each key to its local
+    top-k BEFORE the shuffle (exchange carries <= k rows per key per
+    batch); one groupby finishes the selection. Deterministic at any
+    partitioning: ordering key is (value desc, id asc)."""
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        key = np.asarray(b[key_col])
+        v = np.asarray(b[value_col], dtype=np.int64)
+        i = np.asarray(b[id_col], dtype=np.int64)
+        if len(key) == 0:
+            return b
+        ks = key.astype(str) if key.dtype.kind not in "iu" else key
+        order = np.lexsort((i, -v, ks))
+        kk = ks[order]
+        new = np.ones(len(kk), dtype=bool)
+        if len(kk) > 1:
+            new[1:] = kk[1:] != kk[:-1]
+        starts = np.flatnonzero(new)
+        grp_start = np.repeat(starts, np.diff(np.append(starts, len(kk))))
+        rank = np.arange(len(kk)) - grp_start
+        keep = order[rank < k]
+        return b.take(pa.array(np.sort(keep)))
+
+    pruned = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    def final_topk(t: pa.Table) -> pa.Table:
+        t = local_topk(t)
+        v = np.asarray(t[value_col], dtype=np.int64)
+        i = np.asarray(t[id_col], dtype=np.int64)
+        order = np.lexsort((i, -v))
+        t = t.take(pa.array(order))
+        return t.append_column(
+            "rank", pa.array(np.arange(1, len(t) + 1, dtype=np.int64))
+        )
+
+    return pruned.groupby(key_col).map_groups(
+        final_topk, batch_format="pyarrow"
+    )

@@ -223,3 +223,37 @@ def test_token_decontaminate_vs_brute(ray_session, seed):
     want_overlap = [len(grams(d) & bset) for d in docs]
     assert got["n_overlap"].tolist() == want_overlap
     assert got["contaminated"].tolist() == [int(x >= 1) for x in want_overlap]
+
+
+def test_grouped_topk_block_invariance(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.groupby import grouped_topk
+
+    rng = np.random.default_rng(9)
+    n = 600
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n)),
+            "k": pa.array(rng.choice(["a", "b", "c", "d"], size=n)),
+            "v": pa.array(rng.integers(0, 50, size=n)),  # many ties
+        }
+    )
+    kw = dict(key_col="k", value_col="v", id_col="id", k=5)
+    a = (
+        grouped_topk(rd.from_arrow(tbl), **kw)
+        .to_pandas().sort_values(["k", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        grouped_topk(rd.from_arrow(tbl).repartition(17), **kw)
+        .to_pandas().sort_values(["k", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # brute force
+    df = tbl.to_pandas()
+    want = (
+        df.sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .groupby("k").head(5)
+    )
+    got_ids = a.sort_values(["k", "rank"])["id"].tolist()
+    assert got_ids == want["id"].tolist()
