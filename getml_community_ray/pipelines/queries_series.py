@@ -730,3 +730,61 @@ FROM e GROUP BY 2, 3
 
 SERIES_QUERIES["late_rerollup_events"] = q_late_rerollup_events
 SERIES_ORACLE_SQL["late_rerollup_events"] = SQL_LATE_REROLLUP
+
+
+def q_counter_increase_events(sf_dir: str):
+    """PromQL-style counter deltas over a per-user synthetic byte counter
+    (cumulative cents, wrapped at 10^6 to inject resets — both sides
+    derive the identical counter): per user in ts order, delta vs lag and
+    reset-aware increase (stages/windows.counter_increase)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.windows import counter_increase
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    # deterministic synthetic counter: |cents| wrapped at 1e6 (both sides
+    # spell the same arithmetic; resets appear wherever the wrap bites)
+    def counter(b: pa.Table) -> pa.Table:
+        cents = np.asarray(
+            pc.round(pc.multiply(b["value"], 100.0), ndigits=0)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "user_id": b["user_id"],
+                "ctr": pa.array(np.abs(cents) % 1_000_000),
+            }
+        )
+
+    return counter_increase(
+        ev.map_batches(counter, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="user_id", ts_col="ts", value_col="ctr",
+        id_cols=["event_id"],
+    )
+
+
+SQL_COUNTER_INCREASE = """
+WITH c AS (
+  SELECT event_id, ts, user_id,
+         abs(CAST(round(value * 100) AS BIGINT)) % 1000000 AS ctr
+  FROM events
+),
+d AS (
+  SELECT event_id,
+         ctr - lag(ctr) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS delta,
+         ctr
+  FROM c
+)
+SELECT event_id, delta,
+       CASE WHEN delta IS NULL THEN NULL
+            WHEN delta >= 0 THEN delta
+            ELSE ctr END AS increase
+FROM d
+"""
+
+SERIES_QUERIES["counter_increase_events"] = q_counter_increase_events
+SERIES_ORACLE_SQL["counter_increase_events"] = SQL_COUNTER_INCREASE

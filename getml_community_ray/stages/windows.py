@@ -441,3 +441,78 @@ def hopping_window(
             Max("max", alias_name="max"),
         )
     )
+
+
+def counter_increase(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_cols: list[str],
+    num_partitions: int | None = None,
+):
+    """PromQL-style counter delta with reset handling: per key in ts
+    order, `delta` = value - lag(value) (null for the key's first row)
+    and `increase` = delta when delta >= 0 else value (a drop means the
+    counter reset, so the post-reset reading IS the increase).
+
+    One hash exchange by key, one vectorized lexsort + shifted-compare
+    pass per partition — same shape as sessionize. Ties on ts break by
+    input order within the partition (sorted stably), matching a SQL
+    window with the same tie order when (key, ts) is unique."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+
+    def part_fn(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch[key_col])
+        ts_us = ts_to_us(batch[ts_col].combine_chunks())
+        v = np.asarray(batch[value_col], dtype=np.int64)
+        uniq, gid = np.unique(key, return_inverse=True)
+        # equal-ts tie-break by the first id column (deterministic and
+        # SQL-window-matchable: ORDER BY ts, <id>)
+        tie = np.asarray(batch[id_cols[0]])
+        if tie.dtype.kind not in "iu":
+            tie = crc_hash_sources(tie.astype(str))
+        order = np.lexsort((tie, ts_us, gid))
+        g_s, v_s = gid[order], v[order]
+        n = len(g_s)
+        delta = np.zeros(n, dtype=np.int64)
+        is_first = np.ones(n, dtype=bool)
+        if n > 1:
+            same = g_s[1:] == g_s[:-1]
+            delta[1:] = v_s[1:] - v_s[:-1]
+            is_first[1:] = ~same
+        increase = np.where(delta >= 0, delta, v_s)
+        cols = {c: batch[c].take(pa.array(order)) for c in id_cols}
+        cols["delta"] = pa.array(
+            np.where(is_first, 0, delta), mask=is_first
+        )
+        cols["increase"] = pa.array(
+            np.where(is_first, 0, increase), mask=is_first
+        )
+        return pa.table(cols)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col])
+        if k.dtype.kind in "iu":
+            h = k.astype(np.int64)
+        else:
+            h = crc_hash_sources(k.astype(str))
+        return b.append_column(
+            "_part",
+            pa.array((h * 0x9E3779B1 % num_partitions).astype(np.int64)),
+        )
+
+    cols = list(dict.fromkeys(id_cols + [key_col, ts_col, value_col]))
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda t: part_fn(t.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
