@@ -848,7 +848,7 @@ def _sql_hll_registers() -> str:
     from ..kernels.sketches import sql_hll_registers
 
     return sql_hll_registers(
-        "events", key_expr="CAST(user_id AS UBIGINT)",
+        "events", key_expr="CAST(CASE WHEN user_id < 0 THEN CAST(user_id AS HUGEINT) + 18446744073709551616 ELSE CAST(user_id AS HUGEINT) END AS UBIGINT)",
         group_col="event_type", p=10,
     )
 
@@ -1058,7 +1058,7 @@ def _sql_cms_counters() -> str:
     from ..kernels.sketches import sql_cms_counters
 
     return sql_cms_counters(
-        "events", key_expr="CAST(user_id AS UBIGINT)", depth=4, width=1024
+        "events", key_expr="CAST(CASE WHEN user_id < 0 THEN CAST(user_id AS HUGEINT) + 18446744073709551616 ELSE CAST(user_id AS HUGEINT) END AS UBIGINT)", depth=4, width=1024
     )
 
 

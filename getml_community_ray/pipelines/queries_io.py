@@ -533,35 +533,42 @@ IO_ORACLE_SQL["from_db_sqlite_orders"] = SQL_FROM_DB_SQLITE
 
 
 def q_semi_join_lineitem(sf_dir: str):
-    """Semi + anti join coverage (stages/joins.semi_join_filter): lineitem
-    rows whose order is URGENT (semi) counted against the rest (anti).
-    The key set is driver-small (broadcast via ray.put once; reference
-    staging joins prune the same way, `staging/Join.cpp` semantics)."""
+    """Semi + anti join coverage via the SCALE lane
+    (stages/joins.bloom_semi_join): lineitem rows whose order is URGENT
+    (semi) counted against the rest (anti). The key side stays a Dataset
+    end to end — no driver take_all() — so the same plan works when the
+    key set outgrows one node: the Bloom bitmap is built distributed
+    (tree OR-merge) and broadcast once; the ~4e-4 false-positive tail is
+    dropped by ONE candidate-sized exact join (o_orderkey is unique, so
+    inner join == exact semi join). Anti count = total - semi."""
     import ray.data as rd
 
-    from ..stages.joins import semi_join_filter
+    from ..stages.joins import bloom_semi_join, hash_join
 
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    keys_ds = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_orderkey"])
     )
-    keys = [
-        r["o_orderkey"]
-        for r in orders.filter(
-            expr="o_orderpriority == '1-URGENT'"
-        ).take_all()
-    ]
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
     )
-    semi = semi_join_filter(li, keys, on="l_orderkey")
-    anti = semi_join_filter(li, keys, on="l_orderkey", anti=True)
+    n_total = li.count()
+    cands = bloom_semi_join(li, keys_ds, on="l_orderkey",
+                            keys_on="o_orderkey")
+    semi = hash_join(
+        cands, keys_ds, on="l_orderkey", right_on="o_orderkey",
+        how="inner", num_partitions=8,
+    )
     import pyarrow as pa
 
     n_semi = semi.count()
-    n_anti = anti.count()
     return pa.table(
         {"n_semi": pa.array([n_semi], pa.int64()),
-         "n_anti": pa.array([n_anti], pa.int64())}
+         "n_anti": pa.array([n_total - n_semi], pa.int64())}
     )
 
 

@@ -436,8 +436,10 @@ def q_zscore_anomaly_events(sf_dir: str):
             np.char.add(np.char.add(src, "|"), bucket.astype(str)),
             return_inverse=True,
         )
-        s = np.bincount(inv, weights=cents.astype(np.float64),
-                        minlength=len(uniq)).astype(np.int64)
+        # integer scatter-add: bincount's float64 weights would lose
+        # exactness once a per-(batch,bucket) sum exceeds 2^53
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, cents)
         first = np.full(len(uniq), -1, dtype=np.int64)
         np.maximum.at(first, inv, np.arange(len(src)))
         return pa.table(

@@ -306,8 +306,12 @@ def ngram_jaccard_pairs(
         from ..kernels.hashing import _intra
 
         lists = b["ids"].combine_chunks()
-        flat = np.asarray(lists.values, dtype=np.int64)
+        # flatten() (not .values) — on a sliced/offset ListArray the raw
+        # values buffer includes sibling rows and np.repeat would raise;
+        # offsets are rebased to the slice start for the same reason.
+        flat = np.asarray(lists.flatten(), dtype=np.int64)
         offs = np.asarray(lists.offsets, dtype=np.int64)
+        offs = offs - offs[0]
         cnt = np.diff(offs)
         if len(flat) == 0 or not (cnt > 1).any():
             return pa.table(
@@ -374,19 +378,7 @@ def ngram_jaccard_pairs(
 
         return f
 
-    def norm_schema(fields):
-        """Ray's hash-shuffle join emits zero-COLUMN blocks for empty
-        partitions; a second join then fails with 'No match for key field
-        reference' (flaky by partition emptiness). The inter-join schema
-        is static, so rewrite empty blocks with it."""
-        def f(b: pa.Table) -> pa.Table:
-            if b.num_columns == 0:
-                return pa.table(
-                    {n: pa.array([], type=t) for n, t in fields}
-                )
-            return b
-
-        return f
+    from .blocks import empty_block_normalizer as norm_schema
 
     # Cut the corpus to candidate docs BEFORE shipping any text: without
     # this the two joins below shuffle every document's text (round-1

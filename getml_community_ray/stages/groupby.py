@@ -280,7 +280,11 @@ def cms_counters(ds, *, key_col: str, depth: int = 4, width: int = 1024):
     (kernels/sketches.cms_rows). Each batch contributes O(depth x width)
     integer rows (combiner); ONE tiny groupby merges by sum. Returns
     (row_j, slot, cnt), bit-reproducible at any partitioning; probe with
-    `cms_point_estimate`."""
+    `cms_point_estimate`.
+
+    Key contract: negative integer keys wrap mod 2^64 (int64 view as
+    uint64) — the SQL twin must wrap identically (CASE ... + 2^64 before
+    CAST AS UBIGINT; a bare CAST raises in DuckDB on negatives)."""
     from ray.data.aggregate import Sum
 
     from ..kernels.sketches import cms_rows

@@ -154,6 +154,9 @@ def bloom_semi_join(
     keys_on = [on] if keys_on is None else (
         [keys_on] if isinstance(keys_on, str) else list(keys_on)
     )
+    # Materialize once: count() + to_arrow_refs() would otherwise execute
+    # the keys pipeline twice for callers that didn't pre-materialize.
+    keys_ds = keys_ds.materialize()
     n_keys = keys_ds.count() * len(keys_on)
     if n_keys == 0:
         return ds.map_batches(
@@ -182,8 +185,15 @@ def bloom_semi_join(
         for colname in keys_on:
             # empty partitions surface as zero-COLUMN blocks (same Ray
             # artifact the near-dedup joins guard against) — nothing to add
-            if tbl.num_rows == 0 or colname not in tbl.column_names:
+            if tbl.num_rows == 0:
                 continue
+            if colname not in tbl.column_names:
+                # loud, not silent: a misnamed keys_on would otherwise
+                # build an empty bitmap and filter EVERYTHING out
+                raise KeyError(
+                    f"bloom_semi_join: keys column {colname!r} not in "
+                    f"keys_ds block (has {tbl.column_names})"
+                )
             ids = _ids_u64(tbl[colname])
             for s in seeds:
                 h = splitmix64(ids ^ s) & mask_bits

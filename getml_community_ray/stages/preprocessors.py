@@ -241,7 +241,9 @@ def group_count(ds, key_col: str, num_partitions: int = 16):
         vals = np.asarray(t[key_col]).astype(str)
         cnt = np.asarray(t["cnt"])
         uniq, inv = np.unique(vals, return_inverse=True)
-        out = np.bincount(inv, weights=cnt, minlength=len(uniq)).astype(np.int64)
+        # int64 scatter-add: float64 bincount weights lose exactness past 2^53
+        out = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(out, inv, np.asarray(cnt, dtype=np.int64))
         return pa.table(
             {key_col: pa.array(uniq, type=pa.string()), "cnt": pa.array(out)}
         )

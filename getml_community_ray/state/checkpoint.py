@@ -82,12 +82,15 @@ class Manifest:
         run starts clean."""
         if self.grid == grid:
             return
-        if self.records:
-            import glob as _glob
+        # Unconditional: a crash after part writes but before the manifest
+        # flush leaves records empty on disk while stale old-grid part files
+        # survive — gating on self.records would let a later different-grid
+        # run silently mix two grids for glob('part-*.parquet') readers.
+        import glob as _glob
 
-            for f in _glob.glob(os.path.join(self.out_dir, "part-*.parquet")):
-                os.remove(f)
-            self.records = {}
+        for f in _glob.glob(os.path.join(self.out_dir, "part-*.parquet")):
+            os.remove(f)
+        self.records = {}
         self.grid = grid
 
     def completed(self, input_fp: str, config_fp: str) -> set[int]:
