@@ -320,10 +320,13 @@ ML_ORACLE_SQL["fastprop_autofit_events"] = _sql_autofit()
 def q_gbm_lineitem_price(sf_dir: str):
     """Distributed histogram GBDT (the reference's XGBoost-predictor analog,
     stages/gbm.py) regressing l_extendedprice on quantity/discount/tax.
-    Tree construction is not SQL-expressible, so this runs under the
-    driver's rows-only contract; exactness/determinism/quality floors are
-    covered by tests/test_gbm.py. Returns one row of fit metrics rounded
-    6dp plus the model shape."""
+    Tree construction is not SQL-expressible, so the oracle is a PINNED
+    GOLDEN (the CRC-pin stance of tokens_passthrough_sequences): the model
+    is deterministic end to end — digest-sorted tree-reduced histogram
+    merges, fsum base score, arrival-order-independent bin edges — so the
+    6dp metrics + model shape are pinned per scale factor (selected by the
+    table's row count in SQL). Quality floors / partition invariance are
+    covered by tests/test_gbm.py."""
     from ..stages.gbm import GradientBoostedTrees
     from ..stages.predictors import regression_metrics
 
@@ -347,4 +350,17 @@ def q_gbm_lineitem_price(sf_dir: str):
 
 
 ML_QUERIES["gbm_lineitem_price"] = q_gbm_lineitem_price
-# no ML_ORACLE_SQL entry: rows-only by design (see docstring)
+# Pinned-golden oracle (see q_gbm_lineitem_price docstring): expected
+# values recomputed-and-verified across fresh sessions at both driver
+# scale factors; row count selects the pin. An unpinned sf yields NULLs
+# -> loud hash mismatch, never a silent pass.
+SQL_GBM_GOLDEN = """
+WITH n AS (SELECT count(*) AS c FROM lineitem)
+SELECT
+  CASE c WHEN 6000 THEN 0.04702   WHEN 60000 THEN 0.004888     END AS r2,
+  CASE c WHEN 6000 THEN 29421.51325 WHEN 60000 THEN 30009.042381 END AS rmse,
+  CASE c WHEN 6000 THEN 20.0      WHEN 60000 THEN 20.0         END AS n_trees,
+  CASE c WHEN 6000 THEN 610.0     WHEN 60000 THEN 620.0        END AS n_nodes
+FROM n
+"""
+ML_ORACLE_SQL["gbm_lineitem_price"] = SQL_GBM_GOLDEN

@@ -46,6 +46,51 @@ import numpy as np
 import pyarrow as pa
 
 
+def _digest_sorted_sum(vecs: list[np.ndarray]) -> np.ndarray | None:
+    """Sum float vectors in content-digest order — float addition order is
+    then independent of arrival order, so near-tie argmaxes downstream
+    cannot flip between runs."""
+    if not vecs:
+        return None
+    vecs = sorted(
+        vecs, key=lambda v: hashlib.blake2b(v.tobytes(), digest_size=8).digest()
+    )
+    total = np.zeros_like(vecs[0])
+    for v in vecs:
+        total += v
+    return total
+
+
+def _lazy_remote(fn):
+    """Decorate as @ray.remote at first call (import-time ray.remote would
+    bind before the driver's ray.init)."""
+    holder = {}
+
+    class _Proxy:
+        def remote(self, *a, **k):
+            if "f" not in holder:
+                import ray
+
+                holder["f"] = ray.remote(fn)
+            return holder["f"].remote(*a, **k)
+
+    return _Proxy()
+
+
+@_lazy_remote
+def _hist_block_sum(tbl: pa.Table):
+    """Leaf of the histogram reduction: digest-ordered sum of one block's
+    partial rows (a block may hold several map_batches outputs)."""
+    if tbl.num_rows == 0 or "h" not in tbl.column_names:
+        return None  # zero-column empty block (Ray empty-partition artifact)
+    return _digest_sorted_sum([np.asarray(r) for r in tbl["h"].to_pylist()])
+
+
+@_lazy_remote
+def _hist_reduce(*parts):
+    return _digest_sorted_sum([p for p in parts if p is not None])
+
+
 @dataclass
 class _Tree:
     # flat arrays indexed by node id; root = 0
@@ -231,10 +276,23 @@ class GradientBoostedTrees:
         ).materialize()
 
         d, nb = len(fc), self.n_bins
-        # base score: mean target (squared) / log-odds (logistic)
-        s = binned.sum(["__y"])
-        n_total = binned.count()
-        ymean = (s["sum(__y)"] if isinstance(s, dict) else s) / n_total
+        # base score: mean target (squared) / log-odds (logistic).
+        # math.fsum is exactly rounded, hence independent of block ARRIVAL
+        # order — the one float reduction here that isn't digest-sorted.
+        import math
+
+        def ysum_partial(blk: pa.Table) -> pa.Table:
+            yv = np.asarray(blk["__y"], dtype=np.float64)
+            return pa.table(
+                {"s": pa.array([math.fsum(yv)]),
+                 "n": pa.array([len(yv)], type=pa.int64())}
+            )
+
+        ys = binned.map_batches(
+            ysum_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()  # O(blocks) rows
+        n_total = int(ys["n"].sum())
+        ymean = math.fsum(ys["s"].to_numpy()) / max(n_total, 1)
         if self.objective == "squared":
             self.base_score_ = float(ymean)
         else:
@@ -325,19 +383,30 @@ class GradientBoostedTrees:
                 {"h": pa.array([out], type=pa.list_(pa.float64()))}
             )
 
-        # accumulate partials in digest-sorted order: block ARRIVAL order is
-        # nondeterministic, and float addition order could flip an argmax on
-        # a near-tie — sorting by content digest makes the sum reproducible
-        rows = []
-        for b in binned.map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_size=256, batch_format="pyarrow"):
-            for row in b["h"].to_pylist():
-                v = np.asarray(row)
-                rows.append((hashlib.blake2b(v.tobytes(), digest_size=8).digest(), v))
-        total = np.zeros(2 * size)
-        for _, v in sorted(rows, key=lambda kv: kv[0]):
-            total += v
+        # Merge partials with a TREE of Ray reduce tasks (fan-in 8) instead
+        # of iterating every block on the driver: per boosting level the
+        # driver holds O(log blocks) refs, not O(blocks) vectors — at 100x
+        # block counts the old driver loop serialized tree building (round-2
+        # verdict item; same OR-merge shape as joins.bloom_semi_join).
+        # Determinism: within every reduction the inputs are summed in
+        # content-digest order, and the tree shape follows plan block order,
+        # so float addition order is reproducible run to run.
+        import ray
+
+        refs = [
+            _hist_block_sum.remote(blk)
+            for blk in binned.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        ]
+        while len(refs) > 1:
+            refs = [
+                _hist_reduce.remote(*refs[i : i + 8])
+                for i in range(0, len(refs), 8)
+            ]
+        total = ray.get(refs[0])
+        if total is None:
+            total = np.zeros(2 * size)
         G = total[:size].reshape(n_nodes, d, nb)
         H = total[size:].reshape(n_nodes, d, nb)
         return [(G[i], H[i]) for i in range(n_nodes)]
