@@ -247,6 +247,26 @@ def run_lane(lane: str) -> None:
     # fixed partition count at every CPU level: the work decomposition must
     # not change between scaling runs, only the parallelism
     P = 64
+
+    # Parquet SINK (default on): fused tasks write the rollup product to
+    # partitioned Parquet inside the task and return a tiny manifest, so
+    # the ~40%-of-input product never round-trips the object store — the
+    # measured single-box 8->32 scaling residual was the product's plasma
+    # first-touch path through one memory bus (BASELINE.md). On a real
+    # cluster this is the resumable partitioned-Parquet output layout
+    # anyway. GRAFT_SINK=0 restores the in-store product for comparison.
+    use_sink = os.environ.get("GRAFT_SINK", "1") == "1" and lane != "both"
+    sink_dir = None
+    if use_sink:
+        import shutil
+
+        sink_dir = f"/tmp/graft_sink_{lane}_{os.getpid()}"
+        shutil.rmtree(sink_dir, ignore_errors=True)
+
+    def product_rows(ds) -> int:
+        # manifest mode: (file, rows) rows; else the product Dataset itself
+        return int(ds.sum("rows")) if sink_dir else ds.count()
+
     t0 = time.perf_counter()
     # assume_clustered=True: generate_sequences writes per-source-sliced
     # shards (per-source ranges disjoint across files, file-level ranges
@@ -255,17 +275,20 @@ def run_lane(lane: str) -> None:
     if lane == "decomp":
         cfg = RollupConfig(
             retention={}, num_partitions=P, cache_intermediates=False,
-            assume_clustered=True,
+            assume_clustered=True, sink_dir=sink_dir,
         )
-        pts = rollup_decomposable_clustered_fused(paths, cfg).count() * len(cfg.aggs)
+        pts = product_rows(
+            rollup_decomposable_clustered_fused(paths, cfg)
+        ) * len(cfg.aggs)
     elif lane == "holo":
         cfg = RollupConfig(
             aggs=HOLISTIC_AGGS, retention={}, num_partitions=P,
             cache_intermediates=False, assume_clustered=True,
+            sink_dir=sink_dir,
         )
-        pts = rollup_holistic_clustered_fused(paths, cfg).count() * len(
-            HOLISTIC_AGGS
-        )
+        pts = product_rows(
+            rollup_holistic_clustered_fused(paths, cfg)
+        ) * len(HOLISTIC_AGGS)
     else:  # both: ONE decode of the corpus feeds both cascades
         cfg_d = RollupConfig(
             retention={}, num_partitions=P, cache_intermediates=False,
@@ -279,6 +302,10 @@ def run_lane(lane: str) -> None:
         pts = d.count() * len(cfg_d.aggs) + h.count() * len(HOLISTIC_AGGS)
     sec = time.perf_counter() - t0
     ray.shutdown()
+    if sink_dir:
+        import shutil
+
+        shutil.rmtree(sink_dir, ignore_errors=True)
     print(json.dumps({"lane": lane, "sec": round(sec, 3), "points": pts}))
 
 

@@ -86,6 +86,24 @@ class RollupConfig:
     # failure point for exactly-once. Ray retries the task; the keyed put
     # overwrites. tests/test_rollup_fault.py asserts bit-equal output.
     fault_inject_dir: str | None = None
+    # Parquet SINK for the fused lanes: when set, every fused task writes
+    # its finalized interior rollup rows to `sink_dir/part-<key>.parquet`
+    # INSIDE the task (atomic rename; a task retry overwrites its own file,
+    # so the layout is exactly-once and resumable) and the lane's Dataset
+    # output becomes a tiny manifest (file, rows) instead of the product
+    # rows. This keeps the rollup product — ~40% of input rows on the
+    # bench shape — out of the object store entirely: on one box the
+    # product's plasma round-trip (first-touch /dev/shm page faults on one
+    # memory bus) was the measured 8->32 scaling residual (BASELINE.md),
+    # and on a real cluster partitioned-Parquet output is the north rule's
+    # resumable layout anyway. Boundary-merge rows are written to the same
+    # dir by the merge step.
+    sink_dir: str | None = None
+    sink_compression: str = "snappy"
+    # Side-channel actor sharding: boundary/state messages hash over this
+    # many accumulator actors (keyed by work item), so the per-item actor
+    # round trips don't funnel through ONE actor at high worker counts.
+    side_channel_shards: int = 8
 
 
 def _tier_widths_ok(tiers: dict[str, int]) -> list[tuple[str, int]]:
@@ -510,12 +528,21 @@ def read_clustered_paths(paths: list[str], *, columns: list[str]):
 # ---------------------------------------------------------------------------
 
 
-def _boundary_accumulator():
-    """Per-lane actor collecting boundary partial rows from fused tasks.
+def _shard_of(key: str, n: int) -> int:
+    import zlib
 
-    Keyed by source file path, so a Ray task RETRY overwrites its own
-    earlier push instead of double-counting — the collect step is exact
-    under task re-execution. Volume is O(files x tiers x 2) tiny rows."""
+    return zlib.crc32(key.encode()) % n
+
+
+def _boundary_accumulators(n_shards: int = 1):
+    """Per-lane actor POOL collecting boundary partial rows from fused
+    tasks, sharded by work-item key hash so the per-item round trips don't
+    serialize on one actor at high worker counts (each message is tiny but
+    the round-trip latency funnels; measured in tools/bench_actor_shards).
+
+    Keyed by (path, span), so a Ray task RETRY overwrites its own earlier
+    push instead of double-counting — the collect step is exact under task
+    re-execution. Volume is O(files x tiers x 2) tiny rows."""
     import ray
 
     @ray.remote(num_cpus=0)
@@ -526,17 +553,50 @@ def _boundary_accumulator():
         def put(self, key: str, tbl: pa.Table) -> None:
             self._parts[key] = tbl
 
-        def collect(self) -> pa.Table | None:
-            if not self._parts:
-                return None
-            return pa.concat_tables(
-                [self._parts[k] for k in sorted(self._parts)]
-            )
-
         def collect_parts(self) -> dict[str, pa.Table]:
             return dict(self._parts)
 
-    return BoundaryAccumulator.remote()
+    return [BoundaryAccumulator.remote() for _ in range(max(1, n_shards))]
+
+
+def _collect_sharded(actors, method: str = "collect_parts") -> dict:
+    import ray
+
+    out: dict = {}
+    for d in ray.get([getattr(a, method).remote() for a in actors]):
+        out.update(d)
+    return out
+
+
+_MANIFEST_FIELDS = [("file", pa.string()), ("rows", pa.int64())]
+
+
+def _manifest_table(entries: list[tuple[str, int]]) -> pa.Table:
+    return pa.table(
+        {
+            "file": pa.array([e[0] for e in entries], type=pa.string()),
+            "rows": pa.array([e[1] for e in entries], type=pa.int64()),
+        }
+    )
+
+
+def _sink_write(tbl: pa.Table, sink_dir: str, key: str,
+                compression: str = "snappy") -> tuple[str, int]:
+    """Write one partition of the rollup product inside the producing task:
+    atomic tmp+rename keyed by the work item, so a task retry overwrites
+    its own file (exactly-once layout, resumable — a rerun can skip files
+    already present)."""
+    import os
+    import re
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    fname = "part-" + re.sub(r"[^A-Za-z0-9._-]+", "_", key) + ".parquet"
+    tmp = os.path.join(sink_dir, f".{fname}.{uuid.uuid4().hex[:8]}.tmp")
+    pq.write_table(tbl, tmp, compression=compression)
+    os.replace(tmp, os.path.join(sink_dir, fname))
+    return fname, len(tbl)
 
 
 def _clustered_ok(paths: list[str], cfg: RollupConfig) -> bool:
@@ -690,16 +750,23 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
         if isinstance(cfg.value_col, (list, tuple))
         else [cfg.value_col]
     )
-    acc = _boundary_accumulator()
+    accs = _boundary_accumulators(cfg.side_channel_shards)
     items = _fused_task_items(paths, cfg.max_task_rows)
+    sink = cfg.sink_dir
+    if sink:
+        import os
+
+        os.makedirs(sink, exist_ok=True)
 
     def task(batch: pa.Table) -> pa.Table:
         outs = []
+        manifest: list[tuple[str, int]] = []
         for p, lo, hi in zip(
             batch["path"].to_pylist(),
             batch["lo"].to_pylist(),
             batch["hi"].to_pylist(),
         ):
+            key = f"{p}#{lo}"
             t = _read_span(str(p), int(lo), int(hi), cols,
                            dict_cols=(cfg.source_col,))
             parts = R.tiered_partials_clustered(
@@ -715,15 +782,23 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
             # async put overlapped with the interior finalize; the get
             # before return still guarantees the boundary rows are durable
             # when the task is marked done (exactly-once under retry)
-            fut = acc.put.remote(f"{p}#{lo}", parts.filter(bmask))
+            acc = accs[_shard_of(key, len(accs))]
+            fut = acc.put.remote(key, parts.filter(bmask))
             if cfg.fault_inject_dir:
                 ray.get(fut)
-                _maybe_crash(cfg.fault_inject_dir, f"{p}#{lo}")
+                _maybe_crash(cfg.fault_inject_dir, key)
             inner = parts.filter(pc.invert(bmask))
             fin = R.finalize_tiered(inner, aggs=cfg.aggs)
             ray.get(fut)
             if fin is not None:
-                outs.append(fin)
+                if sink:
+                    manifest.append(
+                        _sink_write(fin, sink, key, cfg.sink_compression)
+                    )
+                else:
+                    outs.append(fin)
+        if sink:
+            return _manifest_table(manifest)
         if not outs:
             fin = R.finalize_partials(
                 R._EMPTY_PARTIALS, width_s=ordered[0][1], aggs=cfg.aggs
@@ -734,15 +809,21 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
     interior = _fused_items_ds(items).map_batches(
         task, batch_format="pyarrow", batch_size=None
     ).materialize()
-    parts = ray.get(acc.collect_parts.remote())
-    ray.kill(acc)
+    parts = _collect_sharded(accs)
+    for a in accs:
+        ray.kill(a)
     _check_boundary_intervals(parts, tier_col="tier", width_col="width_s")
-    if not parts:
-        return interior
-    btbl = pa.concat_tables([parts[k] for k in sorted(parts)])
-    if len(btbl) == 0:
+    btbl = (
+        pa.concat_tables([parts[k] for k in sorted(parts)])
+        if parts
+        else None
+    )
+    if btbl is None or len(btbl) == 0:
         return interior
     merged = R.merge_tiered(btbl, aggs=cfg.aggs)
+    if sink:
+        entry = _sink_write(merged, sink, "boundary", cfg.sink_compression)
+        return interior.union(rd.from_arrow(_manifest_table([entry])))
     return interior.union(rd.from_arrow(merged))
 
 
@@ -872,25 +953,32 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
         if isinstance(cfg.value_col, (list, tuple))
         else [cfg.value_col]
     )
-    reg = _ref_registry()
+    regs = [_ref_registry() for _ in range(max(1, cfg.side_channel_shards))]
     # ray.put(_owner=...) from a worker requires the owner actor to be
     # fully started — force creation before any task runs
     import ray as _ray
 
-    _ray.get(reg.collect.remote())
+    _ray.get([r.collect.remote() for r in regs])
 
     items = _fused_task_items(paths, cfg.max_task_rows)
     n_merge = max(4, min(64, len(items) // 4 or 1))
+    sink = cfg.sink_dir
+    if sink:
+        import os
+
+        os.makedirs(sink, exist_ok=True)
 
     def task(batch: pa.Table) -> pa.Table:
         import numpy as np
 
         outs = []
+        manifest: list[tuple[str, int]] = []
         for p, lo, hi in zip(
             batch["path"].to_pylist(),
             batch["lo"].to_pylist(),
             batch["hi"].to_pylist(),
         ):
+            key = f"{p}#{lo}"
             t = _read_span(str(p), int(lo), int(hi), cols,
                            dict_cols=(cfg.source_col,))
             # states first, put, THEN interior: _prep is cheap (~15% of the
@@ -914,24 +1002,34 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
             offs = np.concatenate(
                 [[0], np.cumsum(np.bincount(shard, minlength=n_merge))]
             ).tolist()
+            reg = regs[_shard_of(key, len(regs))]
             ref = ray.put(st_sorted, _owner=reg)
             # async registry message overlapped with the interior pass;
             # the get before return keeps the ref durable-before-done
-            fut = reg.put.remote(f"{p}#{lo}", (ref, offs), hull)
+            fut = reg.put.remote(key, (ref, offs), hull)
             if cfg.fault_inject_dir:
                 ray.get(fut)
-                _maybe_crash(cfg.fault_inject_dir, f"{p}#{lo}")
-            outs.append(hc.interior(t))
+                _maybe_crash(cfg.fault_inject_dir, key)
+            fin = hc.interior(t)
             ray.get(fut)
+            if sink:
+                manifest.append(
+                    _sink_write(fin, sink, key, cfg.sink_compression)
+                )
+            else:
+                outs.append(fin)
+        if sink:
+            return _manifest_table(manifest)
         return pa.concat_tables(outs) if outs else hc.final_schema().empty_table()
 
     interior = _fused_items_ds(items).map_batches(
         task, batch_format="pyarrow", batch_size=None
     ).materialize()
-    entries = ray.get(reg.collect.remote())
+    entries = _collect_sharded(regs, method="collect")
     _check_ts_hulls([(k, h) for k, (_, h) in sorted(entries.items())])
     if not entries:
-        ray.kill(reg)
+        for r in regs:
+            ray.kill(r)
         return interior
 
     @ray.remote
@@ -942,8 +1040,15 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
         ]
         nonempty = [p for p in parts if len(p)]
         if not nonempty:
-            return hc.final_schema().empty_table()
-        return hc.merge(pa.concat_tables(nonempty))
+            merged = hc.final_schema().empty_table()
+        else:
+            merged = hc.merge(pa.concat_tables(nonempty))
+        if sink:
+            return _manifest_table(
+                [_sink_write(merged, sink, f"boundary-{s}",
+                             cfg.sink_compression)]
+            )
+        return merged
 
     sorted_entries = [v for _, (v, _) in sorted(entries.items())]
     refs = [r for r, _ in sorted_entries]
@@ -952,7 +1057,8 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
         merge_shard.remote(s, offsets, *refs) for s in range(n_merge)
     ]
     boundary = rd.from_arrow_refs(final_refs).materialize()
-    ray.kill(reg)
+    for r in regs:
+        ray.kill(r)
     return interior.union(boundary)
 
 
@@ -991,6 +1097,11 @@ def rollup_both_clustered_fused(
         raise ValueError("both-lane fusion requires shared source/ts columns")
     if isinstance(cfg_d.value_col, (list, tuple)):
         raise ValueError("both-lane fusion: decomposable lane is single-value")
+    if cfg_d.sink_dir or cfg_h.sink_dir:
+        raise ValueError(
+            "both-lane fusion does not support sink_dir yet — run the two "
+            "fused sink lanes separately"
+        )
     ordered_d = _tier_widths_ok(cfg_d.tiers)
     need_fl = "first" in cfg_d.aggs or "last" in cfg_d.aggs
     hc = R.HolisticClustered(

@@ -525,3 +525,49 @@ def test_decomposable_tiled_kernel_bit_equal(seed):
     un = tiered_partials_clustered(batch, **kw, tile_rows=10**9)
     ti = tiered_partials_clustered(batch, **kw, tile_rows=64)
     assert un.combine_chunks().equals(ti.combine_chunks())
+
+
+def test_fused_sink_equals_plasma(ray_session, corpus, tmp_path_factory):
+    """sink_dir mode: tasks write the product to partitioned Parquet inside
+    the task and return a manifest — reading the sink back must equal the
+    non-sink fused lane bit-for-bit, and the manifest row counts must sum
+    to the product row count (decomposable + holistic, sharded side
+    channel)."""
+    import glob
+    import ray.data as rd
+
+    from getml_community_ray.pipelines.rollup import (
+        rollup_decomposable_clustered_fused,
+        rollup_holistic_clustered_fused,
+    )
+
+    paths = sorted(glob.glob(f"{corpus}/*.parquet"))
+
+    for lane_fn, extra in [
+        (rollup_decomposable_clustered_fused, {}),
+        (rollup_holistic_clustered_fused, {"aggs": HOL_AGGS}),
+    ]:
+        base_cfg = RollupConfig(
+            retention={}, num_partitions=8, cache_intermediates=False,
+            assume_clustered=True, side_channel_shards=3, **extra,
+        )
+        want = _sorted_df(lane_fn(paths, base_cfg))
+
+        sink = str(tmp_path_factory.mktemp(f"sink_{lane_fn.__name__}"))
+        sink_cfg = RollupConfig(
+            retention={}, num_partitions=8, cache_intermediates=False,
+            assume_clustered=True, side_channel_shards=3, sink_dir=sink,
+            **extra,
+        )
+        manifest = lane_fn(paths, sink_cfg).to_pandas()
+        assert set(manifest.columns) == {"file", "rows"}
+        got = _sorted_df(rd.read_parquet(sorted(glob.glob(f"{sink}/*.parquet"))))
+        assert int(manifest["rows"].sum()) == len(got)
+        assert len(got) == len(want)
+        got = got[want.columns]
+        for c in want.columns:
+            av, bv = want[c].to_numpy(), got[c].to_numpy()
+            if av.dtype.kind == "f":
+                assert np.allclose(av, bv, rtol=0, atol=0, equal_nan=True), c
+            else:
+                assert (av == bv).all(), c
