@@ -1041,6 +1041,67 @@ ORACLE_SQL.update(
 
 
 # --------------------------------------------------------------------------
+# lazy column-expression algebra (functions/expr): ONE Expr tree drives
+# both the Ray pipeline and its DuckDB oracle (Expr.sql()) — the ColumnView
+# composition surface (ColumnView.hpp:64-92, ViewParser.cpp:155-180)
+# --------------------------------------------------------------------------
+
+
+def _lineitem_exprs():
+    from ..functions.expr import col, lit
+
+    rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    charged = rev * (lit(1.0) + col("l_tax"))
+    ship = col("l_shipdate")
+    pred = (col("l_quantity") > lit(30.0)) & (
+        col("l_returnflag") != lit("R")
+    ) & (ship.year() >= lit(1995.0))
+    outs = {
+        "l_orderkey": col("l_orderkey"),
+        "l_linenumber": col("l_linenumber").as_num(),
+        "revenue": rev,
+        "charged": charged,
+        "margin_pos": (charged - rev > lit(100.0)).boolean_as_num(),
+        "ship_month": ship.year() * lit(100.0) + ship.month(),
+        "ship_dow": ship.weekday(),
+        "flag_tag": col("l_returnflag").concat(
+            lit("_"), col("l_linestatus").lower()
+        ).substr(0, 3),
+        "qty_capped": col("l_quantity").update(
+            lit(40.0), col("l_quantity") > lit(40.0)
+        ),
+    }
+    return outs, pred
+
+
+def q_column_expr_lineitem(sf_dir: str):
+    from ..functions.expr import select as expr_select
+    from ..functions.expr import where as expr_where
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+            "l_shipdate",
+        ],
+    )
+    outs, pred = _lineitem_exprs()
+    return expr_select(expr_where(ds, pred), **outs)
+
+
+def _sql_column_expr_lineitem() -> str:
+    outs, pred = _lineitem_exprs()
+    cols = ",\n  ".join(f"{e.sql()} AS {n}" for n, e in outs.items())
+    return f"SELECT\n  {cols}\nFROM lineitem\nWHERE {pred.sql()}"
+
+
+QUERIES["column_expr_lineitem"] = q_column_expr_lineitem
+ORACLE_SQL["column_expr_lineitem"] = _sql_column_expr_lineitem()
+
+
+# --------------------------------------------------------------------------
 # FastProp propositionalization (point-in-time window features)
 # --------------------------------------------------------------------------
 
