@@ -260,8 +260,12 @@ def run_lane(lane: str) -> None:
     if use_sink:
         import shutil
 
-        sink_dir = f"/tmp/graft_sink_{lane}_{os.getpid()}"
+        base = os.environ.get("GRAFT_SINK_DIR", "/tmp")
+        sink_dir = f"{base}/graft_sink_{lane}_{os.getpid()}"
         shutil.rmtree(sink_dir, ignore_errors=True)
+    sink_comp = os.environ.get("GRAFT_SINK_COMPRESSION", "snappy")
+    if sink_comp in ("none", "None", ""):
+        sink_comp = None
 
     def product_rows(ds) -> int:
         # manifest mode: (file, rows) rows; else the product Dataset itself
@@ -276,6 +280,7 @@ def run_lane(lane: str) -> None:
         cfg = RollupConfig(
             retention={}, num_partitions=P, cache_intermediates=False,
             assume_clustered=True, sink_dir=sink_dir,
+            sink_compression=sink_comp,
         )
         pts = product_rows(
             rollup_decomposable_clustered_fused(paths, cfg)
@@ -284,7 +289,7 @@ def run_lane(lane: str) -> None:
         cfg = RollupConfig(
             aggs=HOLISTIC_AGGS, retention={}, num_partitions=P,
             cache_intermediates=False, assume_clustered=True,
-            sink_dir=sink_dir,
+            sink_dir=sink_dir, sink_compression=sink_comp,
         )
         pts = product_rows(
             rollup_holistic_clustered_fused(paths, cfg)
