@@ -446,8 +446,15 @@ def run_scaling() -> dict:
 
     # secondary pair (4 -> 16): the host grants near-linear cycles up to
     # ~16 runnable vCPUs (capacity probe), so this pair isolates the
-    # PIPELINE's scaling from the host's oversubscription
-    r4, r16 = run(4), run(16)
+    # PIPELINE's scaling from the host's oversubscription. Interleaved
+    # best-of-reps like the primary pair — a single-shot sample here was
+    # the round-2 artifact's downfall (one noisy 16-CPU run -> 0.324).
+    sec_samples = {4: [], 16: []}
+    for _ in range(reps):
+        for ncpu in (4, 16):
+            sec_samples[ncpu].append(run(ncpu))
+    r4 = max(sec_samples[4], key=lambda r: r["points_per_sec"])
+    r16 = max(sec_samples[16], key=lambda r: r["points_per_sec"])
     eff_4_16 = (r16["points_per_sec"] / r4["points_per_sec"]) / 4.0
 
     return {
@@ -474,6 +481,14 @@ def run_scaling() -> dict:
             "pps_16": r16["points_per_sec"],
             "steal_pct": [r4["steal_pct"], r16["steal_pct"]],
             "scaling_efficiency": round(eff_4_16, 3),
+            "samples_4": [
+                {"sec": r["value"], "pps": r["points_per_sec"],
+                 "steal_pct": r["steal_pct"]} for r in sec_samples[4]
+            ],
+            "samples_16": [
+                {"sec": r["value"], "pps": r["points_per_sec"],
+                 "steal_pct": r["steal_pct"]} for r in sec_samples[16]
+            ],
         },
         "samples_lo": [
             {"sec": r["value"], "pps": r["points_per_sec"], "steal_pct": r["steal_pct"]}
