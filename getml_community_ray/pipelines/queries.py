@@ -1129,3 +1129,8 @@ from .queries_io import IO_ORACLE_SQL, IO_QUERIES  # noqa: E402
 
 QUERIES.update(IO_QUERIES)
 ORACLE_SQL.update(IO_ORACLE_SQL)
+
+from .queries_keyed import KEYED_ORACLE_SQL, KEYED_QUERIES  # noqa: E402
+
+QUERIES.update(KEYED_QUERIES)
+ORACLE_SQL.update(KEYED_ORACLE_SQL)

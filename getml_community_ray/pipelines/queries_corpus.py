@@ -1161,3 +1161,79 @@ QUALIFY rank <= 3
 
 CORPUS_QUERIES["topk_per_user_events"] = q_topk_per_user
 CORPUS_ORACLE_SQL["topk_per_user_events"] = SQL_TOPK_PER_USER
+
+
+def q_tfidf_documents(sf_dir: str):
+    """TF-IDF: highest-scoring term per document (fixed-point score,
+    word-keyed df join, per-doc argmax with word-asc tie-break)."""
+    import ray.data as rd
+
+    from ..stages.text import tfidf_top_terms
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet").count()
+    return tfidf_top_terms(
+        ds, text_col="text", id_col="doc_id", n_docs=n_docs,
+        num_partitions=8,
+    )
+
+
+SQL_TFIDF = """
+WITH pairs AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+    FROM documents)
+  WHERE word <> ''
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM pairs GROUP BY doc_id, word
+), df AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+), scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         CAST(FLOOR(tf.tf * LN(
+             (SELECT CAST(count(*) AS DOUBLE) FROM documents) / df.df
+         ) * 1000000.0 + 0.5) AS BIGINT) AS tfidf_fp
+  FROM tf JOIN df USING (word)
+)
+SELECT doc_id, word, tf, df, tfidf_fp FROM scored
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_fp DESC, word) = 1
+ORDER BY doc_id
+"""
+
+CORPUS_QUERIES["tfidf_documents"] = q_tfidf_documents
+CORPUS_ORACLE_SQL["tfidf_documents"] = SQL_TFIDF
+
+
+def q_centroids_embeddings(sf_dir: str):
+    """Per-label embedding centroid: int64 fixed-point accumulation (exact
+    under any partitioning), O(labels x dims) exchange."""
+    import ray.data as rd
+
+    from ..stages.similarity import grouped_centroids
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return grouped_centroids(ds, group_col="label", emb_col="embedding")
+
+
+SQL_CENTROIDS = """
+WITH flat AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS x_fp
+  FROM embeddings
+)
+SELECT label, dim, CAST(SUM(x_fp) AS BIGINT) AS sum_fp,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(SUM(x_fp) AS DOUBLE) / count(*) / 1000000.0 AS mean
+FROM flat GROUP BY label, dim ORDER BY label, dim
+"""
+
+CORPUS_QUERIES["centroids_embeddings"] = q_centroids_embeddings
+CORPUS_ORACLE_SQL["centroids_embeddings"] = SQL_CENTROIDS

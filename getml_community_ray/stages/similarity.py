@@ -305,3 +305,77 @@ def quantize_embeddings_int8(ds, *, vec_col: str, id_col: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_centroids(
+    ds,
+    *,
+    group_col: str,
+    emb_col: str,
+    dim_packing: int = 100_000,
+):
+    """Per-group embedding centroid (class centroids for IVF seeding /
+    nearest-class-mean classification), exact under any partitioning.
+
+    Per-batch combiner folds every vector into an int64 fixed-point
+    accumulator per (group, dim) — fp = floor(x * 1e6 + 0.5), so float32
+    inputs sum EXACTLY (no float-order sensitivity) — then ONE tiny native
+    groupby-sum over (group * dim_packing + dim) packed keys merges the
+    partials. The exchange carries O(groups x dims) rows, never the
+    embedding table. mean = sum_fp / cnt / 1e6 as one deterministic double
+    division.
+
+    Returns (group_col, dim, sum_fp, cnt, mean)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _stack_embeddings(b[emb_col]).astype(np.float64)
+        n, d = m.shape if m.ndim == 2 else (0, 0)
+        if n == 0 or d == 0:
+            return pa.table(
+                {
+                    "_pk": pa.array(np.empty(0, dtype=np.int64)),
+                    "sum_fp": pa.array(np.empty(0, dtype=np.int64)),
+                    "cnt": pa.array(np.empty(0, dtype=np.int64)),
+                }
+            )
+        if d >= dim_packing:
+            raise ValueError(f"dim {d} >= dim_packing {dim_packing}")
+        g = np.asarray(b[group_col], dtype=np.int64)
+        fp = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        uniq, gid = np.unique(g, return_inverse=True)
+        acc = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(acc, gid, fp)
+        cnt = np.bincount(gid, minlength=len(uniq)).astype(np.int64)
+        pk = (uniq[:, None] * dim_packing + np.arange(d)[None, :]).ravel()
+        return pa.table(
+            {
+                "_pk": pa.array(pk),
+                "sum_fp": pa.array(acc.ravel()),
+                "cnt": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pk")
+        .aggregate(Sum("sum_fp", alias_name="sum_fp"),
+                   Sum("cnt", alias_name="cnt"))
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b["_pk"], dtype=np.int64)
+        s = np.asarray(b["sum_fp"], dtype=np.int64)
+        c = np.asarray(b["cnt"], dtype=np.int64)
+        return pa.table(
+            {
+                group_col: pa.array(pk // dim_packing),
+                "dim": pa.array(pk % dim_packing),
+                "sum_fp": pa.array(s),
+                "cnt": pa.array(c),
+                "mean": pa.array(s.astype(np.float64) / c / 1e6),
+            }
+        )
+
+    return merged.map_batches(unpack, batch_format="pyarrow",
+                              zero_copy_batch=True)

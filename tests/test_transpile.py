@@ -119,6 +119,50 @@ def test_sqlite_dialect_executes_and_matches(ray_session):
         assert np.allclose(g, w, rtol=1e-9, atol=1e-9, equal_nan=True), c
 
 
+def test_postgres_dialect_executes_on_duckdb(ray_session):
+    """Second executable dialect twin (beyond the default duckdb dialect in
+    test_transpiled_sql_matches_ray and the sqlite twin above): the postgres
+    dialect's fragment set — FILTER (WHERE ...), INTERVAL 'x' SECOND, quoted
+    "identifiers" — is a DuckDB-parseable subset, so the emitted postgres SQL
+    can be EXECUTED on duckdb and compared against the Ray pipeline. Guards
+    the per-dialect fragment tables in transpile.py with a live run, not just
+    string asserts (reference dialect set: getml/pipeline/dialect.py)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    df = _events(rng, n=700)
+    spec = FastPropSpec(
+        key_col="key", pop_ts_col="ts", peri_ts_col="ts",
+        value_cols=["val"],
+        aggs=["count", "sum", "avg", "min", "max", "stddev", "median"],
+        id_cols=["eid"], horizon_s=60.0, memory_s=4 * 3600.0,
+        num_partitions=4,
+    )
+    got = (
+        time_series_features(rd.from_pandas(df), spec)
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+
+    sql = fastprop_to_sql(
+        spec, population_table="events", peripheral_table="events",
+        dialect="postgres",
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute(sql).df().sort_values("eid").reset_index(drop=True)
+
+    assert len(got) == len(want)
+    for c in got.columns:
+        g = got[c].to_numpy()
+        w = want[c].to_numpy()
+        if g.dtype.kind == "f":
+            assert np.allclose(g, w, rtol=1e-9, atol=1e-9, equal_nan=True), c
+        elif g.dtype.kind == "M":
+            assert (g.astype("datetime64[us]") == w.astype("datetime64[us]")).all(), c
+        else:
+            assert (g == w).all(), c
+
+
 def test_dialect_emission_shapes():
     """Non-executable dialects: spot-check the dialect-specific fragments
     and the capability gates."""
