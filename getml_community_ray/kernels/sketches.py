@@ -123,6 +123,45 @@ SELECT grp, bin, count(*) AS cnt FROM b GROUP BY grp, bin
 """
 
 
+def sql_grouped_histogram_quantiles(
+    table: str, *, value_col: str, group_col: str, n_bins: int = 64,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB twin of grouped_histogram_quantiles: identical IEEE double
+    bin arithmetic AND identical estimate formula
+    mn + (bin + 1) * ((mx - mn) / n_bins)."""
+    q_vals = ", ".join(f"({q!r})" for q in qs)
+    return f"""
+WITH mm AS (
+  SELECT {group_col} AS grp, min({value_col}) AS mn, max({value_col}) AS mx
+  FROM {table} GROUP BY 1),
+b AS (
+  SELECT t.{group_col} AS grp,
+         CASE WHEN mm.mx = mm.mn THEN 0
+              ELSE CAST(least(floor(({value_col} - mm.mn)
+                              / ((mm.mx - mm.mn) / {n_bins})),
+                        {n_bins - 1}) AS BIGINT)
+         END AS bin
+  FROM {table} t JOIN mm ON t.{group_col} = mm.grp),
+hist AS (SELECT grp, bin, count(*) AS cnt FROM b GROUP BY grp, bin),
+c AS (
+  SELECT grp, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY grp) AS n
+  FROM hist),
+quants AS (SELECT * FROM (VALUES {q_vals}) AS t(q)),
+sel AS (
+  SELECT c.grp, quants.q, MIN(c.bin) AS qbin, MIN(c.n) AS n
+  FROM c JOIN quants
+    ON c.cum >= GREATEST(1, CEIL(quants.q * c.n))
+  GROUP BY c.grp, quants.q)
+SELECT sel.grp, CAST(sel.q AS DOUBLE) AS q, CAST(sel.n AS BIGINT) AS n,
+       mm.mn + (sel.qbin + 1) * ((mm.mx - mm.mn) / {n_bins}) AS q_est
+FROM sel JOIN mm ON sel.grp = mm.grp
+ORDER BY sel.grp, q
+"""
+
+
 # ---------------------------------------------------------------------------
 # count-min sketch (heavy-hitter / frequency counters)
 # ---------------------------------------------------------------------------

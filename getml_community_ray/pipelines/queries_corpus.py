@@ -1237,3 +1237,35 @@ FROM flat GROUP BY label, dim ORDER BY label, dim
 
 CORPUS_QUERIES["centroids_embeddings"] = q_centroids_embeddings
 CORPUS_ORACLE_SQL["centroids_embeddings"] = SQL_CENTROIDS
+
+
+def q_histogram_quantiles_events(sf_dir: str):
+    """PromQL histogram_quantile analog: q50/q90/q99 estimates per
+    event_type from the fixed-grid histogram sketch (error <= one bin
+    width; O(groups x bins) exchange, never the value column)."""
+    import ray.data as rd
+
+    from ..stages.groupby import grouped_histogram_quantiles
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value", "event_type"]
+    )
+    return grouped_histogram_quantiles(
+        ev, value_col="value", group_col="event_type", n_bins=64,
+        qs=(0.5, 0.9, 0.99),
+    )
+
+
+def _sql_histogram_quantiles_events() -> str:
+    from ..kernels.sketches import sql_grouped_histogram_quantiles
+
+    return sql_grouped_histogram_quantiles(
+        "events", value_col="value", group_col="event_type", n_bins=64,
+        qs=(0.5, 0.9, 0.99),
+    )
+
+
+CORPUS_QUERIES["histogram_quantiles_events"] = q_histogram_quantiles_events
+CORPUS_ORACLE_SQL["histogram_quantiles_events"] = (
+    _sql_histogram_quantiles_events()
+)

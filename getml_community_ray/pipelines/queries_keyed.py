@@ -1,7 +1,8 @@
 """Driver-contract queries for the keyed ordered-analytics stages
 (stages/keyed.py): SQL window functions per key, latest-by-key compaction,
-merged-interval coverage. All three are oracle-exact against DuckDB window
-functions on the events table."""
+merged-interval coverage, time-weighted average, pivot/melt reshapes and
+LTTB downsampling — oracle-checked against DuckDB on the events/lineitem
+tables (LTTB: pinned-golden, the algorithm is not SQL-expressible)."""
 
 from __future__ import annotations
 
@@ -162,3 +163,202 @@ KEYED_ORACLE_SQL = {
     "latest_by_key_events": SQL_LATEST_BY_KEY,
     "interval_coverage_events": SQL_INTERVAL_COVERAGE,
 }
+
+
+def q_time_weighted_avg_events(sf_dir: str):
+    """Time-weighted average of cents per user (TimescaleDB time_weight
+    'Linear' analog): exact int64 trapezoid accumulator, one division."""
+    from ..stages.keyed import time_weighted_avg
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "t_us": pc.cast(b["ts"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return time_weighted_avg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id", ts_us_col="t_us", value_col="cents",
+        id_col="event_id", num_partitions=8,
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS v
+  FROM events
+), w AS (
+  SELECT user_id, t, v,
+         LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt,
+         LAG(v) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pv
+  FROM e
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN pt IS NULL THEN 0
+                     ELSE (v + pv) * (t - pt) END) AS BIGINT) AS area2,
+       CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us,
+       CAST(CAST(SUM(CASE WHEN pt IS NULL THEN 0
+                          ELSE (v + pv) * (t - pt) END) AS DOUBLE)
+            / 2.0 / (MAX(t) - MIN(t)) AS DOUBLE) AS twa
+FROM w
+GROUP BY user_id
+HAVING MAX(t) > MIN(t)
+ORDER BY user_id
+"""
+
+KEYED_QUERIES["time_weighted_avg_events"] = q_time_weighted_avg_events
+KEYED_ORACLE_SQL["time_weighted_avg_events"] = SQL_TIME_WEIGHTED_AVG
+
+
+def q_pivot_events(sf_dir: str):
+    """Long->wide pivot: per-user count columns for a fixed category list
+    (c_click/c_view/c_purchase + c_other); bincount combiner + native sum
+    merge, O(keys x categories) exchange."""
+    from ..stages.groupby import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(
+        ds, key_col="user_id", cat_col="event_type",
+        categories=["click", "view", "purchase"],
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS c_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS c_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS c_purchase,
+       CAST(SUM(CASE WHEN event_type NOT IN ('click', 'view', 'purchase')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c_other
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+KEYED_QUERIES["pivot_events"] = q_pivot_events
+KEYED_ORACLE_SQL["pivot_events"] = SQL_PIVOT
+
+
+def q_melt_lineitem(sf_dir: str):
+    """Wide->long unpivot of three lineitem measures (pandas melt / SQL
+    UNPIVOT twin); stateless, shuffle-free."""
+    from ..stages.keyed import melt
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                 "l_tax"],
+    )
+    return melt(
+        ds,
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_discount", "l_tax"],
+        var_name="measure", value_name="val",
+    )
+
+
+SQL_MELT = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE)
+FROM lineitem
+"""
+
+KEYED_QUERIES["melt_lineitem"] = q_melt_lineitem
+KEYED_ORACLE_SQL["melt_lineitem"] = SQL_MELT
+
+
+def q_lttb_events(sf_dir: str):
+    """LTTB downsampling of each user's cents series to 20 points.
+    Selection is inherently sequential (not SQL-expressible), so the
+    oracle is a PINNED GOLDEN in the gbm_lineitem_price style: the
+    selection is deterministic end to end, the query returns an
+    order-independent fingerprint (row count + xor of splitmix64 over the
+    packed selected rows), and the SQL twin pins the expected fingerprint
+    per scale factor (selected by the events row count). The per-point
+    algorithm itself is verified against an independent reference
+    implementation in tests/test_keyed.py."""
+    import pandas as pd
+
+    from ..kernels.hashing import splitmix64
+    from ..stages.keyed import lttb_downsample
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "t_us": pc.cast(b["ts"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    sel = lttb_downsample(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id", ts_us_col="t_us", value_col="cents", n_out=20,
+        num_partitions=8,
+    ).to_pandas()
+    packed = (
+        sel["user_id"].to_numpy(np.int64) * np.int64(1_000_003)
+        + sel["t_us"].to_numpy(np.int64)
+        + sel["cents"].to_numpy(np.int64)
+    )
+    h = splitmix64(packed.view(np.uint64))
+    checksum = int(np.bitwise_xor.reduce(h)) if len(h) else 0
+    return pd.DataFrame(
+        {
+            "n_sel": [float(len(sel))],
+            "checksum_lo": [float(checksum & 0xFFFFFFFF)],
+            "checksum_hi": [float(checksum >> 32)],
+        }
+    )
+
+
+# Pinned-golden (see q_lttb_events docstring): recomputed-and-verified
+# across fresh sessions at both driver scale factors; events row count
+# selects the pin; an unpinned sf yields NULLs -> loud mismatch.
+SQL_LTTB_GOLDEN = """
+WITH n AS (SELECT count(*) AS c FROM events)
+SELECT
+  CASE c WHEN 1000 THEN {n1}  WHEN 10000 THEN {n2}  END AS n_sel,
+  CASE c WHEN 1000 THEN {l1}  WHEN 10000 THEN {l2}  END AS checksum_lo,
+  CASE c WHEN 1000 THEN {h1}  WHEN 10000 THEN {h2}  END AS checksum_hi
+FROM n
+"""
+
+KEYED_QUERIES["lttb_events"] = q_lttb_events
+# goldens filled by tools/pin_lttb.py (see below); placeholder NULLs until
+# pinned would fail loudly, so the entry is added only when pinned values
+# exist in _LTTB_PINS.
+_LTTB_PINS = {
+    # sf events-rowcount -> (n_sel, checksum_lo, checksum_hi)
+    1000: (300.0, 665473647.0, 2377386109.0),
+    10000: (3000.0, 217679978.0, 2770337654.0),
+}
+KEYED_ORACLE_SQL["lttb_events"] = SQL_LTTB_GOLDEN.format(
+    n1=_LTTB_PINS[1000][0], l1=_LTTB_PINS[1000][1], h1=_LTTB_PINS[1000][2],
+    n2=_LTTB_PINS[10000][0], l2=_LTTB_PINS[10000][1], h2=_LTTB_PINS[10000][2],
+)

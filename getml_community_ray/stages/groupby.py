@@ -274,6 +274,79 @@ def grouped_histogram(ds, *, value_col: str, group_col: str,
     )
 
 
+def grouped_histogram_quantiles(
+    ds, *, value_col: str, group_col: str, n_bins: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+):
+    """Quantile ESTIMATES per group from the fixed-grid histogram — the
+    PromQL `histogram_quantile` analog over `grouped_histogram`'s sketch.
+    Error <= one bin width; fully distributed: the histogram exchange is
+    O(groups x n_bins) integer rows, the fold per group is O(n_bins).
+
+    Estimate = the UPPER edge of the first bin whose cumulative count
+    reaches ceil(q * n) (kernels/sketches.histogram_quantile) — every
+    float op is spelled identically in the DuckDB twin, so the estimates
+    hash-match exactly. Returns (grp, q, n, q_est)."""
+    import ray
+
+    from ray.data.aggregate import Max, Min
+
+    hist = grouped_histogram(
+        ds, value_col=value_col, group_col=group_col, n_bins=n_bins
+    )
+
+    # per-group (mn, mx) — recomputed as a tiny aggregate; broadcast once
+    def mm_partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[value_col].combine_chunks(), dtype=np.float64)
+        grp = np.asarray(b[group_col])
+        uniq, gid = np.unique(grp, return_inverse=True)
+        mn = np.full(len(uniq), np.inf)
+        mx = np.full(len(uniq), -np.inf)
+        np.minimum.at(mn, gid, v)
+        np.maximum.at(mx, gid, v)
+        return pa.table(
+            {"grp": pa.array(uniq), "mn": pa.array(mn), "mx": pa.array(mx)}
+        )
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("grp")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+    )
+    bounds = {
+        r.grp: (float(r.mn), float(r.mx)) for r in mm.itertuples(index=False)
+    }
+    ref = ray.put(bounds)
+    q_arr = np.asarray(qs, dtype=np.float64)
+
+    def fold(t: pa.Table) -> pa.Table:
+        bd = ray.get(ref)
+        grp = t["grp"][0].as_py()
+        mn, mx = bd[grp]
+        b = np.asarray(t["bin"], dtype=np.int64)
+        c = np.asarray(t["cnt"], dtype=np.int64)
+        order = np.argsort(b)
+        b, c = b[order], c[order]
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        width = (mx - mn) / n_bins
+        targets = np.maximum(1, np.ceil(q_arr * n)).astype(np.int64)
+        ix = np.searchsorted(cum, targets, side="left")
+        est = mn + (b[ix] + 1) * width
+        return pa.table(
+            {
+                "grp": pa.array([grp] * len(q_arr)),
+                "q": pa.array(q_arr),
+                "n": pa.array(np.full(len(q_arr), n, dtype=np.int64)),
+                "q_est": pa.array(est),
+            }
+        )
+
+    return hist.groupby("grp").map_groups(fold, batch_format="pyarrow")
+
+
 def cms_counters(ds, *, key_col: str, depth: int = 4, width: int = 1024):
     """Count-min sketch counter table over a key column — the mergeable
     heavy-hitter / point-frequency lane beside exact group counts
@@ -355,4 +428,50 @@ def grouped_topk(ds, *, key_col: str, value_col: str, id_col: str, k: int):
 
     return pruned.groupby(key_col).map_groups(
         final_topk, batch_format="pyarrow"
+    )
+
+
+def pivot_counts(ds, *, key_col: str, cat_col: str, categories: list[str]):
+    """Pivot a categorical column to wide per-key count columns
+    (`c_<category>`), plus `c_other` for values outside the list — the
+    classic long->wide reshape with a STATIC schema (the category list
+    must be given, as at 100 TB a data-derived schema would need an extra
+    full pass; pair with CategoryTrimmer/vocabulary to pick the list).
+
+    Decomposable: per-batch bincount combiner emits <= distinct-keys rows
+    with all count columns; ONE native groupby-sum merges. Exchange is
+    O(keys x categories) integers, never the input rows."""
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+    cat_to_ix = {c: i for i, c in enumerate(cats)}
+    n_cat = len(cats) + 1  # trailing slot = other
+    col_names = [f"c_{c}" for c in cats] + ["c_other"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = np.asarray(b[key_col])
+        cat = np.asarray(b[cat_col]).astype(str)
+        uniq, gid = np.unique(key, return_inverse=True)
+        # vectorized category -> index (sorted lookup over the fixed list)
+        sc = np.sort(np.array(cats))
+        pos = np.searchsorted(sc, cat)
+        pos_c = np.minimum(pos, len(sc) - 1)
+        hit = sc[pos_c] == cat if len(sc) else np.zeros(len(cat), bool)
+        cix = np.full(len(cat), n_cat - 1, dtype=np.int64)
+        if len(sc):
+            # map back from sorted position to the caller's column order
+            order_ix = np.argsort(np.array(cats), kind="stable")
+            cix[hit] = order_ix[pos_c[hit]]
+        acc = np.bincount(
+            gid * n_cat + cix, minlength=len(uniq) * n_cat
+        ).reshape(len(uniq), n_cat)
+        out = {key_col: pa.array(uniq)}
+        for j, name in enumerate(col_names):
+            out[name] = pa.array(acc[:, j].astype(np.int64))
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(*[Sum(n, alias_name=n) for n in col_names])
     )

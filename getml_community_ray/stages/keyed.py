@@ -257,3 +257,204 @@ def interval_coverage(
     return _hash_exchange(
         ds.select_columns(cols), key_col, num_partitions, part_fn
     )
+
+
+def time_weighted_avg(
+    ds,
+    *,
+    key_col: str,
+    ts_us_col: str,
+    value_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+):
+    """Time-weighted average per key (TimescaleDB `time_weight('Linear')`
+    analog): trapezoid integral of the value curve divided by the key's
+    time span.
+
+    Inputs are integer microseconds (ts_us_col) and integer value units
+    (value_col, e.g. cents) so the 2x-area accumulator
+    `sum((v_i + v_{i-1}) * (t_i - t_{i-1}))` is EXACT int64 on both the
+    engine and the DuckDB oracle side; the only float op is the final
+    division, done identically. Ordering is (ts, id) — deterministic under
+    ts ties. Keys with < 2 events or zero span are dropped (no measure).
+
+    int64-range contract: per-key sum of (v_i+v_{i-1})*dt_us must stay
+    below 2^63 (cents x day-scale spans x millions of rows is ~1e17 per
+    term; callers with bigger products should rescale the value unit —
+    same contract as the repo-wide cents pattern).
+
+    Returns (key, area2, span_us, twa) where twa = area2 / 2 / span_us."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+
+    def part_fn(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch[key_col])
+        t = np.asarray(batch[ts_us_col].combine_chunks(), dtype=np.int64)
+        v = np.asarray(batch[value_col].combine_chunks(), dtype=np.int64)
+        oid = np.asarray(batch[id_col])
+        uniq, gid = np.unique(key, return_inverse=True)
+        order = np.lexsort((oid, t, gid))
+        g_s, t_s, v_s = gid[order], t[order], v[order]
+        n = len(g_s)
+        if n == 0:
+            return pa.table(
+                {
+                    key_col: pa.array(uniq),
+                    "area2": pa.array(np.empty(0, dtype=np.int64)),
+                    "span_us": pa.array(np.empty(0, dtype=np.int64)),
+                    "twa": pa.array(np.empty(0, dtype=np.float64)),
+                }
+            )
+        same = np.zeros(n, dtype=bool)
+        same[1:] = g_s[1:] == g_s[:-1]
+        dt = np.zeros(n, dtype=np.int64)
+        dt[1:] = t_s[1:] - t_s[:-1]
+        term = np.zeros(n, dtype=np.int64)
+        term[1:] = (v_s[1:] + v_s[:-1]) * dt[1:]
+        term[~same] = 0
+        area2 = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(area2, g_s, term)
+        tmin = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        tmax = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(tmin, g_s, t_s)
+        np.maximum.at(tmax, g_s, t_s)
+        span = tmax - tmin
+        keep = span > 0
+        twa = np.zeros(len(uniq), dtype=np.float64)
+        twa[keep] = area2[keep].astype(np.float64) / 2.0 / span[keep]
+        return pa.table(
+            {
+                key_col: pa.array(uniq[keep]),
+                "area2": pa.array(area2[keep]),
+                "span_us": pa.array(span[keep]),
+                "twa": pa.array(twa[keep]),
+            }
+        )
+
+    cols = list(dict.fromkeys([key_col, ts_us_col, value_col, id_col]))
+    return _hash_exchange(
+        ds.select_columns(cols), key_col, num_partitions, part_fn
+    )
+
+
+def lttb_downsample(
+    ds,
+    *,
+    key_col: str,
+    ts_us_col: str,
+    value_col: str,
+    n_out: int,
+    num_partitions: int | None = None,
+):
+    """Largest-Triangle-Three-Buckets downsampling per key (Steinarsson
+    2013) — the standard lossy series downsampler for dashboards: keeps
+    the first and last point of each key and, per fixed-width bucket, the
+    point forming the largest triangle with the previously selected point
+    and the next bucket's centroid.
+
+    Sequential by construction (each bucket's choice depends on the prior
+    selection), so the kernel loops over the n_out-2 buckets per key with
+    vectorized area computation inside each bucket — O(n) per key total,
+    fine for n_out in the hundreds/thousands. Distribution is the usual
+    one hash exchange by key; a key's full series must fit a partition
+    (same contract as every per-key kernel in this module).
+
+    Deterministic: ties on triangle area pick the earliest point; input
+    order is canonicalized by (ts, value). Keys with <= n_out points pass
+    through unchanged. Returns (key, ts_us, value) selected rows."""
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3")
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+
+    def one_key(t: np.ndarray, v: np.ndarray) -> np.ndarray:
+        n = len(t)
+        if n <= n_out:
+            return np.arange(n, dtype=np.int64)
+        sel = np.empty(n_out, dtype=np.int64)
+        sel[0] = 0
+        # n_out - 2 interior buckets over points [1, n-1)
+        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        a = 0
+        for i in range(n_out - 2):
+            lo, hi = edges[i], edges[i + 1]
+            nlo, nhi = edges[i + 1], (edges[i + 2] if i + 2 < len(edges)
+                                      else n)
+            # next bucket's centroid (the last "bucket" is the final point)
+            if nhi > nlo:
+                cx = t[nlo:nhi].mean()
+                cy = v[nlo:nhi].mean()
+            else:
+                cx, cy = float(t[n - 1]), float(v[n - 1])
+            ax, ay = float(t[a]), float(v[a])
+            # 2x triangle area, vectorized over the bucket
+            area = np.abs(
+                (ax - cx) * (v[lo:hi] - ay) - (ax - t[lo:hi]) * (cy - ay)
+            )
+            a = lo + int(np.argmax(area))  # argmax: first max = earliest
+            sel[i + 1] = a
+        sel[n_out - 1] = n - 1
+        return sel
+
+    def part_fn(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch[key_col])
+        t = np.asarray(batch[ts_us_col].combine_chunks(), dtype=np.int64)
+        v = np.asarray(batch[value_col].combine_chunks(), dtype=np.float64)
+        uniq, gid = np.unique(key, return_inverse=True)
+        order = np.lexsort((v, t, gid))
+        g_s, t_s, v_s = gid[order], t[order], v[order]
+        new_seg = np.ones(len(g_s), dtype=bool)
+        if len(g_s):
+            new_seg[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(new_seg)
+        ends = np.append(starts[1:], len(g_s))
+        keep = []
+        for s, e in zip(starts, ends):
+            keep.append(s + one_key(t_s[s:e], v_s[s:e]))
+        ix = np.concatenate(keep) if keep else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(uniq[g_s[ix]]),
+                ts_us_col: pa.array(t_s[ix]),
+                value_col: pa.array(v_s[ix]),
+            }
+        )
+
+    cols = list(dict.fromkeys([key_col, ts_us_col, value_col]))
+    return _hash_exchange(
+        ds.select_columns(cols), key_col, num_partitions, part_fn
+    )
+
+
+def melt(
+    ds,
+    *,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+):
+    """Wide -> long unpivot (pandas melt / SQL UNPIVOT): one output row per
+    (input row, value column). Stateless per-batch transform — no shuffle,
+    no state; output order within a batch is column-major (all rows for
+    value_cols[0], then [1], ...) which is irrelevant to the unordered
+    Dataset contract."""
+
+    def f(b: pa.Table) -> pa.Table:
+        n = len(b)
+        parts = []
+        for c in value_cols:
+            cols = {ic: b[ic] for ic in id_cols}
+            cols[var_name] = pa.array([c] * n, type=pa.string())
+            cols[value_name] = b[c].cast(pa.float64())
+            parts.append(pa.table(cols))
+        if not parts:
+            return pa.table({ic: b[ic] for ic in id_cols})
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

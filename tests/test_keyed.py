@@ -191,3 +191,166 @@ def test_window_funcs_partition_invariance(ray_session):
         )
     for o in outs[1:]:
         pd.testing.assert_frame_equal(outs[0], o)
+
+
+def test_time_weighted_avg_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import time_weighted_avg
+
+    rng = np.random.default_rng(13)
+    n = 700
+    df = pd.DataFrame(
+        {
+            "eid": rng.permutation(n).astype(np.int64),
+            "key": rng.integers(0, 25, n).astype(np.int64),  # some 1-row keys
+            "t_us": rng.integers(0, 10_000, n).astype(np.int64) * 1_000_000,
+            "v": rng.integers(-200, 800, n).astype(np.int64),
+        }
+    )
+    got = (
+        time_weighted_avg(
+            rd.from_pandas(df).repartition(4),
+            key_col="key", ts_us_col="t_us", value_col="v", id_col="eid",
+            num_partitions=5,
+        )
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.execute(
+        """
+        WITH w AS (
+          SELECT key, t_us AS t, v,
+                 LAG(t_us) OVER (PARTITION BY key ORDER BY t_us, eid) AS pt,
+                 LAG(v) OVER (PARTITION BY key ORDER BY t_us, eid) AS pv
+          FROM e
+        )
+        SELECT key,
+               CAST(SUM(CASE WHEN pt IS NULL THEN 0
+                             ELSE (v + pv) * (t - pt) END) AS BIGINT) AS area2,
+               CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us,
+               CAST(CAST(SUM(CASE WHEN pt IS NULL THEN 0
+                                  ELSE (v + pv) * (t - pt) END) AS DOUBLE)
+                    / 2.0 / (MAX(t) - MIN(t)) AS DOUBLE) AS twa
+        FROM w GROUP BY key HAVING MAX(t) > MIN(t) ORDER BY key
+        """
+    ).df()
+    assert len(got) == len(want)
+    for c in ["key", "area2", "span_us"]:
+        assert (got[c].to_numpy(dtype=np.int64)
+                == want[c].to_numpy(dtype=np.int64)).all(), c
+    assert (got["twa"].to_numpy() == want["twa"].to_numpy()).all()
+
+
+def test_pivot_counts_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.groupby import pivot_counts
+
+    rng = np.random.default_rng(17)
+    n = 900
+    cats_all = np.array(["a", "b", "c", "d", "zz"])
+    df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 30, n).astype(np.int64),
+            "cat": cats_all[rng.integers(0, len(cats_all), n)],
+        }
+    )
+    # deliberately UNSORTED category list (exercises the argsort mapping)
+    got = (
+        pivot_counts(
+            rd.from_pandas(df).repartition(5),
+            key_col="key", cat_col="cat", categories=["c", "a", "d"],
+        )
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.execute(
+        """
+        SELECT key,
+               CAST(SUM(CASE WHEN cat = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS c_c,
+               CAST(SUM(CASE WHEN cat = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+               CAST(SUM(CASE WHEN cat = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS c_d,
+               CAST(SUM(CASE WHEN cat NOT IN ('c','a','d') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_other
+        FROM e GROUP BY key ORDER BY key
+        """
+    ).df()
+    assert len(got) == len(want)
+    for c in ["key", "c_c", "c_a", "c_d", "c_other"]:
+        assert (got[c].to_numpy(dtype=np.int64)
+                == want[c].to_numpy(dtype=np.int64)).all(), c
+
+
+def _lttb_reference(t, v, n_out):
+    """Straightforward per-point LTTB from the Steinarsson 2013 pseudocode
+    (independent of the vectorized kernel): fixed buckets over the
+    interior points, next-bucket centroid, earliest-max tie-break."""
+    n = len(t)
+    if n <= n_out:
+        return list(range(n))
+    edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+    sel = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        nlo = edges[i + 1]
+        nhi = edges[i + 2] if i + 2 < len(edges) else n
+        if nhi > nlo:
+            cx = float(np.mean(t[nlo:nhi]))
+            cy = float(np.mean(v[nlo:nhi]))
+        else:
+            cx, cy = float(t[n - 1]), float(v[n - 1])
+        best, best_area = lo, -1.0
+        for j in range(lo, hi):
+            area = abs(
+                (t[a] - cx) * (v[j] - v[a]) - (t[a] - t[j]) * (cy - v[a])
+            )
+            if area > best_area:
+                best, best_area = j, area
+        sel.append(best)
+        a = best
+    sel.append(n - 1)
+    return sel
+
+
+def test_lttb_vs_reference_impl(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import lttb_downsample
+
+    rng = np.random.default_rng(21)
+    frames = []
+    for k in range(4):
+        n = int(rng.integers(40, 400))
+        t = np.sort(rng.choice(10_000_000, size=n, replace=False)).astype(
+            np.int64
+        )
+        v = rng.normal(0, 100, n)
+        frames.append(pd.DataFrame({"key": k, "t_us": t, "v": v}))
+    df = pd.concat(frames, ignore_index=True)
+
+    n_out = 50
+    got = (
+        lttb_downsample(
+            rd.from_pandas(df).repartition(3),
+            key_col="key", ts_us_col="t_us", value_col="v", n_out=n_out,
+            num_partitions=3,
+        )
+        .to_pandas().sort_values(["key", "t_us"]).reset_index(drop=True)
+    )
+    for k, sub in df.groupby("key"):
+        t = sub["t_us"].to_numpy()
+        v = sub["v"].to_numpy()
+        sel = _lttb_reference(t, v, n_out)
+        g = got[got["key"] == k]
+        assert len(g) == min(len(t), n_out), k
+        assert (g["t_us"].to_numpy() == t[sel]).all(), k
+        assert (g["v"].to_numpy() == v[sel]).all(), k
+    # endpoints always kept
+    for k, sub in df.groupby("key"):
+        g = got[got["key"] == k]
+        assert g["t_us"].iloc[0] == sub["t_us"].min()
+        assert g["t_us"].iloc[-1] == sub["t_us"].max()

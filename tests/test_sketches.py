@@ -141,3 +141,56 @@ def test_cms_counters_partition_invariance_and_estimate(ray_session):
         est = cms_point_estimate(dense, k, depth=4, width=256)
         assert est >= true[k]
         assert est <= true[k] + len(keys) * 2.0 / 256 * 4
+
+
+def test_grouped_histogram_quantiles_vs_duckdb(ray_session):
+    """Distributed PromQL-style histogram_quantile fold: exact match with
+    the DuckDB twin (identical bin + estimate arithmetic), and the
+    estimate is within one bin width of the true quantile."""
+    import duckdb
+    import ray.data as rd
+
+    from getml_community_ray.kernels.sketches import (
+        sql_grouped_histogram_quantiles,
+    )
+    from getml_community_ray.stages.groupby import grouped_histogram_quantiles
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "grp": rng.choice(["a", "b", "c"], n),
+            "value": rng.gamma(2.0, 50.0, n),
+        }
+    )
+    got = (
+        grouped_histogram_quantiles(
+            rd.from_pandas(df).repartition(6),
+            value_col="value", group_col="grp", n_bins=32,
+            qs=(0.5, 0.9, 0.99),
+        )
+        .to_pandas().sort_values(["grp", "q"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        sql_grouped_histogram_quantiles(
+            "t", value_col="value", group_col="grp", n_bins=32,
+            qs=(0.5, 0.9, 0.99),
+        )
+    ).df()
+    assert len(got) == len(want) == 9
+    assert (got["grp"].to_numpy() == want["grp"].to_numpy()).all()
+    assert (got["n"].to_numpy(dtype=np.int64)
+            == want["n"].to_numpy(dtype=np.int64)).all()
+    assert (got["q"].to_numpy() == want["q"].to_numpy()).all()
+    assert (got["q_est"].to_numpy() == want["q_est"].to_numpy()).all()
+
+    # error bound: within one bin width of the exact quantile
+    for g, sub in df.groupby("grp"):
+        v = np.sort(sub["value"].to_numpy())
+        width = (v.max() - v.min()) / 32
+        for q in (0.5, 0.9, 0.99):
+            exact = v[max(0, int(np.ceil(q * len(v))) - 1)]
+            est = got[(got["grp"] == g) & (got["q"] == q)]["q_est"].iloc[0]
+            assert abs(est - exact) <= width + 1e-9, (g, q)
