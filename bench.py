@@ -286,8 +286,19 @@ def run_lane(lane: str) -> None:
         sink_comp = None
 
     def product_rows(ds) -> int:
-        # manifest mode: (file, rows) rows; else the product Dataset itself
-        return int(ds.sum("rows")) if sink_dir else ds.count()
+        # manifest mode: (file, rows) rows; else the product Dataset itself.
+        # The manifest is a few hundred rows — sum it from arrow refs
+        # directly (ds.sum launches a full Ray Data plan: ~1-2 s of flat,
+        # CPU-count-insensitive overhead on a materialized tiny Dataset).
+        if sink_dir:
+            import pyarrow as _pa
+
+            tbls = ray.get(ds.to_arrow_refs())
+            return sum(
+                int(_pa.compute.sum(t["rows"]).as_py() or 0)
+                for t in tbls if t.num_rows
+            )
+        return ds.count()
 
     t0 = time.perf_counter()
     # assume_clustered=True: generate_sequences writes per-source-sliced

@@ -1269,3 +1269,53 @@ CORPUS_QUERIES["histogram_quantiles_events"] = q_histogram_quantiles_events
 CORPUS_ORACLE_SQL["histogram_quantiles_events"] = (
     _sql_histogram_quantiles_events()
 )
+
+
+def q_token_dup_windows(sf_dir: str):
+    """Corpus-wide duplicate token-window signal (Lee et al. 2022): score
+    every sequence by its count/fraction of 8-token windows that occur in
+    >= 2 distinct sequences. One hash-only groupby + broadcast probe
+    (stages/tokens.token_dup_windows); tokens never shuffle."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_dup_windows
+
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(TOKENS_CORPUS, columns=["doc_id", "tokens"])
+    return token_dup_windows(
+        ds, tokens_col="tokens", id_col="doc_id", n=8, min_docs=2,
+    )
+
+
+def sql_token_dup_windows() -> str:
+    _ensure_tokens_corpus()
+    src = f"read_parquet('{TOKENS_CORPUS}/*.parquet')"
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         tokens[CAST(i AS INT):CAST(i + 7 AS INT)] AS gram
+  FROM {src},
+       LATERAL (SELECT unnest(generate_series(1, len(tokens) - 7)) AS i) s
+  WHERE len(tokens) >= 8
+),
+heavy AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+  GROUP BY gram HAVING count(*) >= 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+  FROM g JOIN heavy USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(GREATEST(len(d.tokens) - 7, 0) AS BIGINT) AS n_windows,
+       COALESCE(per_doc.n_dup, 0) AS n_dup_windows,
+       CASE WHEN len(d.tokens) - 7 > 0
+            THEN CAST(COALESCE(per_doc.n_dup, 0) AS DOUBLE)
+                 / (len(d.tokens) - 7)
+            ELSE 0.0 END AS dup_fraction
+FROM {src} d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+CORPUS_QUERIES["token_dup_windows_sequences"] = q_token_dup_windows
+CORPUS_ORACLE_SQL["token_dup_windows_sequences"] = sql_token_dup_windows()

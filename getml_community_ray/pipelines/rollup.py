@@ -72,7 +72,13 @@ class RollupConfig:
     # row-group spans (footer-only planning), so one 10 GB file cannot
     # become one 10 GB task; a span cut inside a source-run just makes
     # the cut bucket boundary on both sides (merged exactly downstream).
-    max_task_rows: int = 8_000_000
+    # Default sized for CACHE RESIDENCE, not just memory safety: a span's
+    # decode+sort working set is ~24 B/row, so 400k rows ~= 10 MB — small
+    # enough that N concurrent tasks stay inside a shared L3 instead of
+    # streaming DRAM (measured on the 32-core bench box at 240M rows:
+    # 1.9M-row spans cost 1621 CPU-s at 16 workers vs 854 CPU-s with
+    # 400k spans — the same work, 1.9x cheaper, and wall 106 s -> 55 s).
+    max_task_rows: int = 400_000
     # cache-tile row count for the holistic clustered kernels: per-tier
     # passes run on slices cut where every tier's bucket changes, keeping
     # the working set in the worker's PRIVATE L2 instead of making ~40
@@ -556,6 +562,24 @@ def _boundary_accumulators(n_shards: int = 1):
         def collect_parts(self) -> dict[str, pa.Table]:
             return dict(self._parts)
 
+        def collect_concat(self) -> "pa.Table | None":
+            """One concatenated table per shard (key-sorted, `_path`
+            column carrying the work-item key) instead of a dict of
+            hundreds of tiny tables — shipping the dict cost ~3 s of
+            driver wall at 640 work items (per-table pickle overhead),
+            a flat CPU-count-insensitive tax on the lane."""
+            if not self._parts:
+                return None
+            tbls = []
+            for k in sorted(self._parts):
+                t = self._parts[k]
+                if t is None or len(t) == 0:
+                    continue
+                tbls.append(t.append_column(
+                    "_path", pa.array([k] * len(t), type=pa.string())
+                ))
+            return pa.concat_tables(tbls) if tbls else None
+
     return [BoundaryAccumulator.remote() for _ in range(max(1, n_shards))]
 
 
@@ -566,6 +590,25 @@ def _collect_sharded(actors, method: str = "collect_parts") -> dict:
     for d in ray.get([getattr(a, method).remote() for a in actors]):
         out.update(d)
     return out
+
+
+def _collect_boundary_concat(accs) -> "pa.Table | None":
+    """Gather per-shard concatenated boundary tables and restore the
+    canonical global order (stable sort by work-item key) so downstream
+    float summation order — and therefore the merged output — is
+    bit-identical to the old sorted-dict concat."""
+    import numpy as np
+    import ray
+
+    tbls = [
+        t for t in ray.get([a.collect_concat.remote() for a in accs])
+        if t is not None and len(t)
+    ]
+    if not tbls:
+        return None
+    cat = pa.concat_tables(tbls).combine_chunks()
+    keys = np.asarray(cat["_path"]).astype(str)
+    return cat.take(pa.array(np.argsort(keys, kind="stable")))
 
 
 _MANIFEST_FIELDS = [("file", pa.string()), ("rows", pa.int64())]
@@ -594,7 +637,28 @@ def _sink_write(tbl: pa.Table, sink_dir: str, key: str,
 
     fname = "part-" + re.sub(r"[^A-Za-z0-9._-]+", "_", key) + ".parquet"
     tmp = os.path.join(sink_dir, f".{fname}.{uuid.uuid4().hex[:8]}.tmp")
-    pq.write_table(tbl, tmp, compression=compression)
+    # Encode tuning (measured 1.6x less CPU per span, same bytes +-15%):
+    # dictionary only for string key columns (the default dict ATTEMPT on
+    # every float agg column builds a hash table per chunk then falls
+    # back), column stats only for the pruning keys (checkpoint re-reads
+    # and the watermark prune on source/tier/bucket_ts; per-agg stats are
+    # dead weight), BYTE_STREAM_SPLIT for float64 agg columns (cheaper
+    # than dict and compresses f64 better under snappy).
+    names = tbl.column_names
+    str_cols = [
+        c for c in names if pa.types.is_string(tbl.schema.field(c).type)
+        or pa.types.is_dictionary(tbl.schema.field(c).type)
+    ]
+    f64_cols = [
+        c for c in names if tbl.schema.field(c).type == pa.float64()
+    ]
+    key_cols = [c for c in names if c in ("source", "tier", "bucket_ts")]
+    pq.write_table(
+        tbl, tmp, compression=compression,
+        use_dictionary=str_cols or False,
+        write_statistics=key_cols or True,
+        use_byte_stream_split=f64_cols or False,
+    )
     os.replace(tmp, os.path.join(sink_dir, fname))
     return fname, len(tbl)
 
@@ -608,7 +672,7 @@ def _clustered_ok(paths: list[str], cfg: RollupConfig) -> bool:
 
 
 def _check_boundary_intervals(
-    parts: dict[str, "pa.Table"],
+    parts: "dict[str, pa.Table] | pa.Table | None",
     *,
     tier_col: str,
     bucket_col: str = "bucket",
@@ -622,39 +686,68 @@ def _check_boundary_intervals(
     a shared endpoint (a shared endpoint bucket is boundary in BOTH files,
     so it merges correctly). Any interior double-emission requires an
     overlap that this check detects — a wrong `assume_clustered=True`
-    vouch fails loudly instead of silently duplicating rows."""
-    import pandas as pd
+    vouch fails loudly instead of silently duplicating rows.
 
-    frames = []
-    for path, t in parts.items():
-        if t is None or len(t) == 0:
-            continue
-        cols = [c for c in (tier_col, source_col, bucket_col, width_col) if c]
-        df = t.select(cols).to_pandas()
-        df["_path"] = path
-        frames.append(df)
-    if not frames:
+    Accepts either a dict path -> boundary table or ONE concatenated table
+    carrying a `_path` column (the fast lane: _collect_boundary_concat).
+    Vectorized throughout — the former pandas iterrows pass cost ~0.7 s of
+    flat driver wall at 640 work items."""
+    import numpy as np
+
+    if isinstance(parts, pa.Table):
+        t = parts
+    else:
+        tbls = []
+        for path in sorted(parts):
+            p = parts[path]
+            if p is None or len(p) == 0:
+                continue
+            tbls.append(p.append_column(
+                "_path", pa.array([path] * len(p), type=pa.string())
+            ))
+        t = pa.concat_tables(tbls) if tbls else None
+    if t is None or len(t) == 0:
         return
-    df = pd.concat(frames, ignore_index=True)
     key = width_col if width_col else tier_col
-    df = df[df[key] == df[key].min()]
-    hull = (
-        df.groupby([source_col, "_path"])[bucket_col]
-        .agg(["min", "max"])
-        .reset_index()
-    )
-    for src, g in hull.groupby(source_col):
-        g = g.sort_values("min")
-        prev_max, prev_path = None, None
-        for _, row in g.iterrows():
-            if prev_max is not None and row["min"] < prev_max:
-                raise ValueError(
-                    "clustered-layout precondition violated: source "
-                    f"{src!r} time ranges overlap between {prev_path} and "
-                    f"{row['_path']}; rerun with assume_clustered=False "
-                    "(unclustered lane) or fix the shard layout"
-                )
-            prev_max, prev_path = row["max"], row["_path"]
+    kv = t[key].combine_chunks()
+    t = t.filter(pc.equal(kv, pc.min(kv)))
+    if len(t) == 0:
+        return
+    src_col = t[source_col].combine_chunks()
+    if pa.types.is_dictionary(src_col.type):
+        src_col = src_col.cast(pa.string())
+    src = np.asarray(src_col).astype(str)
+    b = np.asarray(t[bucket_col].combine_chunks(), dtype=np.int64)
+    path_arr = np.asarray(t["_path"].combine_chunks()).astype(str)
+    # per-(source, path) hull via one lexsort + run boundaries
+    order = np.lexsort((b, path_arr, src))
+    s_s, p_s, b_s = src[order], path_arr[order], b[order]
+    new = np.ones(len(s_s), dtype=bool)
+    new[1:] = (s_s[1:] != s_s[:-1]) | (p_s[1:] != p_s[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(s_s))
+    h_src, h_path = s_s[starts], p_s[starts]
+    h_min, h_max = b_s[starts], b_s[ends - 1]
+    # per-source overlap sweep: sort hulls by (source, min); each hull's
+    # min must be >= the running max of earlier hulls of the same source
+    o2 = np.lexsort((h_min, h_src))
+    hs, hp, hmn, hmx = h_src[o2], h_path[o2], h_min[o2], h_max[o2]
+    ns = np.ones(len(hs), dtype=bool)
+    ns[1:] = hs[1:] != hs[:-1]
+    st = np.flatnonzero(ns)
+    for s0, s1 in zip(st, np.append(st[1:], len(hs))):
+        if s1 - s0 < 2:
+            continue
+        runmax = np.maximum.accumulate(hmx[s0:s1])
+        viol = np.flatnonzero(hmn[s0 + 1:s1] < runmax[:-1])
+        if len(viol):
+            j = s0 + 1 + int(viol[0])
+            raise ValueError(
+                "clustered-layout precondition violated: source "
+                f"{hs[s0]!r} time ranges overlap between {hp[j - 1]} and "
+                f"{hp[j]}; rerun with assume_clustered=False "
+                "(unclustered lane) or fix the shard layout"
+            )
 
 
 def _maybe_crash(inject_dir: str | None, item_key: str) -> None:
@@ -809,18 +902,13 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
     interior = _fused_items_ds(items).map_batches(
         task, batch_format="pyarrow", batch_size=None
     ).materialize()
-    parts = _collect_sharded(accs)
+    cat = _collect_boundary_concat(accs)
     for a in accs:
         ray.kill(a)
-    _check_boundary_intervals(parts, tier_col="tier", width_col="width_s")
-    btbl = (
-        pa.concat_tables([parts[k] for k in sorted(parts)])
-        if parts
-        else None
-    )
-    if btbl is None or len(btbl) == 0:
+    _check_boundary_intervals(cat, tier_col="tier", width_col="width_s")
+    if cat is None or len(cat) == 0:
         return interior
-    merged = R.merge_tiered(btbl, aggs=cfg.aggs)
+    merged = R.merge_tiered(cat.drop_columns(["_path"]), aggs=cfg.aggs)
     if sink:
         entry = _sink_write(merged, sink, "boundary", cfg.sink_compression)
         return interior.union(rd.from_arrow(_manifest_table([entry])))
@@ -844,8 +932,21 @@ def _ref_registry():
         def put(self, key: str, ref, hull: pa.Table) -> None:
             self._entries[key] = (ref, hull)
 
-        def collect(self) -> dict[str, tuple]:
-            return dict(self._entries)
+        def collect(self) -> tuple:
+            """(key -> ref-payload dict, ONE concatenated hull table with
+            a `_path` column) — hulls are bundled inside the actor because
+            shipping hundreds of tiny per-file tables out of an actor cost
+            ~3 s of flat driver wall at 640 work items."""
+            ents = {k: v[0] for k, v in self._entries.items()}
+            hulls = []
+            for k in sorted(self._entries):
+                h = self._entries[k][1]
+                if h is None or len(h) == 0:
+                    continue
+                hulls.append(h.append_column(
+                    "_path", pa.array([k] * len(h), type=pa.string())
+                ))
+            return ents, (pa.concat_tables(hulls) if hulls else None)
 
     return RefRegistry.remote()
 
@@ -900,35 +1001,33 @@ def _source_ts_hulls(t: pa.Table, *, source_col: str, ts_col: str) -> pa.Table:
     )
 
 
-def _check_ts_hulls(hulls: list[tuple[str, pa.Table]]) -> None:
+def _check_ts_hulls(hull_tbl: "pa.Table | None") -> None:
     """Verify the vouched clustered layout exactly: per source, the
     per-file [min_ts, max_ts] intervals must be pairwise non-overlapping
     (shared endpoints allowed — the bucket containing a shared endpoint is
     the last bucket of one file and the first of the other, so it is
     boundary in BOTH and merges correctly at every tier). A wrong
     `assume_clustered=True` vouch fails loudly instead of double-emitting
-    interior buckets."""
+    interior buckets.
+
+    Takes ONE concatenated hull table with a `_path` column (bundled
+    inside the registry actor — see RefRegistry.collect)."""
     import numpy as np
 
-    tables, path_idx, paths_list = [], [], []
-    for i, (path, h) in enumerate(hulls):
-        if h is None or len(h) == 0:
-            continue
-        tables.append(h)
-        path_idx.append(np.full(len(h), len(paths_list), dtype=np.int64))
-        paths_list.append(path)
-    if not tables:
+    if hull_tbl is None or len(hull_tbl) == 0:
         return
-    t = pa.concat_tables(tables)
+    t = hull_tbl.combine_chunks()
     src = np.asarray(t["source"]).astype(str)
     mn = np.asarray(t["min_ts"], dtype=np.int64)
     mx = np.asarray(t["max_ts"], dtype=np.int64)
-    pidx = np.concatenate(path_idx)
+    paths_arr = np.asarray(t["_path"]).astype(str)
     # one vectorized pass: lexsort by (source, min_ts); within a source run,
     # every interval's min_ts must be >= the running max of previous
     # intervals' max_ts (shared endpoints allowed — see docstring)
     order = np.lexsort((mn, src))
-    src_s, mn_s, mx_s, p_s = src[order], mn[order], mx[order], pidx[order]
+    src_s, mn_s, mx_s, p_s = (
+        src[order], mn[order], mx[order], paths_arr[order]
+    )
     new_src = np.empty(len(src_s), dtype=bool)
     new_src[0] = True
     new_src[1:] = src_s[1:] != src_s[:-1]
@@ -945,8 +1044,7 @@ def _check_ts_hulls(hulls: list[tuple[str, pa.Table]]) -> None:
             raise ValueError(
                 "clustered-layout precondition violated: source "
                 f"{src_s[s0]!r} time ranges overlap between "
-                f"{paths_list[int(p_s[j - 1])]} and "
-                f"{paths_list[int(p_s[j])]}; rerun with "
+                f"{p_s[j - 1]} and {p_s[j]}; rerun with "
                 "assume_clustered=False (unclustered lane) or fix the "
                 "shard layout"
             )
@@ -1058,8 +1156,13 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
     interior = _fused_items_ds(items).map_batches(
         task, batch_format="pyarrow", batch_size=None
     ).materialize()
-    entries = _collect_sharded(regs, method="collect")
-    _check_ts_hulls([(k, h) for k, (_, h) in sorted(entries.items())])
+    entries: dict = {}
+    hull_tbls = []
+    for ents, ht in ray.get([r.collect.remote() for r in regs]):
+        entries.update(ents)
+        if ht is not None and len(ht):
+            hull_tbls.append(ht)
+    _check_ts_hulls(pa.concat_tables(hull_tbls) if hull_tbls else None)
     if not entries:
         for r in regs:
             ray.kill(r)
@@ -1083,7 +1186,7 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
             )
         return merged
 
-    sorted_entries = [v for _, (v, _) in sorted(entries.items())]
+    sorted_entries = [v for _, v in sorted(entries.items())]
     refs = [r for r, _ in sorted_entries]
     offsets = [o for _, o in sorted_entries]
     final_refs = [
@@ -1241,8 +1344,8 @@ def rollup_both_clustered_fused(
         task, batch_format="pyarrow", batch_size=None
     ).materialize()
 
-    entries = ray.get(reg.collect.remote())
-    _check_ts_hulls([(k, h) for k, (_, h) in sorted(entries.items())])
+    entries, hull_cat = ray.get(reg.collect.remote())
+    _check_ts_hulls(hull_cat)
 
     def _split(lane: int, names: list[str]):
         def f(b: pa.Table) -> pa.Table:
@@ -1250,7 +1353,7 @@ def rollup_both_clustered_fused(
         return union.map_batches(f, batch_format="pyarrow")
 
     # decomposable boundary merge (as in the single lane)
-    bparts = {k: b for k, ((_, _, b), _) in entries.items()}
+    bparts = {k: b for k, (_, _, b) in entries.items()}
     _check_boundary_intervals(bparts, tier_col="tier", width_col="width_s")
     decomp = _split(0, d_names)
     if bparts:
@@ -1265,7 +1368,7 @@ def rollup_both_clustered_fused(
     if not entries:
         ray.kill(reg)
         return decomp, holo
-    sorted_entries = [v for _, (v, _) in sorted(entries.items())]
+    sorted_entries = [v for _, v in sorted(entries.items())]
     srefs = [r for r, _, _ in sorted_entries]
     offsets = [o for _, o, _ in sorted_entries]
 

@@ -276,3 +276,112 @@ def token_ngram_decontaminate(
         )
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_dup_windows(
+    ds,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 16,
+    min_docs: int = 2,
+):
+    """Corpus-wide duplicate token-window detection (the dup-n-gram signal
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): find every length-`n` token window that occurs in >=
+    `min_docs` DISTINCT sequences, then score each sequence by how many of
+    its windows are such corpus-duplicated windows.
+
+    Scale shape (two passes, tokens never shuffle):
+      1. per-batch rolling-hash pass emits DISTINCT (gram-hash, 1) pairs
+         per doc -> ONE groupby-sum over 8-byte hashes (the only
+         exchange; O(distinct grams) integer rows, ~16 bytes each) ->
+         filter doc-count >= min_docs = the heavy-gram table;
+      2. heavy grams broadcast once via ray.put (sorted int64 array) and
+         the corpus streams through a second rolling-hash pass counting
+         heavy-window OCCURRENCES per doc.
+    Pass 2's broadcast is the candidate-bounded lane (heavy grams are
+    output-small for min_docs >= 2 on natural corpora); a corpus whose
+    heavy set outgrows one node should raise min_docs or swap the probe
+    for the bloom_semi_join lane (stages/joins.py) — same contract as
+    text decontamination. Gram identity is the 64-bit polynomial hash
+    (collision stance documented at token_ngram_decontaminate).
+
+    Returns (id, n_windows, n_dup_windows, dup_fraction) with
+    dup_fraction = n_dup / n_windows (0.0 when the doc has no windows),
+    the float division done identically in the SQL twin."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def pairs_partial(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        flat = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        h, doc = _token_gram_hashes(flat, off, n)
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "h": pa.array(np.zeros(0, dtype=np.int64)),
+                    "c": pa.array(np.zeros(0, dtype=np.int64)),
+                }
+            )
+        hs = h.view(np.int64)
+        # distinct (doc, gram) within the batch (rows are whole docs, so
+        # batch-local dedup is exact for the distinct-doc count)
+        order = np.lexsort((hs, doc))
+        d_s, h_s = doc[order], hs[order]
+        first = np.ones(len(d_s), dtype=bool)
+        if len(d_s) > 1:
+            first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        h_u = h_s[first]
+        uh, cnt = np.unique(h_u, return_counts=True)
+        return pa.table({"h": pa.array(uh), "c": pa.array(cnt)})
+
+    heavy_tbl = (
+        ds.map_batches(
+            pairs_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("h")
+        .aggregate(Sum("c", alias_name="c"))
+        .filter(expr=f"c >= {int(min_docs)}")
+        .select_columns(["h"])
+    )
+    import pyarrow as _pa
+
+    blocks = [t for t in ray.get(heavy_tbl.to_arrow_refs()) if t.num_rows]
+    heavy = (
+        np.sort(np.asarray(_pa.concat_tables(blocks)["h"], dtype=np.int64))
+        if blocks else np.zeros(0, dtype=np.int64)
+    )
+    ref = ray.put(heavy)
+
+    def tag(b: pa.Table) -> pa.Table:
+        hv = ray.get(ref)
+        toks = b[tokens_col].combine_chunks()
+        flat = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        lens = np.diff(off)
+        n_win = np.maximum(lens - n + 1, 0).astype(np.int64)
+        dup = np.zeros(len(b), dtype=np.int64)
+        h, doc = _token_gram_hashes(flat, off, n)
+        if len(h) and len(hv):
+            hs = h.view(np.int64)
+            ix = np.searchsorted(hv, hs)
+            hit = (ix < len(hv)) & (hv[np.minimum(ix, len(hv) - 1)] == hs)
+            np.add.at(dup, doc[hit], 1)
+        frac = np.zeros(len(b), dtype=np.float64)
+        nz = n_win > 0
+        frac[nz] = dup[nz].astype(np.float64) / n_win[nz]
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_windows": pa.array(n_win),
+                "n_dup_windows": pa.array(dup),
+                "dup_fraction": pa.array(frac),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)

@@ -257,3 +257,64 @@ def test_grouped_topk_block_invariance(ray_session):
     )
     got_ids = a.sort_values(["k", "rank"])["id"].tolist()
     assert got_ids == want["id"].tolist()
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_token_dup_windows_vs_brute(ray_session, seed):
+    """Duplicate-window signal vs a dict-of-tuples brute force: heavy set
+    = grams in >= min_docs distinct docs; per-doc occurrence counts of
+    heavy grams; short docs (len < n) get 0 windows / 0.0 fraction."""
+    import ray.data as rd
+
+    from getml_community_ray.stages.tokens import token_dup_windows
+
+    rng = np.random.default_rng(seed)
+    n, min_docs = 4, 2
+    # small vocab + short grams so cross-doc duplicate windows exist
+    n_docs = 120
+    lens = rng.integers(0, 14, size=n_docs)
+    toks = [rng.integers(0, 6, size=ln).astype(np.int32) for ln in lens]
+    # inject an exact repeated window across several docs
+    boiler = np.array([1, 2, 3, 4, 5], dtype=np.int32)
+    for d in (5, 17, 33):
+        toks[d] = np.concatenate([boiler, toks[d]])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs)),
+            "tokens": pa.array([t.tolist() for t in toks],
+                               type=pa.list_(pa.int32())),
+        }
+    )
+    got = (
+        token_dup_windows(
+            rd.from_arrow(tbl), tokens_col="tokens", id_col="doc_id",
+            n=n, min_docs=min_docs,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    from collections import Counter, defaultdict
+
+    doc_grams = []
+    for t in toks:
+        gs = [tuple(t[i:i + n]) for i in range(max(len(t) - n + 1, 0))]
+        doc_grams.append(gs)
+    by_gram = defaultdict(set)
+    for d, gs in enumerate(doc_grams):
+        for g in gs:
+            by_gram[g].add(d)
+    heavy = {g for g, ds_ in by_gram.items() if len(ds_) >= min_docs}
+    n_win = np.array([len(gs) for gs in doc_grams], dtype=np.int64)
+    n_dup = np.array(
+        [sum(1 for g in gs if g in heavy) for gs in doc_grams],
+        dtype=np.int64,
+    )
+    frac = np.where(n_win > 0, n_dup / np.maximum(n_win, 1), 0.0)
+    assert (got["n_windows"].to_numpy() == n_win).all()
+    assert (got["n_dup_windows"].to_numpy() == n_dup).all()
+    np.testing.assert_allclose(got["dup_fraction"].to_numpy(), frac,
+                               rtol=0, atol=0)
+    # the injected boilerplate window must be detected
+    assert got.loc[got.doc_id == 5, "n_dup_windows"].iloc[0] >= 2
