@@ -1319,3 +1319,150 @@ FROM {src} d LEFT JOIN per_doc USING (doc_id)
 
 CORPUS_QUERIES["token_dup_windows_sequences"] = q_token_dup_windows
 CORPUS_ORACLE_SQL["token_dup_windows_sequences"] = sql_token_dup_windows()
+
+
+def q_token_window_chunks(sf_dir: str):
+    """Context-window sharding of the tokens payload (stages/tokens.py
+    token_window_chunks): window=96, stride=64 (overlapping) — each chunk
+    row is pinned with order-sensitive integer checks (sum/first/last)
+    that the DuckDB twin recomputes from list slices, so chunk CONTENT and
+    BOUNDARIES are both value-compared. The raw chunk_tokens list is
+    asserted byte-equal to brute-force slices in tests."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_window_chunks
+
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(TOKENS_CORPUS, columns=["doc_id", "tokens"])
+    chunks = token_window_chunks(
+        ds, id_col="doc_id", tokens_col="tokens", window=96, stride=64
+    )
+
+    def pins(b: pa.Table) -> pa.Table:
+        toks = b["chunk_tokens"].combine_chunks()
+        vals = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        seg = off[:-1]
+        tok_sum = (
+            np.add.reduceat(vals, seg) if len(vals) else np.zeros(0, np.int64)
+        )
+        tok_sum[np.diff(off) == 0] = 0
+        first = np.where(np.diff(off) > 0, vals[np.minimum(seg, len(vals) - 1)], 0)
+        last = np.where(np.diff(off) > 0, vals[off[1:] - 1], 0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "chunk_ix": b["chunk_ix"],
+                "chunk_len": b["chunk_len"],
+                "tok_sum": pa.array(tok_sum),
+                "tok_first": pa.array(first),
+                "tok_last": pa.array(last),
+            }
+        )
+
+    return chunks.map_batches(pins, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_token_window_chunks() -> str:
+    _ensure_tokens_corpus()
+    w, s = 96, 64
+    return f"""
+WITH c AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(
+             0, CAST(CEIL(len(tokens) / {float(s)}) AS BIGINT) - 1)) AS chunk_ix
+  FROM read_parquet('{TOKENS_CORPUS}/*.parquet')
+  WHERE len(tokens) > 0)
+SELECT doc_id,
+       chunk_ix,
+       LEAST(chunk_ix*{s} + {w}, len(tokens)) - chunk_ix*{s} AS chunk_len,
+       CAST(list_aggregate(
+           CAST(tokens[chunk_ix*{s}+1 : LEAST(chunk_ix*{s}+{w}, len(tokens))]
+                AS BIGINT[]),
+           'sum') AS BIGINT) AS tok_sum,
+       CAST(tokens[chunk_ix*{s}+1] AS BIGINT) AS tok_first,
+       CAST(tokens[LEAST(chunk_ix*{s}+{w}, len(tokens))] AS BIGINT) AS tok_last
+FROM c
+"""
+
+
+CORPUS_QUERIES["token_window_chunks_sequences"] = q_token_window_chunks
+CORPUS_ORACLE_SQL["token_window_chunks_sequences"] = sql_token_window_chunks()
+
+
+_REMAP_V, _REMAP_EVERY, _REMAP_MUL, _REMAP_ADD = 50257, 5, 40503, 7
+
+
+def q_token_vocab_remap(sf_dir: str):
+    """Vocabulary remap over the tokens payload (stages/tokens.py
+    TokenVocabRemap): a BROADCAST dense LUT (ray.put once, resolved per
+    actor in __init__) applied as one np.take over the flattened values —
+    the small-side-broadcast pattern on the token lane. The mapping is
+    formula-defined (ids % 5 == 0 -> (id*40503 + 7) % 50257) so the DuckDB
+    twin spells the identical mapping in a list_transform lambda; output
+    rows are pinned with order-sensitive sums over the REMAPPED sequence."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_vocab_remap
+
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(TOKENS_CORPUS, columns=["doc_id", "tokens"])
+    out = token_vocab_remap(
+        ds, tokens_col="tokens", vocab_size=_REMAP_V, every=_REMAP_EVERY,
+        mul=_REMAP_MUL, add=_REMAP_ADD, concurrency=4
+    )
+
+    def pins(b: pa.Table) -> pa.Table:
+        toks = b["tokens"].combine_chunks()
+        vals = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        lens = np.diff(off)
+        pos = (
+            np.arange(len(vals), dtype=np.int64)
+            - np.repeat(off[:-1], lens) + 1
+        )
+        seg = off[:-1]
+        tok_sum = np.add.reduceat(vals, seg) if len(vals) else np.zeros(0, np.int64)
+        tok_wsum = (
+            np.add.reduceat(vals * pos, seg) if len(vals) else np.zeros(0, np.int64)
+        )
+        first = vals[off[:-1]] if len(vals) else np.zeros(0, np.int64)
+        last = vals[off[1:] - 1] if len(vals) else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "tok_sum": pa.array(tok_sum),
+                "tok_wsum": pa.array(tok_wsum),
+                "tok_first": pa.array(first),
+                "tok_last": pa.array(last),
+            }
+        )
+
+    return out.map_batches(pins, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_token_vocab_remap() -> str:
+    _ensure_tokens_corpus()
+    v, e, m, a = _REMAP_V, _REMAP_EVERY, _REMAP_MUL, _REMAP_ADD
+    return f"""
+WITH r AS (
+  SELECT doc_id,
+         list_transform(CAST(tokens AS BIGINT[]),
+             x -> CASE WHEN x % {e} = 0 THEN (x * {m} + {a}) % {v}
+                       ELSE x END) AS t2
+  FROM read_parquet('{TOKENS_CORPUS}/*.parquet')
+  WHERE len(tokens) > 0)
+SELECT doc_id,
+       CAST(list_aggregate(t2, 'sum') AS BIGINT) AS tok_sum,
+       CAST(list_aggregate(
+           list_transform(t2, (x, i) -> x * i), 'sum') AS BIGINT) AS tok_wsum,
+       CAST(t2[1] AS BIGINT) AS tok_first,
+       CAST(t2[len(t2)] AS BIGINT) AS tok_last
+FROM r
+"""
+
+
+CORPUS_QUERIES["token_vocab_remap_sequences"] = q_token_vocab_remap
+CORPUS_ORACLE_SQL["token_vocab_remap_sequences"] = sql_token_vocab_remap()

@@ -385,3 +385,150 @@ def token_dup_windows(
         )
 
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_window_chunks(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    window: int = 128,
+    stride: int = 128,
+):
+    """Context-window sharding: split every token sequence into fixed-size
+    windows (start offsets 0, stride, 2*stride, ... while start < len),
+    emitting REAL token slices — the training-data op that turns long
+    documents into model-context-sized rows (overlapping when
+    stride < window). Empty sequences emit no chunks.
+
+    Scale shape: stateless per-batch expansion, shuffle-free — the output
+    list column is rebuilt with ListArray.from_arrays over ONE vectorized
+    gather (np.take of exactly the emitted window values; no Python loop,
+    no per-row slicing). Tokens never enter a shuffle; a downstream
+    consumer keys on (id, chunk_ix).
+
+    Output: (id, chunk_ix:int64, chunk_len:int64, chunk_tokens:list<int32>).
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.string()),
+            "chunk_ix": pa.array([], type=pa.int64()),
+            "chunk_len": pa.array([], type=pa.int64()),
+            "chunk_tokens": pa.array([], type=pa.list_(pa.int32())),
+        }
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        vals = np.asarray(toks.flatten(), dtype=np.int32)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        lens = np.diff(off)
+        n_chunks = -(-lens // stride)  # ceil(len/stride); 0 for empty rows
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty.cast(
+                pa.schema(
+                    [
+                        (id_col, b[id_col].type),
+                        ("chunk_ix", pa.int64()),
+                        ("chunk_len", pa.int64()),
+                        ("chunk_tokens", pa.list_(pa.int32())),
+                    ]
+                )
+            )
+        row_ix = np.repeat(np.arange(len(lens)), n_chunks)
+        csum = np.cumsum(n_chunks)
+        cix = np.arange(total, dtype=np.int64) - np.repeat(csum - n_chunks, n_chunks)
+        starts = off[:-1][row_ix] + cix * stride
+        ends = np.minimum(starts + window, off[1:][row_ix])
+        out_lens = ends - starts
+        out_off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(out_lens, out=out_off[1:])
+        gather = (
+            np.arange(out_off[-1], dtype=np.int64)
+            - np.repeat(out_off[:-1], out_lens)
+            + np.repeat(starts, out_lens)
+        )
+        chunk_tokens = pa.ListArray.from_arrays(
+            pa.array(out_off, type=pa.int64()).cast(pa.int32()),
+            pa.array(vals[gather], type=pa.int32()),
+        )
+        return pa.table(
+            {
+                id_col: b[id_col].take(pa.array(row_ix)),
+                "chunk_ix": pa.array(cix),
+                "chunk_len": pa.array(out_lens.astype(np.int64)),
+                "chunk_tokens": chunk_tokens,
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class TokenVocabRemap:
+    """Vocabulary remap over the tokens payload: old id -> new id via a
+    BROADCAST dense lookup table (the small-side-broadcast pattern: the
+    remap array is ray.put ONCE and resolved per actor in __init__, never
+    re-shipped per batch). Ids outside the table pass through unchanged.
+
+    Used as `ds.map_batches(TokenVocabRemap, fn_constructor_kwargs=...,
+    concurrency=N)` — an actor-pool stage; apply is ONE np.take over the
+    flattened values and the list structure (offsets) is reused as-is, so
+    the transform is O(total tokens) with zero Python loops and the output
+    schema equals the input schema.
+    """
+
+    def __init__(self, remap_ref, *, tokens_col: str = "tokens"):
+        import ray
+
+        self.lut = ray.get(remap_ref)  # dense int32 array: lut[old] = new
+        self.tokens_col = tokens_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        toks = b[self.tokens_col].combine_chunks()
+        vals = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        in_range = vals < len(self.lut)
+        out = vals.astype(np.int32, copy=True)
+        out[in_range] = self.lut[vals[in_range]]
+        arr = pa.ListArray.from_arrays(
+            pa.array(off, type=pa.int64()).cast(pa.int32()),
+            pa.array(out, type=pa.int32()),
+        )
+        cols = {name: b[name] for name in b.column_names}
+        cols[self.tokens_col] = arr
+        return pa.table(cols)
+
+
+def make_remap_lut(vocab_size: int, *, every: int = 5, mul: int = 40503,
+                   add: int = 7) -> np.ndarray:
+    """Deterministic remap table used by the query registry and its SQL
+    twin: ids divisible by `every` map to (id*mul + add) % vocab_size,
+    everything else is identity. A formula (not data) so the DuckDB twin
+    can spell the identical mapping in a list_transform lambda."""
+    lut = np.arange(vocab_size, dtype=np.int64)
+    sel = lut % every == 0
+    lut[sel] = (lut[sel] * mul + add) % vocab_size
+    return lut.astype(np.int32)
+
+
+def token_vocab_remap(ds, *, tokens_col: str = "tokens",
+                      vocab_size: int = 65536, every: int = 5,
+                      mul: int = 40503, add: int = 7, concurrency: int = 4):
+    """Query-registry wrapper: broadcast the deterministic LUT once and run
+    the actor-pool remap stage."""
+    import ray
+
+    ref = ray.put(make_remap_lut(vocab_size, every=every, mul=mul, add=add))
+    return ds.map_batches(
+        TokenVocabRemap,
+        fn_constructor_kwargs={"remap_ref": ref, "tokens_col": tokens_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )

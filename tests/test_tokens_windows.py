@@ -318,3 +318,89 @@ def test_token_dup_windows_vs_brute(ray_session, seed):
                                rtol=0, atol=0)
     # the injected boilerplate window must be detected
     assert got.loc[got.doc_id == 5, "n_dup_windows"].iloc[0] >= 2
+
+
+@pytest.mark.parametrize("window,stride", [(8, 8), (8, 4), (5, 3)])
+def test_token_window_chunks_vs_brute(ray_session, window, stride):
+    import ray.data as rd
+
+    from getml_community_ray.stages.tokens import token_window_chunks
+
+    rng = np.random.default_rng(7)
+    tbl, toks = _tok_table(rng, n_docs=120)
+    got = (
+        token_window_chunks(
+            rd.from_arrow(tbl), id_col="doc_id", tokens_col="tokens",
+            window=window, stride=stride,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_ix"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for did, t in zip(range(len(toks)), toks):
+        start, cix = 0, 0
+        while start < len(t):
+            rows.append((did, cix, t[start:start + window]))
+            start += stride
+            cix += 1
+    assert len(got) == len(rows)
+    for (did, cix, want), (_, g) in zip(rows, got.iterrows()):
+        assert g["doc_id"] == did and g["chunk_ix"] == cix
+        assert g["chunk_len"] == len(want)
+        assert np.array_equal(np.asarray(g["chunk_tokens"], dtype=np.int32),
+                              want)
+
+
+def test_token_window_chunks_sliced_block(ray_session):
+    """Sliced ListArray (nonzero offset) must not leak sibling-row values."""
+    from getml_community_ray.stages.tokens import token_window_chunks
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2]),
+            "tokens": pa.array(
+                [[1, 2, 3, 4, 5], [6, 7], [8, 9, 10]], type=pa.list_(pa.int32())
+            ),
+        }
+    )
+    sliced = tbl.slice(1, 2)  # rows 1..2 with a values-buffer offset
+    got = (
+        token_window_chunks(rd.from_arrow(sliced), id_col="doc_id",
+                            tokens_col="tokens", window=2, stride=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_ix"])
+        .reset_index(drop=True)
+    )
+    want = [(1, 0, [6, 7]), (2, 0, [8, 9]), (2, 1, [10])]
+    assert len(got) == 3
+    for (did, cix, w), (_, g) in zip(want, got.iterrows()):
+        assert (g["doc_id"], g["chunk_ix"]) == (did, cix)
+        assert list(g["chunk_tokens"]) == w
+
+
+def test_token_vocab_remap_vs_brute(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.tokens import (
+        make_remap_lut,
+        token_vocab_remap,
+    )
+
+    rng = np.random.default_rng(11)
+    tbl, toks = _tok_table(rng, n_docs=100, vocab=50)
+    got = (
+        token_vocab_remap(rd.from_arrow(tbl), tokens_col="tokens",
+                          vocab_size=50, every=3, mul=17, add=5,
+                          concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    lut = make_remap_lut(50, every=3, mul=17, add=5)
+    for did, t in zip(range(len(toks)), toks):
+        want = lut[t] if len(t) else np.zeros(0, np.int32)
+        assert np.array_equal(
+            np.asarray(got.loc[did, "tokens"], dtype=np.int32), want
+        )
