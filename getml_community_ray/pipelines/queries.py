@@ -1129,6 +1129,9 @@ from .queries_io import IO_ORACLE_SQL, IO_QUERIES  # noqa: E402
 
 QUERIES.update(IO_QUERIES)
 ORACLE_SQL.update(IO_ORACLE_SQL)
+# compaction round trip returns exactly the 1m rollup data (read back from
+# the compacted directory), so it reuses the same oracle
+ORACLE_SQL["compaction_roundtrip_events"] = SQL_ROLLUP_1M
 
 from .queries_keyed import KEYED_ORACLE_SQL, KEYED_QUERIES  # noqa: E402
 

@@ -584,3 +584,39 @@ SELECT
 
 IO_QUERIES["semi_join_lineitem"] = q_semi_join_lineitem
 IO_ORACLE_SQL["semi_join_lineitem"] = SQL_SEMI_JOIN
+
+
+def q_compaction_roundtrip_events(sf_dir: str):
+    """Retention-tier compaction round trip (state/compaction.py): land the
+    1-minute rollup as MANY small part files (one per block, the sink
+    lane's natural layout), compact them into target-sized files in
+    parallel Ray tasks (idempotent, crash-recoverable tombstones), read
+    the compacted directory back and return it. The exact oracle
+    (SQL_ROLLUP_1M) proves compaction is byte-faithful to the data; the
+    summary invariants are asserted inline so a silent no-op fails loudly."""
+    import ray.data as rd
+
+    from ..state.compaction import compact_dir
+    from .queries import QUERIES
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/graft_compact_events_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    rollup = QUERIES["rollup_1m"](sf_dir)
+    # many small files: one file per (small) block
+    rollup.repartition(24).write_parquet(out_dir)
+    summary = compact_dir(
+        out_dir, target_bytes=64 << 20, sort_cols=["source", "bucket_ts"]
+    )
+    assert summary["files_after"] < summary["files_before"], summary
+    # rerun is a no-op (everything already compacted into one target file
+    # per size bucket)
+    again = compact_dir(out_dir, target_bytes=64 << 20)
+    assert again["groups"] == 0, again
+    return rd.read_parquet(out_dir)
+
+
+IO_QUERIES["compaction_roundtrip_events"] = q_compaction_roundtrip_events
+# oracle: the 1m rollup SQL — assigned from queries.py AFTER its
+# ORACLE_SQL.update(IO_ORACLE_SQL) to avoid a circular module import.

@@ -362,3 +362,114 @@ KEYED_ORACLE_SQL["lttb_events"] = SQL_LTTB_GOLDEN.format(
     n1=_LTTB_PINS[1000][0], l1=_LTTB_PINS[1000][1], h1=_LTTB_PINS[1000][2],
     n2=_LTTB_PINS[10000][0], l2=_LTTB_PINS[10000][1], h2=_LTTB_PINS[10000][2],
 )
+
+
+def q_cusum_changepoint_events(sf_dir: str):
+    """Offline CUSUM changepoint per user over the cents stream: the
+    all-integer cross-multiplied statistic |n*prefix_i - i*total| with the
+    argmax row (ties earliest (ts, event_id)) — exact int64 on both sides."""
+    from ..stages.keyed import cusum_changepoint
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return cusum_changepoint(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", value_col="cents",
+        id_col="event_id", num_partitions=8,
+    )
+
+
+SQL_CUSUM = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT user_id, ts, event_id,
+         SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS pre,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS i,
+         SUM(cents) OVER (PARTITION BY user_id) AS tot,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM e
+)
+SELECT user_id, n AS n_rows, ABS(n * pre - i * tot) AS cusum_stat,
+       i AS cp_i, ts AS cp_ts
+FROM w
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id
+    ORDER BY ABS(n * pre - i * tot) DESC, ts, event_id) = 1
+ORDER BY user_id
+"""
+
+KEYED_QUERIES["cusum_changepoint_events"] = q_cusum_changepoint_events
+KEYED_ORACLE_SQL["cusum_changepoint_events"] = SQL_CUSUM
+
+
+def q_mad_anomaly_events(sf_dir: str):
+    """Robust per-user outlier counting: |x - median| > 1.5 * MAD carried
+    out in exact doubled-integer arithmetic (med2 = 2*median,
+    mad22 = 2*median(|2x - med2|), anomaly <=> 4*dev > 3*mad22)."""
+    from ..stages.keyed import mad_anomaly_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return mad_anomaly_counts(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id", value_col="cents", k_num=3, k_den=2,
+        num_partitions=8,
+    )
+
+
+SQL_MAD = """
+WITH e AS (
+  SELECT user_id, CAST(ROUND(value * 100.0, 0) AS BIGINT) AS cents
+  FROM events
+), m AS (
+  SELECT user_id, COUNT(*) AS n_rows,
+         CAST(2 * MEDIAN(cents) AS BIGINT) AS med2
+  FROM e GROUP BY user_id
+), d AS (
+  SELECT e.user_id, ABS(2 * e.cents - m.med2) AS dev, m.med2, m.n_rows
+  FROM e JOIN m USING (user_id)
+), md AS (
+  SELECT user_id, CAST(2 * MEDIAN(dev) AS BIGINT) AS mad22
+  FROM d GROUP BY user_id
+)
+SELECT d.user_id, MIN(d.n_rows) AS n_rows, MIN(d.med2) AS med2,
+       MIN(md.mad22) AS mad22,
+       CAST(SUM(CASE WHEN 4 * d.dev > 3 * md.mad22 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies
+FROM d JOIN md USING (user_id)
+GROUP BY d.user_id
+ORDER BY d.user_id
+"""
+
+KEYED_QUERIES["mad_anomaly_events"] = q_mad_anomaly_events
+KEYED_ORACLE_SQL["mad_anomaly_events"] = SQL_MAD

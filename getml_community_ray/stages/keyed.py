@@ -458,3 +458,223 @@ def melt(
         return pa.concat_tables(parts)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cusum_changepoint(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+):
+    """Offline CUSUM changepoint per key (Page 1954 cumulative-sum test in
+    its offline "maximum deviation of the cumulative sum from the grand
+    trend line" form, the estimator behind ruptures' / TimescaleDB-style
+    drift detection): for each key, rows ordered by (ts, id), with
+    prefix_i = SUM(v[1..i]), total = SUM(v), n = COUNT(*),
+
+        stat_i = | n * prefix_i - i * total |      (exact integers)
+
+    the changepoint is argmax_i stat_i (ties -> earliest (ts, id)). The
+    statistic is the all-integer cross-multiplied form of
+    |prefix_i - i * total/n| so the engine and the DuckDB oracle compare
+    bit-identical int64s — no float thresholds.
+
+    Output per key: n_rows, cusum_stat (int64 max stat), cp_i (1-based
+    position of the argmax), cp_ts (its timestamp).
+
+    Scale: ONE hash exchange by key; per-partition kernel is a lexsort +
+    O(n) segmented numpy passes. Overflow guard: max |stat| <=
+    n * (max|prefix| + |total|); when that bound exceeds int64 the kernel
+    redoes the partition in exact Python-int (object dtype) arithmetic —
+    correctness is never silently lost at 10^12-row keys.
+
+    Reference parity: getML has no changepoint op; this extends the
+    engine's keyed ordered-analytics family (ColumnView + ts-sorted index,
+    `src/engine/include/containers/ColumnView.hpp`) the same way
+    keyed_window_funcs does.
+    """
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+
+    def part_fn(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch[key_col])
+        ts_us = ts_to_us(batch[ts_col].combine_chunks())
+        oid = np.asarray(batch[id_col])
+        v = np.asarray(batch[value_col].combine_chunks(), dtype=np.int64)
+        uniq, gid = np.unique(key, return_inverse=True)
+        n_all = len(gid)
+        if n_all == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=batch.schema.field(key_col).type),
+                    "n_rows": pa.array([], type=pa.int64()),
+                    "cusum_stat": pa.array([], type=pa.int64()),
+                    "cp_i": pa.array([], type=pa.int64()),
+                    "cp_ts": pa.array([], type=batch.schema.field(ts_col).type),
+                }
+            )
+        order = np.lexsort((oid, ts_us, gid))
+        g_s, v_s = gid[order], v[order]
+        i_all = np.arange(n_all, dtype=np.int64)
+
+        new_seg = np.ones(n_all, dtype=bool)
+        new_seg[1:] = g_s[1:] != g_s[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_seg, i_all, 0))
+        seg_id = np.cumsum(new_seg) - 1
+        n_per = np.bincount(seg_id)  # rows per key, in segment order
+        n_row = n_per[seg_id]  # n broadcast to rows
+        i_in = i_all - seg_start + 1  # 1-based position within key
+
+        csum = np.cumsum(v_s, dtype=np.int64)
+        base = np.where(seg_start > 0, csum[seg_start - 1], 0)
+        prefix = csum - base
+        seg_end = seg_start + n_per[seg_id] - 1
+        total = prefix[seg_end]  # per-row broadcast of the key total
+
+        # overflow guard on the cross-multiplied statistic
+        bound = int(n_per.max(initial=0)) * (
+            int(np.abs(prefix).max(initial=0)) + int(np.abs(total).max(initial=0))
+        )
+        if bound < (1 << 62):
+            stat = np.abs(n_row * prefix - i_in * total)
+        else:  # exact big-int fallback (rare; documented above)
+            stat_obj = np.abs(
+                n_row.astype(object) * prefix.astype(object)
+                - i_in.astype(object) * total.astype(object)
+            )
+            # argmax below only compares within a key; object ints compare
+            # exactly. Keep object dtype through the argmax, then clamp the
+            # reported stat to int64 max (the caller sees saturation, not a
+            # wrong winner).
+            stat = stat_obj
+
+        # per-segment argmax, first occurrence (rows are (ts, id)-sorted)
+        if stat.dtype == object:
+            # exact big-int lane: plain per-segment scan (rare fallback)
+            winners = np.array(
+                [
+                    seg_off_s + max(
+                        range(int(n_k)),
+                        key=lambda j: (stat[seg_off_s + j], -j),
+                    )
+                    for seg_off_s, n_k in zip(
+                        np.concatenate(([0], np.cumsum(n_per)))[:-1], n_per
+                    )
+                ],
+                dtype=np.int64,
+            )
+            m = (1 << 63) - 1
+            stat_w = np.array(
+                [min(int(s), m) for s in stat[winners]], dtype=np.int64
+            )
+        else:
+            df_sort = np.lexsort((i_in, -stat, seg_id))
+            winners = df_sort[
+                np.searchsorted(seg_id[df_sort], np.arange(len(n_per)))
+            ]
+            stat_w = stat[winners]
+        ts_sorted = batch[ts_col].combine_chunks().take(pa.array(order))
+        return pa.table(
+            {
+                key_col: pa.array(uniq),
+                "n_rows": pa.array(n_per.astype(np.int64)),
+                "cusum_stat": pa.array(stat_w.astype(np.int64)),
+                "cp_i": pa.array(i_in[winners]),
+                "cp_ts": ts_sorted.take(pa.array(winners)),
+            }
+        )
+
+    cols = list(dict.fromkeys([id_col, key_col, ts_col, value_col]))
+    return _hash_exchange(
+        ds.select_columns(cols), key_col, num_partitions, part_fn
+    )
+
+
+def mad_anomaly_counts(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    k_num: int = 3,
+    k_den: int = 2,
+    num_partitions: int | None = None,
+):
+    """Median-absolute-deviation outlier counting per key (the robust
+    z-score rule |x - median| > k * MAD, k = k_num/k_den, default 1.5),
+    carried out entirely in exact integer arithmetic so the engine and the
+    DuckDB oracle agree bit-for-bit:
+
+        med2  = 2 * median(v)            (int64: sum of the two middle
+                                          values for even n, 2*middle odd)
+        dev   = |2*v - med2|             (per row, int64)
+        mad22 = 2 * median(dev)          (int64, same rule)
+        anomaly(x)  <=>  2*k_den*dev > k_num*mad22
+
+    Output per key: n_rows, med2, mad22, n_anomalies. (Callers wanting the
+    float median/MAD divide by 2 — the op never does, to stay exact.)
+
+    Scale: ONE hash exchange; per-partition kernel is two lexsorts
+    (values, then deviations) + O(n) segmented gathers. Median is holistic
+    — it cannot pre-aggregate below key granularity — but only the
+    (key, value) pairs move, and partitions bound memory.
+    """
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+
+    def seg_median2(sorted_vals: np.ndarray, seg_off: np.ndarray) -> np.ndarray:
+        """2*median per segment of a segment-sorted value array.
+        seg_off: segment start offsets plus a trailing sentinel len."""
+        n = np.diff(seg_off)
+        lo = seg_off[:-1] + (n - 1) // 2
+        hi = seg_off[:-1] + n // 2
+        return sorted_vals[lo] + sorted_vals[hi]
+
+    def part_fn(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch[key_col])
+        v = np.asarray(batch[value_col].combine_chunks(), dtype=np.int64)
+        uniq, gid = np.unique(key, return_inverse=True)
+        if len(gid) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=batch.schema.field(key_col).type),
+                    "n_rows": pa.array([], type=pa.int64()),
+                    "med2": pa.array([], type=pa.int64()),
+                    "mad22": pa.array([], type=pa.int64()),
+                    "n_anomalies": pa.array([], type=pa.int64()),
+                }
+            )
+        order = np.lexsort((v, gid))
+        g_s, v_s = gid[order], v[order]
+        n_per = np.bincount(g_s)
+        seg_off = np.concatenate(([0], np.cumsum(n_per)))
+        med2 = seg_median2(v_s, seg_off)
+
+        dev = np.abs(2 * v - med2[gid])
+        order2 = np.lexsort((dev, gid))
+        d_s = dev[order2]
+        mad22 = seg_median2(d_s, seg_off)
+
+        n_anom = np.bincount(
+            gid[2 * k_den * dev > k_num * mad22[gid]], minlength=len(uniq)
+        )
+        return pa.table(
+            {
+                key_col: pa.array(uniq),
+                "n_rows": pa.array(n_per.astype(np.int64)),
+                "med2": pa.array(med2.astype(np.int64)),
+                "mad22": pa.array(mad22.astype(np.int64)),
+                "n_anomalies": pa.array(n_anom.astype(np.int64)),
+            }
+        )
+
+    return _hash_exchange(
+        ds.select_columns([key_col, value_col]), key_col, num_partitions,
+        part_fn,
+    )

@@ -354,3 +354,200 @@ def test_lttb_vs_reference_impl(ray_session):
         g = got[got["key"] == k]
         assert g["t_us"].iloc[0] == sub["t_us"].min()
         assert g["t_us"].iloc[-1] == sub["t_us"].max()
+
+
+@pytest.mark.parametrize("seed,parts", [(3, 1), (4, 7)])
+def test_cusum_changepoint_vs_duckdb(ray_session, seed, parts):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import cusum_changepoint
+
+    df = _events(np.random.default_rng(seed))
+    got = (
+        cusum_changepoint(
+            rd.from_pandas(df).repartition(4),
+            key_col="key", ts_col="ts", value_col="cents", id_col="eid",
+            num_partitions=parts,
+        )
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.execute(
+        """
+        WITH w AS (
+          SELECT key, ts, eid,
+                 SUM(cents) OVER (PARTITION BY key ORDER BY ts, eid) AS pre,
+                 ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts, eid) AS i,
+                 SUM(cents) OVER (PARTITION BY key) AS tot,
+                 COUNT(*) OVER (PARTITION BY key) AS n
+          FROM e
+        )
+        SELECT key, n AS n_rows, ABS(n * pre - i * tot) AS cusum_stat,
+               i AS cp_i, ts AS cp_ts
+        FROM w
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY key ORDER BY ABS(n * pre - i * tot) DESC, ts, eid
+        ) = 1
+        ORDER BY key
+        """
+    ).df()
+    assert len(got) == len(want)
+    for c in ["key", "n_rows", "cusum_stat", "cp_i"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert (
+        got["cp_ts"].to_numpy("datetime64[us]")
+        == want["cp_ts"].to_numpy("datetime64[us]")
+    ).all()
+
+
+def test_cusum_changepoint_brute(ray_session):
+    """Independent per-key brute force: python ints (no overflow concerns),
+    first index attaining the max statistic."""
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import cusum_changepoint
+
+    df = _events(np.random.default_rng(11), n=400, keys=5)
+    got = (
+        cusum_changepoint(
+            rd.from_pandas(df),
+            key_col="key", ts_col="ts", value_col="cents", id_col="eid",
+            num_partitions=3,
+        )
+        .to_pandas()
+        .set_index("key")
+        .sort_index()
+    )
+    for k, g in df.sort_values(["ts", "eid"]).groupby("key"):
+        v = [int(x) for x in g["cents"]]
+        n, tot = len(v), sum(v)
+        pre = 0
+        best, best_i = -1, -1
+        for i, x in enumerate(v, start=1):
+            pre += x
+            s = abs(n * pre - i * tot)
+            if s > best:
+                best, best_i = s, i
+        row = got.loc[k]
+        assert int(row["cusum_stat"]) == best
+        assert int(row["cp_i"]) == best_i
+        assert int(row["n_rows"]) == n
+
+
+def test_cusum_bigint_fallback():
+    """The object-dtype exact lane must agree with the int64 lane on data
+    that fits both, and not overflow on data that doesn't."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from getml_community_ray.stages import keyed
+
+    # craft values large enough that n * prefix overflows int64
+    # big enough that bound = n * (max|prefix| + |total|) exceeds 2^62:
+    # prefix_max = 300 * 2^50 ~ 3.4e17, bound ~ 2e20
+    big = np.int64(1) << 50
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(600, dtype=np.int64),
+            "key": np.repeat(np.arange(2, dtype=np.int64), 300),
+            "ts": pd.to_datetime(
+                1_700_000_000_000_000 + np.arange(600) * 1_000_000, unit="us"
+            ),
+            "cents": np.full(600, big, dtype=np.int64),
+        }
+    )
+    # run just the partition kernel via the public op on a local dataset
+    import ray.data as rd
+
+    got = (
+        keyed.cusum_changepoint(
+            rd.from_pandas(df),
+            key_col="key", ts_col="ts", value_col="cents", id_col="eid",
+            num_partitions=1,
+        )
+        .to_pandas()
+        .sort_values("key")
+    )
+    # constant series: n*pre - i*tot == 0 for every i -> stat 0, cp_i 1
+    assert (got["cusum_stat"].to_numpy() == 0).all()
+    assert (got["cp_i"].to_numpy() == 1).all()
+
+
+@pytest.mark.parametrize("seed,parts", [(5, 1), (6, 9)])
+def test_mad_anomaly_vs_duckdb(ray_session, seed, parts):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import mad_anomaly_counts
+
+    df = _events(np.random.default_rng(seed), n=700, keys=6)
+    got = (
+        mad_anomaly_counts(
+            rd.from_pandas(df).repartition(4),
+            key_col="key", value_col="cents", k_num=3, k_den=2,
+            num_partitions=parts,
+        )
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.execute(
+        """
+        WITH m AS (
+          SELECT key, COUNT(*) AS n_rows,
+                 CAST(2 * MEDIAN(cents) AS BIGINT) AS med2
+          FROM e GROUP BY key
+        ), d AS (
+          SELECT e.key, ABS(2 * e.cents - m.med2) AS dev, m.med2, m.n_rows
+          FROM e JOIN m USING (key)
+        ), md AS (
+          SELECT key, CAST(2 * MEDIAN(dev) AS BIGINT) AS mad22
+          FROM d GROUP BY key
+        )
+        SELECT d.key, MIN(d.n_rows) AS n_rows, MIN(d.med2) AS med2,
+               MIN(md.mad22) AS mad22,
+               CAST(SUM(CASE WHEN 4 * d.dev > 3 * md.mad22
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        FROM d JOIN md USING (key)
+        GROUP BY d.key ORDER BY d.key
+        """
+    ).df()
+    assert len(got) == len(want)
+    for c in ["key", "n_rows", "med2", "mad22", "n_anomalies"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_mad_anomaly_brute(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import mad_anomaly_counts
+
+    rng = np.random.default_rng(12)
+    df = _events(rng, n=301, keys=3)  # odd-ish sizes hit both median arms
+    got = (
+        mad_anomaly_counts(
+            rd.from_pandas(df), key_col="key", value_col="cents",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("key")
+        .sort_index()
+    )
+    for k, g in df.groupby("key"):
+        v = np.sort(g["cents"].to_numpy(np.int64))
+        n = len(v)
+        med2 = int(v[(n - 1) // 2]) + int(v[n // 2])
+        dev = np.sort(np.abs(2 * g["cents"].to_numpy(np.int64) - med2))
+        mad22 = int(dev[(n - 1) // 2]) + int(dev[n // 2])
+        n_anom = int(
+            (4 * np.abs(2 * g["cents"].to_numpy(np.int64) - med2) > 3 * mad22).sum()
+        )
+        row = got.loc[k]
+        assert int(row["med2"]) == med2
+        assert int(row["mad22"]) == mad22
+        assert int(row["n_anomalies"]) == n_anom
+        assert int(row["n_rows"]) == n
