@@ -876,7 +876,10 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
             # before return still guarantees the boundary rows are durable
             # when the task is marked done (exactly-once under retry)
             acc = accs[_shard_of(key, len(accs))]
-            fut = acc.put.remote(key, parts.filter(bmask))
+            # combine_chunks: the filtered boundary slice inherits the
+            # partials' ~60-chunk layout; shipping ~9k tiny buffers cost
+            # 0.4s PER SHARD at collect (measured) — one chunk fixes it
+            fut = acc.put.remote(key, parts.filter(bmask).combine_chunks())
             if cfg.fault_inject_dir:
                 ray.get(fut)
                 _maybe_crash(cfg.fault_inject_dir, key)
@@ -1322,7 +1325,9 @@ def rollup_both_clustered_fused(
             # ONE keyed side-channel message per item (retry overwrites),
             # async and overlapped with the finalize; the get before
             # return keeps it durable-before-done
-            fut = reg.put.remote(key, (sref, offs, parts.filter(bmask)), hull)
+            fut = reg.put.remote(
+                key, (sref, offs, parts.filter(bmask).combine_chunks()), hull
+            )
             if cfg_d.fault_inject_dir:
                 ray.get(fut)
                 _maybe_crash(cfg_d.fault_inject_dir, key)
