@@ -1466,3 +1466,41 @@ FROM r
 
 CORPUS_QUERIES["token_vocab_remap_sequences"] = q_token_vocab_remap
 CORPUS_ORACLE_SQL["token_vocab_remap_sequences"] = sql_token_vocab_remap()
+
+
+def q_token_diversity(sf_dir: str):
+    """Per-sequence lexical diversity, integer-exact: n_tok, n_distinct,
+    and the Simpson collision mass SUM c*(c-1) over per-sequence token
+    counts — the token-level analog of Gopher's distinct-word fraction,
+    chosen integer so hash-exactness never hangs on float summation order
+    (stages/tokens.token_diversity). Stateless, zero shuffles."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_diversity
+
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(TOKENS_CORPUS, columns=["doc_id", "tokens"])
+    return token_diversity(ds, tokens_col="tokens", id_col="doc_id")
+
+
+def sql_token_diversity() -> str:
+    _ensure_tokens_corpus()
+    return f"""
+SELECT d.doc_id,
+       CAST(len(d.tokens) AS BIGINT) AS n_tok,
+       CAST(COUNT(c.tok) AS BIGINT) AS n_distinct,
+       CAST(COALESCE(SUM(c.c * (c.c - 1)), 0) AS BIGINT) AS simpson_num
+FROM read_parquet('{TOKENS_CORPUS}/*.parquet') d
+LEFT JOIN (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(tokens) AS tok
+        FROM read_parquet('{TOKENS_CORPUS}/*.parquet'))
+  GROUP BY 1, 2
+) c USING (doc_id)
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+CORPUS_QUERIES["token_diversity_sequences"] = q_token_diversity
+CORPUS_ORACLE_SQL["token_diversity_sequences"] = sql_token_diversity()

@@ -473,3 +473,238 @@ ORDER BY d.user_id
 
 KEYED_QUERIES["mad_anomaly_events"] = q_mad_anomaly_events
 KEYED_ORACLE_SQL["mad_anomaly_events"] = SQL_MAD
+
+
+def _cents_prep(b: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts": b["ts"],
+            "cents": pc.cast(
+                pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def q_ohlc_daily_events(sf_dir: str):
+    """Daily OHLC candlestick bars per user over the cents stream —
+    decomposable batch-combiner partials (open/close carry their (ts, id)
+    argmin/argmax witness), one hash exchange, integer-exact vs the
+    FIRST_VALUE-window SQL twin (stages/keyed.ohlc_bars)."""
+    from ..stages.keyed import ohlc_bars
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    return ohlc_bars(
+        ds.map_batches(_cents_prep, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", value_col="cents",
+        id_col="event_id", bucket_s=86400, num_partitions=8,
+    )
+
+
+SQL_OHLC = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT user_id,
+         (tus // 86400000000) * 86400000000 AS bucket_us,
+         cents,
+         FIRST_VALUE(cents) OVER (
+             PARTITION BY user_id, (tus // 86400000000) * 86400000000
+             ORDER BY tus, event_id) AS open_v,
+         FIRST_VALUE(cents) OVER (
+             PARTITION BY user_id, (tus // 86400000000) * 86400000000
+             ORDER BY tus DESC, event_id DESC) AS close_v
+  FROM e
+)
+SELECT user_id, bucket_us, MIN(open_v) AS open_v, MAX(cents) AS high_v,
+       MIN(cents) AS low_v, MIN(close_v) AS close_v,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_v
+FROM w
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+KEYED_QUERIES["ohlc_daily_events"] = q_ohlc_daily_events
+KEYED_ORACLE_SQL["ohlc_daily_events"] = SQL_OHLC
+
+
+def q_acf_events(sf_dir: str):
+    """Per-user autocorrelation raw moments at row lags 1..3 — one hash
+    exchange, shifted-mask integer scatter-adds; the five exact integer
+    sums per (user, lag) match the LAG-window SQL twin bit-for-bit
+    (stages/keyed.acf_keyed)."""
+    from ..stages.keyed import acf_keyed
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    return acf_keyed(
+        ds.map_batches(_cents_prep, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", value_col="cents",
+        id_col="event_id", lags=(1, 2, 3), num_partitions=8,
+    )
+
+
+def _sql_acf_lag(lag: int) -> str:
+    return f"""
+    SELECT user_id, {lag} AS lag, cents AS b,
+           LAG(cents, {lag}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS a
+    FROM e"""
+
+
+SQL_ACF = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS cents
+  FROM events
+), l AS (
+  SELECT * FROM ({_sql_acf_lag(1)})
+  UNION ALL SELECT * FROM ({_sql_acf_lag(2)})
+  UNION ALL SELECT * FROM ({_sql_acf_lag(3)})
+)
+SELECT user_id, CAST(lag AS BIGINT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(a) AS BIGINT) AS sa,
+       CAST(SUM(b) AS BIGINT) AS sb,
+       CAST(SUM(a * a) AS BIGINT) AS saa,
+       CAST(SUM(b * b) AS BIGINT) AS sbb,
+       CAST(SUM(a * b) AS BIGINT) AS sab
+FROM l
+WHERE a IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+KEYED_QUERIES["acf_events"] = q_acf_events
+KEYED_ORACLE_SQL["acf_events"] = SQL_ACF
+
+
+def q_gap_detect_events(sf_dir: str):
+    """Per-user silence detection: gaps (consecutive-row ts deltas > 1h)
+    counted + max + total silent microseconds, exact int64 — the
+    monitoring dual of gapfill (stages/keyed.gap_detect)."""
+    from ..stages.keyed import gap_detect
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return gap_detect(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        threshold_s=3600, num_partitions=8,
+    )
+
+
+SQL_GAP = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events
+), d AS (
+  SELECT user_id,
+         tus - LAG(tus) OVER (
+             PARTITION BY user_id ORDER BY tus, event_id) AS delta
+  FROM e
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN delta > 3600000000 THEN 1 END), 0)
+            AS BIGINT) AS n_gaps,
+       CAST(COALESCE(MAX(CASE WHEN delta > 3600000000 THEN delta END), 0)
+            AS BIGINT) AS max_gap_us,
+       CAST(COALESCE(SUM(CASE WHEN delta > 3600000000 THEN delta END), 0)
+            AS BIGINT) AS total_gap_us
+FROM d
+GROUP BY 1
+ORDER BY 1
+"""
+
+KEYED_QUERIES["gap_detect_events"] = q_gap_detect_events
+KEYED_ORACLE_SQL["gap_detect_events"] = SQL_GAP
+
+
+def q_funnel_events(sf_dir: str):
+    """Ordered funnel view->click->purchase per user with a 3-day
+    per-step window: greedy earliest matching, one hash exchange, one
+    vectorized masked segmented-min pass per step
+    (stages/keyed.funnel_depth)."""
+    from ..stages.keyed import funnel_depth
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_depth(
+        ds, key_col="user_id", ts_col="ts", type_col="event_type",
+        steps=["view", "click", "purchase"], window_s=3 * 86400,
+        num_partitions=8,
+    )
+
+
+_FUNNEL_W = 3 * 86400 * 1_000_000
+
+SQL_FUNNEL = f"""
+WITH u1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), u2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN u1 ON e.user_id = u1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t1
+        AND epoch_us(e.ts) <= u1.t1 + {_FUNNEL_W}
+  GROUP BY 1
+), u3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN u2 ON e.user_id = u2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t2
+        AND epoch_us(e.ts) <= u2.t2 + {_FUNNEL_W}
+  GROUP BY 1
+), allu AS (SELECT DISTINCT user_id FROM events)
+SELECT a.user_id,
+       CAST(CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS depth,
+       t1, t2, t3
+FROM allu a
+LEFT JOIN u1 USING (user_id)
+LEFT JOIN u2 USING (user_id)
+LEFT JOIN u3 USING (user_id)
+ORDER BY 1
+"""
+
+KEYED_QUERIES["funnel_events"] = q_funnel_events
+KEYED_ORACLE_SQL["funnel_events"] = SQL_FUNNEL
+
+
+def q_cohort_retention_events(sf_dir: str):
+    """Weekly cohort-retention triangle over events: cohort = week bucket
+    of a user's first event; n_keys = distinct users active at each
+    (cohort, week offset). One exchange + O(distinct pairs) partials +
+    one tiny integer groupby (stages/keyed.cohort_retention)."""
+    from ..stages.keyed import cohort_retention
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(
+        ds, key_col="user_id", ts_col="ts", bucket_s=604_800,
+        num_partitions=8,
+    )
+
+
+SQL_COHORT = """
+WITH f AS (
+  SELECT user_id,
+         MIN(epoch_us(ts) // 604800000000 * 604800000000) AS coh
+  FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 604800000000 * 604800000000 AS b
+  FROM events
+)
+SELECT f.coh AS cohort_us,
+       CAST((a.b - f.coh) // 604800000000 AS BIGINT) AS "offset",
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+KEYED_QUERIES["cohort_retention_events"] = q_cohort_retention_events
+KEYED_ORACLE_SQL["cohort_retention_events"] = SQL_COHORT

@@ -678,3 +678,464 @@ def mad_anomaly_counts(
         ds.select_columns([key_col, value_col]), key_col, num_partitions,
         part_fn,
     )
+
+
+def ohlc_bars(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    bucket_s: int,
+    num_partitions: int | None = None,
+):
+    """OHLC candlestick downsampling per (key, time bucket): the classic
+    financial/monitoring rollup (open = value at the earliest (ts, id) in
+    the bucket, close = at the latest, high/low = max/min, plus n_rows and
+    an exact integer sum). value_col must be integer (cents) so every
+    output is integer-exact against the SQL twin.
+
+    Scale: OHLC is DECOMPOSABLE — each input batch collapses to at most
+    (keys x buckets in batch) partial rows carrying (open ts/id/value,
+    close ts/id/value, hi, lo, n, s) BEFORE the exchange, so the shuffle
+    moves bar partials, not ticks; one hash exchange by key; per-partition
+    merge is two lexsorts + reduceat over the few partials per bar.
+
+    Reference parity: getML expresses this as four FastProp features
+    (first/last/max/min over a time window, FastProp.cpp AGGREGATIONS);
+    here it is one fused bar operator.
+    """
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+    wid = int(bucket_s) * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = np.asarray(b[key_col])
+        ts = ts_to_us(b[ts_col].combine_chunks())
+        oid = np.asarray(b[id_col])
+        v = np.asarray(b[value_col].combine_chunks(), dtype=np.int64)
+        if len(key) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=b.schema.field(key_col).type),
+                    "bucket_us": pa.array([], type=pa.int64()),
+                    "o_ts": pa.array([], type=pa.int64()),
+                    "o_id": pa.array([], type=b.schema.field(id_col).type),
+                    "o_v": pa.array([], type=pa.int64()),
+                    "c_ts": pa.array([], type=pa.int64()),
+                    "c_id": pa.array([], type=b.schema.field(id_col).type),
+                    "c_v": pa.array([], type=pa.int64()),
+                    "hi": pa.array([], type=pa.int64()),
+                    "lo": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.int64()),
+                }
+            )
+        bucket = ts // wid * wid
+        order = np.lexsort((oid, ts, bucket, key))
+        k_s, b_s, t_s, i_s, v_s = (
+            key[order], bucket[order], ts[order], oid[order], v[order]
+        )
+        new = np.ones(len(k_s), dtype=bool)
+        new[1:] = (k_s[1:] != k_s[:-1]) | (b_s[1:] != b_s[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(k_s)) - 1
+        return pa.table(
+            {
+                key_col: pa.array(k_s[starts]),
+                "bucket_us": pa.array(b_s[starts]),
+                "o_ts": pa.array(t_s[starts]),
+                "o_id": pa.array(i_s[starts]),
+                "o_v": pa.array(v_s[starts]),
+                "c_ts": pa.array(t_s[ends]),
+                "c_id": pa.array(i_s[ends]),
+                "c_v": pa.array(v_s[ends]),
+                "hi": pa.array(np.maximum.reduceat(v_s, starts)),
+                "lo": pa.array(np.minimum.reduceat(v_s, starts)),
+                "n": pa.array(np.append(starts[1:], len(k_s)) - starts),
+                "s": pa.array(np.add.reduceat(v_s, starts)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col])
+        bucket = np.asarray(t["bucket_us"], dtype=np.int64)
+        if len(key) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=t.schema.field(key_col).type),
+                    "bucket_us": pa.array([], type=pa.int64()),
+                    "open_v": pa.array([], type=pa.int64()),
+                    "high_v": pa.array([], type=pa.int64()),
+                    "low_v": pa.array([], type=pa.int64()),
+                    "close_v": pa.array([], type=pa.int64()),
+                    "n_rows": pa.array([], type=pa.int64()),
+                    "sum_v": pa.array([], type=pa.int64()),
+                }
+            )
+        o_ts = np.asarray(t["o_ts"], dtype=np.int64)
+        o_id = np.asarray(t["o_id"])
+        o_v = np.asarray(t["o_v"], dtype=np.int64)
+        c_ts = np.asarray(t["c_ts"], dtype=np.int64)
+        c_id = np.asarray(t["c_id"])
+        c_v = np.asarray(t["c_v"], dtype=np.int64)
+        hi = np.asarray(t["hi"], dtype=np.int64)
+        lo = np.asarray(t["lo"], dtype=np.int64)
+        n = np.asarray(t["n"], dtype=np.int64)
+        s = np.asarray(t["s"], dtype=np.int64)
+        # open: first partial by (o_ts, o_id) within each (key, bucket)
+        ord_o = np.lexsort((o_id, o_ts, bucket, key))
+        k_o, b_o = key[ord_o], bucket[ord_o]
+        new = np.ones(len(k_o), dtype=bool)
+        new[1:] = (k_o[1:] != k_o[:-1]) | (b_o[1:] != b_o[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(k_o))
+        # close: last partial by (c_ts, c_id) within each segment — second
+        # lexsort with the segment id as the major key (segment order and
+        # sizes match the open ordering, so `ends` indexes both)
+        seg_id = np.cumsum(new) - 1
+        ord_c = np.lexsort((c_id[ord_o], c_ts[ord_o], seg_id))
+        last_in_seg = ord_c[ends - 1]
+        return pa.table(
+            {
+                key_col: pa.array(k_o[starts]),
+                "bucket_us": pa.array(b_o[starts]),
+                "open_v": pa.array(o_v[ord_o][starts]),
+                "high_v": pa.array(
+                    np.maximum.reduceat(hi[ord_o], starts)
+                ),
+                "low_v": pa.array(np.minimum.reduceat(lo[ord_o], starts)),
+                "close_v": pa.array(c_v[ord_o][last_in_seg]),
+                "n_rows": pa.array(np.add.reduceat(n[ord_o], starts)),
+                "sum_v": pa.array(np.add.reduceat(s[ord_o], starts)),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _hash_exchange(partials, key_col, num_partitions, merge)
+
+
+def acf_keyed(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    lags: tuple = (1, 2, 3),
+    num_partitions: int | None = None,
+):
+    """Per-key autocorrelation raw sums at the given row lags, over rows
+    ordered by (ts, id): for each (key, lag L) with pairs
+    (a, b) = (v[i], v[i+L]) inside the key,
+
+        n_pairs, sa = SUM(a), sb = SUM(b), saa = SUM(a*a),
+        sbb = SUM(b*b), sab = SUM(a*b)
+
+    — the five exact integer moments from which Pearson r_L is one
+    division. Integer outputs keep the engine and the DuckDB LAG-window
+    twin bit-identical (no float accumulation order to disagree on);
+    value_col must be integer (cents).
+
+    Scale: one hash exchange by key; per-partition kernel is a lexsort
+    plus, per lag, ONE shifted-mask pass with integer scatter-adds
+    (np.add.at on int64 — no float64 bincount weights). Overflow: |v|
+    <= V implies |sab| <= n * V^2; callers with V^2 * n near 2^63 should
+    pre-scale — the kernel raises on detected overflow rather than wrap.
+
+    Reference parity: getML has no ACF op; this extends the keyed
+    ordered-analytics family the same way cusum_changepoint does.
+    """
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+    lags = tuple(int(x) for x in lags)
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col])
+        ts = ts_to_us(t[ts_col].combine_chunks())
+        oid = np.asarray(t[id_col])
+        v = np.asarray(t[value_col].combine_chunks(), dtype=np.int64)
+        out_key, out_lag, out_n = [], [], []
+        out_sa, out_sb, out_saa, out_sbb, out_sab = [], [], [], [], []
+        if len(key):
+            order = np.lexsort((oid, ts, key))
+            k_s, v_s = key[order], v[order]
+            new = np.ones(len(k_s), dtype=bool)
+            new[1:] = k_s[1:] != k_s[:-1]
+            seg = np.cumsum(new) - 1
+            uniq = k_s[new]
+            nseg = len(uniq)
+            for L in lags:
+                if len(v_s) <= L:
+                    continue
+                a, b = v_s[:-L], v_s[L:]
+                m = seg[:-L] == seg[L:]
+                sidx = seg[:-L][m]
+                a, b = a[m], b[m]
+                acc = np.zeros((6, nseg), dtype=np.int64)
+                np.add.at(acc[0], sidx, 1)
+                np.add.at(acc[1], sidx, a)
+                np.add.at(acc[2], sidx, b)
+                # overflow guard: products and their totals re-done in
+                # python ints would be O(n) slow — instead bound-check:
+                # max |v| within the partition caps every |sum| at
+                # n * vmax^2, which must fit int64
+                vmax = int(np.abs(v_s).max()) if len(v_s) else 0
+                if vmax and vmax * vmax > (2**62) // max(len(v_s), 1):
+                    raise OverflowError(
+                        "acf_keyed: |value|^2 * n may exceed int64 — "
+                        "pre-scale value_col"
+                    )
+                aa, bb, ab = a * a, b * b, a * b
+                np.add.at(acc[3], sidx, aa)
+                np.add.at(acc[4], sidx, bb)
+                np.add.at(acc[5], sidx, ab)
+                keep = acc[0] > 0
+                ki = np.flatnonzero(keep)
+                out_key.append(uniq[ki])
+                out_lag.append(np.full(len(ki), L, dtype=np.int64))
+                out_n.append(acc[0][ki])
+                out_sa.append(acc[1][ki])
+                out_sb.append(acc[2][ki])
+                out_saa.append(acc[3][ki])
+                out_sbb.append(acc[4][ki])
+                out_sab.append(acc[5][ki])
+        if not out_key:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=t.schema.field(key_col).type),
+                    "lag": pa.array([], type=pa.int64()),
+                    "n_pairs": pa.array([], type=pa.int64()),
+                    "sa": pa.array([], type=pa.int64()),
+                    "sb": pa.array([], type=pa.int64()),
+                    "saa": pa.array([], type=pa.int64()),
+                    "sbb": pa.array([], type=pa.int64()),
+                    "sab": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                key_col: pa.array(np.concatenate(out_key)),
+                "lag": pa.array(np.concatenate(out_lag)),
+                "n_pairs": pa.array(np.concatenate(out_n)),
+                "sa": pa.array(np.concatenate(out_sa)),
+                "sb": pa.array(np.concatenate(out_sb)),
+                "saa": pa.array(np.concatenate(out_saa)),
+                "sbb": pa.array(np.concatenate(out_sbb)),
+                "sab": pa.array(np.concatenate(out_sab)),
+            }
+        )
+
+    return _hash_exchange(ds, key_col, num_partitions, part_fn)
+
+
+def gap_detect(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    threshold_s: float,
+    num_partitions: int | None = None,
+):
+    """Per-key silence/gap detection: over rows ordered by (ts, id),
+    consecutive-row deltas d = ts[i+1] - ts[i] with d > threshold are
+    gaps. Output per key: n_rows, n_gaps, max_gap_us, total_gap_us (sum
+    of the gap deltas) — all exact int64 microseconds.
+
+    The monitoring-side dual of gap-FILL (stages/gapfill.py): gapfill
+    repairs a known grid, gap_detect FINDS the holes on an irregular
+    stream. One hash exchange; O(n log n) lexsort + O(n) passes."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+    thr_us = int(round(float(threshold_s) * 1_000_000))
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col])
+        ts = ts_to_us(t[ts_col].combine_chunks())
+        oid = np.asarray(t[id_col])
+        if len(key) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=t.schema.field(key_col).type),
+                    "n_rows": pa.array([], type=pa.int64()),
+                    "n_gaps": pa.array([], type=pa.int64()),
+                    "max_gap_us": pa.array([], type=pa.int64()),
+                    "total_gap_us": pa.array([], type=pa.int64()),
+                }
+            )
+        order = np.lexsort((oid, ts, key))
+        k_s, t_s = key[order], ts[order]
+        new = np.ones(len(k_s), dtype=bool)
+        new[1:] = k_s[1:] != k_s[:-1]
+        seg = np.cumsum(new) - 1
+        uniq = k_s[new]
+        nseg = len(uniq)
+        n_rows = np.bincount(seg, minlength=nseg).astype(np.int64)
+        d = t_s[1:] - t_s[:-1]
+        same = seg[1:] == seg[:-1]
+        gap = same & (d > thr_us)
+        sidx = seg[:-1][gap]
+        gd = d[gap]
+        n_gaps = np.zeros(nseg, dtype=np.int64)
+        np.add.at(n_gaps, sidx, 1)
+        total = np.zeros(nseg, dtype=np.int64)
+        np.add.at(total, sidx, gd)
+        mx = np.zeros(nseg, dtype=np.int64)
+        np.maximum.at(mx, sidx, gd)
+        return pa.table(
+            {
+                key_col: pa.array(uniq),
+                "n_rows": pa.array(n_rows),
+                "n_gaps": pa.array(n_gaps),
+                "max_gap_us": pa.array(mx),
+                "total_gap_us": pa.array(total),
+            }
+        )
+
+    return _hash_exchange(ds, key_col, num_partitions, part_fn)
+
+
+def funnel_depth(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list,
+    window_s: float | None = None,
+    num_partitions: int | None = None,
+):
+    """Greedy sequential funnel per key: match step 1 at its earliest
+    occurrence, then each following step at its earliest occurrence
+    STRICTLY AFTER the previous match (and, when window_s is set, within
+    window_s of the previous match). Output per key: depth (0..len(steps))
+    plus the matched timestamps t1..tk (int64 us, NULL where unmatched) —
+    the standard product-analytics funnel definition (Amplitude/GA
+    "ordered funnel with per-step window").
+
+    Scale: one hash exchange by key; per step ONE vectorized masked
+    segmented-min pass (np.minimum.at) — O(k * n) total, no sort needed.
+
+    Reference parity: getML composes this as k chained FastProp
+    `min` features with lag conditions (Matchmaker.hpp lag windows);
+    here it is one operator.
+    """
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+    w_us = None if window_s is None else int(round(float(window_s) * 1e6))
+    steps = list(steps)
+    SENT = np.int64(2**62)
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col])
+        ts = ts_to_us(t[ts_col].combine_chunks())
+        typ = np.asarray(t[type_col]).astype(str)
+        uniq, gid = (np.unique(key, return_inverse=True)
+                     if len(key) else (key[:0], np.zeros(0, dtype=np.int64)))
+        nseg = len(uniq)
+        t_match = []
+        prev = np.full(nseg, -SENT, dtype=np.int64)  # "after start of time"
+        for si, s in enumerate(steps):
+            cur = np.full(nseg, SENT, dtype=np.int64)
+            m = typ == s
+            if si > 0 or w_us is not None:
+                pv = prev[gid]
+                cond = m & (ts > pv) if si > 0 else m
+                if si > 0 and w_us is not None:
+                    # window measured from the previous matched step
+                    cond &= ts <= pv + w_us
+            else:
+                cond = m
+            np.minimum.at(cur, gid[cond], ts[cond])
+            t_match.append(cur)
+            prev = cur  # unmatched segs carry SENT -> nothing matches after
+        depth = np.zeros(nseg, dtype=np.int64)
+        for cur in t_match:
+            depth += (cur < SENT).astype(np.int64)
+        cols = {key_col: pa.array(uniq), "depth": pa.array(depth)}
+        for si, cur in enumerate(t_match):
+            cols[f"t{si + 1}"] = pa.array(cur, mask=cur >= SENT)
+        return pa.table(cols)
+
+    return _hash_exchange(ds, key_col, num_partitions, part_fn)
+
+
+def cohort_retention(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    bucket_s: int = 604_800,
+    num_partitions: int | None = None,
+):
+    """Cohort retention matrix: each key's cohort is the time bucket of its
+    FIRST event; for every (cohort_bucket, offset) the number of distinct
+    keys with at least one event `offset` buckets after their cohort
+    bucket. Output (cohort_us, offset, n_keys) — the classic weekly
+    retention triangle (bucket_s defaults to one week).
+
+    Scale: one hash exchange by key (all rows of a key land together),
+    per-partition kernel derives first-bucket + distinct (key, bucket)
+    pairs via lexsort, emits per-partition partial counts — O(distinct
+    pairs) rows — merged by ONE tiny integer groupby."""
+    from ray.data.aggregate import Sum
+
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+    wid = int(bucket_s) * 1_000_000
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col])
+        ts = ts_to_us(t[ts_col].combine_chunks())
+        if len(key) == 0:
+            return pa.table(
+                {
+                    "cohort_us": pa.array([], type=pa.int64()),
+                    "offset": pa.array([], type=pa.int64()),
+                    "n_keys": pa.array([], type=pa.int64()),
+                }
+            )
+        bucket = ts // wid * wid
+        order = np.lexsort((bucket, key))
+        k_s, b_s = key[order], bucket[order]
+        new_seg = np.ones(len(k_s), dtype=bool)
+        new_seg[1:] = k_s[1:] != k_s[:-1]
+        seg = np.cumsum(new_seg) - 1
+        first_b = b_s[new_seg][seg]  # cohort bucket broadcast to rows
+        # distinct (key, bucket): first row of each (key, bucket) run
+        new_pair = new_seg.copy()
+        new_pair[1:] |= b_s[1:] != b_s[:-1]
+        coh = first_b[new_pair]
+        off = (b_s[new_pair] - coh) // wid
+        # partial counts per (cohort, offset) — pack via the factorized
+        # cohort INDEX (a raw us timestamp * 100k would overflow int64)
+        cu, ci = np.unique(coh, return_inverse=True)
+        pk = ci.astype(np.int64) * 100_000 + off
+        u, cnt = np.unique(pk, return_counts=True)
+        return pa.table(
+            {
+                "cohort_us": pa.array(cu[u // 100_000]),
+                "offset": pa.array(u % 100_000),
+                "n_keys": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    parts = _hash_exchange(ds, key_col, num_partitions, part_fn)
+    return (
+        parts.groupby(["cohort_us", "offset"])
+        .aggregate(Sum("n_keys", alias_name="n_keys"))
+    )

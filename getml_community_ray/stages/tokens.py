@@ -532,3 +532,66 @@ def token_vocab_remap(ds, *, tokens_col: str = "tokens",
         zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+def token_diversity(ds, *, tokens_col: str = "tokens",
+                    id_col: str = "doc_id"):
+    """Per-sequence lexical-diversity stats, all integer-exact:
+
+      n_tok      — sequence length
+      n_distinct — distinct token ids in the sequence
+      simpson_num — SUM over distinct tokens of c*(c-1), the numerator of
+                    the Simpson/Gini repeat-mass index (prob. two random
+                    token draws collide = simpson_num / (n*(n-1)))
+
+    Integer outputs on purpose: a float entropy would hang hash-exactness
+    on summation ORDER (engine numpy vs DuckDB aggregate order); the
+    Simpson collision mass carries the same repetitiveness signal (high =
+    repetitive boilerplate, low = diverse text — the quality axis Gopher's
+    distinct-word fraction measures for words, here for tokens) and is
+    bit-exact on both sides.
+
+    Stateless per-batch kernel, no shuffle at all: within a batch, one
+    lexsort of (row, token) + run-length pass — O(T log T) on the
+    flattened tokens, output one row per sequence."""
+
+    def f(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        vals = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        n_tok = np.diff(off)
+        nrows = len(n_tok)
+        if len(vals) == 0:
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "n_tok": pa.array(n_tok),
+                    "n_distinct": pa.array(
+                        np.zeros(nrows, dtype=np.int64)),
+                    "simpson_num": pa.array(
+                        np.zeros(nrows, dtype=np.int64)),
+                }
+            )
+        row = np.repeat(np.arange(nrows, dtype=np.int64), n_tok)
+        order = np.lexsort((vals, row))
+        r_s, v_s = row[order], vals[order]
+        new = np.ones(len(v_s), dtype=bool)
+        new[1:] = (r_s[1:] != r_s[:-1]) | (v_s[1:] != v_s[:-1])
+        starts = np.flatnonzero(new)
+        runlen = np.diff(np.append(starts, len(v_s)))
+        run_row = r_s[starts]
+        n_distinct = np.zeros(nrows, dtype=np.int64)
+        np.add.at(n_distinct, run_row, 1)
+        simpson = np.zeros(nrows, dtype=np.int64)
+        np.add.at(simpson, run_row, runlen * (runlen - 1))
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tok": pa.array(n_tok),
+                "n_distinct": pa.array(n_distinct),
+                "simpson_num": pa.array(simpson),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

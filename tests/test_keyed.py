@@ -551,3 +551,247 @@ def test_mad_anomaly_brute(ray_session):
         assert int(row["mad22"]) == mad22
         assert int(row["n_anomalies"]) == n_anom
         assert int(row["n_rows"]) == n
+
+
+@pytest.mark.parametrize("seed,parts", [(3, 1), (4, 6)])
+def test_ohlc_bars_vs_duckdb(ray_session, seed, parts):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import ohlc_bars
+
+    df = _events(np.random.default_rng(seed))
+    got = (
+        ohlc_bars(
+            rd.from_pandas(df).repartition(5),
+            key_col="key", ts_col="ts", value_col="cents", id_col="eid",
+            bucket_s=3600, num_partitions=parts,
+        )
+        .to_pandas()
+        .sort_values(["key", "bucket_us"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.execute(
+        """
+        WITH w AS (
+          SELECT key, (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+                 cents,
+                 FIRST_VALUE(cents) OVER (
+                     PARTITION BY key,
+                       (epoch_us(ts) // 3600000000) * 3600000000
+                     ORDER BY epoch_us(ts), eid) AS open_v,
+                 FIRST_VALUE(cents) OVER (
+                     PARTITION BY key,
+                       (epoch_us(ts) // 3600000000) * 3600000000
+                     ORDER BY epoch_us(ts) DESC, eid DESC) AS close_v
+          FROM e
+        )
+        SELECT key, bucket_us, MIN(open_v) AS open_v, MAX(cents) AS high_v,
+               MIN(cents) AS low_v, MIN(close_v) AS close_v,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_v
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"bucket_us": np.int64}), want.astype(got.dtypes.to_dict())
+    )
+
+
+def test_acf_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import acf_keyed
+
+    df = _events(np.random.default_rng(7), n=600, keys=5)
+    got = (
+        acf_keyed(
+            rd.from_pandas(df).repartition(4),
+            key_col="key", ts_col="ts", value_col="cents", id_col="eid",
+            lags=(1, 2, 5), num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["key", "lag"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    lag_sql = " UNION ALL ".join(
+        f"""SELECT key, {L} AS lag, cents AS b,
+            LAG(cents, {L}) OVER (PARTITION BY key ORDER BY ts, eid) AS a
+            FROM e"""
+        for L in (1, 2, 5)
+    )
+    want = con.execute(
+        f"""
+        SELECT key, CAST(lag AS BIGINT) AS lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+               CAST(SUM(a*a) AS BIGINT) AS saa,
+               CAST(SUM(b*b) AS BIGINT) AS sbb,
+               CAST(SUM(a*b) AS BIGINT) AS sab
+        FROM ({lag_sql}) WHERE a IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_acf_overflow_guard(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import acf_keyed
+
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(4, dtype=np.int64),
+            "key": np.zeros(4, dtype=np.int64),
+            "ts": pd.to_datetime(
+                np.arange(4) * 1_000_000, unit="us"
+            ).astype("datetime64[us]"),
+            "cents": np.full(4, 2**32, dtype=np.int64),  # v^2 = 2^64
+        }
+    )
+    with pytest.raises(Exception, match="int64|OverflowError|pre-scale"):
+        acf_keyed(
+            rd.from_pandas(df), key_col="key", ts_col="ts",
+            value_col="cents", id_col="eid", lags=(1,), num_partitions=1,
+        ).to_pandas()
+
+
+def test_gap_detect_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import gap_detect
+
+    df = _events(np.random.default_rng(11), n=700, keys=6)
+    got = (
+        gap_detect(
+            rd.from_pandas(df).repartition(4),
+            key_col="key", ts_col="ts", id_col="eid",
+            threshold_s=1800, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.execute(
+        """
+        WITH d AS (
+          SELECT key,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY key ORDER BY epoch_us(ts), eid) AS delta
+          FROM e
+        )
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(CASE WHEN delta > 1800000000 THEN 1 END), 0)
+                    AS BIGINT) AS n_gaps,
+               CAST(COALESCE(MAX(CASE WHEN delta > 1800000000 THEN delta END),
+                    0) AS BIGINT) AS max_gap_us,
+               CAST(COALESCE(SUM(CASE WHEN delta > 1800000000 THEN delta END),
+                    0) AS BIGINT) AS total_gap_us
+        FROM d GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_funnel_depth_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import funnel_depth
+
+    rng = np.random.default_rng(13)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 40, n).astype(np.int64),
+            "ts": (
+                1_700_000_000_000_000
+                + rng.integers(0, 10_000, n) * 60_000_000
+            ).astype("datetime64[us]"),
+            "typ": rng.choice(["a", "b", "c", "x"], n),
+        }
+    )
+    W = 3600 * 24
+    got = (
+        funnel_depth(
+            rd.from_pandas(df).repartition(4),
+            key_col="key", ts_col="ts", type_col="typ",
+            steps=["a", "b", "c"], window_s=W, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    wus = W * 1_000_000
+    want = con.execute(
+        f"""
+        WITH u1 AS (SELECT key, MIN(epoch_us(ts)) AS t1 FROM e
+                    WHERE typ = 'a' GROUP BY 1),
+        u2 AS (SELECT e.key, MIN(epoch_us(e.ts)) AS t2 FROM e
+               JOIN u1 ON e.key = u1.key
+               WHERE e.typ = 'b' AND epoch_us(e.ts) > u1.t1
+                     AND epoch_us(e.ts) <= u1.t1 + {wus} GROUP BY 1),
+        u3 AS (SELECT e.key, MIN(epoch_us(e.ts)) AS t3 FROM e
+               JOIN u2 ON e.key = u2.key
+               WHERE e.typ = 'c' AND epoch_us(e.ts) > u2.t2
+                     AND epoch_us(e.ts) <= u2.t2 + {wus} GROUP BY 1),
+        allu AS (SELECT DISTINCT key FROM e)
+        SELECT a.key,
+               CAST(CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS depth, t1, t2, t3
+        FROM allu a LEFT JOIN u1 USING (key) LEFT JOIN u2 USING (key)
+        LEFT JOIN u3 USING (key) ORDER BY 1
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_cohort_retention_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import cohort_retention
+
+    rng = np.random.default_rng(17)
+    n = 1000
+    df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 60, n).astype(np.int64),
+            "ts": (
+                1_700_000_000_000_000
+                + rng.integers(0, 40 * 86400, n) * 1_000_000
+            ).astype("datetime64[us]"),
+        }
+    )
+    wid = 604_800 * 1_000_000
+    got = (
+        cohort_retention(
+            rd.from_pandas(df).repartition(5),
+            key_col="key", ts_col="ts", bucket_s=604_800, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["cohort_us", "offset"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.execute(
+        f"""
+        WITH f AS (SELECT key, MIN(epoch_us(ts) // {wid} * {wid}) AS coh
+                   FROM e GROUP BY 1),
+        a AS (SELECT DISTINCT key, epoch_us(ts) // {wid} * {wid} AS b FROM e)
+        SELECT f.coh AS cohort_us,
+               CAST((a.b - f.coh) // {wid} AS BIGINT) AS "offset",
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM a JOIN f USING (key) GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))

@@ -404,3 +404,51 @@ def test_token_vocab_remap_vs_brute(ray_session):
         assert np.array_equal(
             np.asarray(got.loc[did, "tokens"], dtype=np.int32), want
         )
+
+
+def test_token_diversity_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from getml_community_ray.stages.tokens import token_diversity
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(300):
+        n = int(rng.integers(1, 60))
+        rows.append(rng.integers(0, 50, n).astype(np.int32))
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:04d}" for i in range(300)]),
+            "tokens": pa.array(
+                [r.tolist() for r in rows], type=pa.list_(pa.int32())
+            ),
+        }
+    )
+    got = (
+        token_diversity(rd.from_arrow(t).repartition(4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("seqs", t)
+    want = con.execute(
+        """
+        SELECT d.doc_id, CAST(len(d.tokens) AS BIGINT) AS n_tok,
+               CAST(COUNT(c.tok) AS BIGINT) AS n_distinct,
+               CAST(COALESCE(SUM(c.c * (c.c - 1)), 0) AS BIGINT)
+                   AS simpson_num
+        FROM seqs d
+        LEFT JOIN (
+          SELECT doc_id, tok, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(tokens) AS tok FROM seqs)
+          GROUP BY 1, 2
+        ) c USING (doc_id)
+        GROUP BY 1, 2 ORDER BY 1
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
