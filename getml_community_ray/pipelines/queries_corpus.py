@@ -1504,3 +1504,73 @@ ORDER BY 1
 
 CORPUS_QUERIES["token_diversity_sequences"] = q_token_diversity
 CORPUS_ORACLE_SQL["token_diversity_sequences"] = sql_token_diversity()
+
+
+_MASK_ID, _MASK_PCT, _MASK_MUL = 50256, 15, 1_000_003
+
+
+def q_token_mask(sf_dir: str):
+    """Deterministic MLM-style masking over the tokens payload
+    (stages/tokens.token_mask): mask token (doc, pos) iff
+    splitmix64(dockey*MUL + pos) % 100 < 15, dockey parsed from the
+    doc_id digits. Hash-seeded by (key, pos) so the mask is invariant to
+    batch boundaries and partitioning — any 100 TB shard recomputes its
+    masks in isolation. Output pins the masked sequence with integer
+    sums; the DuckDB twin spells the identical splitmix64."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.tokens import token_mask
+
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(TOKENS_CORPUS, columns=["doc_id", "tokens"])
+
+    def add_key(b: pa.Table) -> pa.Table:
+        d = b["doc_id"]
+        s = pc.cast(pc.utf8_slice_codeunits(d, 3, 6), pa.int64())
+        t = pc.cast(pc.utf8_slice_codeunits(d, 7, 19), pa.int64())
+        key = pc.add(pc.multiply(s, pa.scalar(10**12, pa.int64())), t)
+        return b.append_column("dockey", key)
+
+    ds = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    return token_mask(
+        ds, tokens_col="tokens", id_col="doc_id", key_col="dockey",
+        mask_id=_MASK_ID, rate_pct=_MASK_PCT, pos_mul=_MASK_MUL,
+    )
+
+
+def sql_token_mask() -> str:
+    from ..kernels.hashing import SQL_M64, sql_mulmod, sql_splitmix64_cols
+
+    _ensure_tokens_corpus()
+    sm = ",\n         ".join(sql_splitmix64_cols("x", "m_"))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(substring(doc_id, 4, 3) AS BIGINT) * 1000000000000
+           + CAST(substring(doc_id, 8) AS BIGINT) AS dockey,
+         CAST(len(tokens) AS BIGINT) AS n_tok,
+         unnest(CAST(tokens AS BIGINT[])) AS tok,
+         unnest(generate_series(1, len(tokens))) AS pos
+  FROM read_parquet('{TOKENS_CORPUS}/*.parquet') WHERE len(tokens) > 0
+),
+h AS (
+  SELECT doc_id, n_tok, tok, pos,
+         {sql_mulmod('dockey', _MASK_MUL)} AS mm,
+         CAST((CAST(mm AS HUGEINT) + pos) % {SQL_M64} AS UBIGINT) AS x,
+         {sm}
+  FROM t
+)
+SELECT doc_id, n_tok,
+       CAST(COALESCE(SUM(CASE WHEN m_out % 100 < {_MASK_PCT} THEN 1 END), 0)
+            AS BIGINT) AS n_masked,
+       CAST(COALESCE(SUM(CASE WHEN m_out % 100 < {_MASK_PCT} THEN pos END), 0)
+            AS BIGINT) AS masked_pos_sum,
+       CAST(SUM(CASE WHEN m_out % 100 < {_MASK_PCT} THEN {_MASK_ID} ELSE tok END)
+            AS BIGINT) AS tok_sum
+FROM h GROUP BY 1, 2
+"""
+
+
+CORPUS_QUERIES["token_mask_sequences"] = q_token_mask
+CORPUS_ORACLE_SQL["token_mask_sequences"] = sql_token_mask()

@@ -595,3 +595,83 @@ def token_diversity(ds, *, tokens_col: str = "tokens",
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_mask(
+    ds,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    key_col: str | None = None,
+    mask_id: int = 50256,
+    rate_pct: int = 15,
+    pos_mul: int = 1_000_003,
+):
+    """Deterministic MLM-style token masking (BERT's 15% rule, made
+    reproducible): token at 1-based position `pos` of the sequence whose
+    int64 key is `k` (column `key_col`, default = `id_col`) is replaced
+    with `mask_id` iff
+
+        splitmix64(k * pos_mul + pos) % 100 < rate_pct
+
+    (all arithmetic mod 2^64). Seeding by (key, pos) instead of a
+    global RNG stream makes the mask independent of batch boundaries,
+    partitioning and execution order — the property a resumable 100 TB
+    masking pass needs (any shard can be recomputed in isolation) — and
+    lets a DuckDB twin spell the identical hash, so the op is
+    oracle-checkable.
+
+    Returns one row per non-empty sequence with integer pins of the
+    masked sequence: n_tok, n_masked, masked_pos_sum (sum of 1-based
+    masked positions) and tok_sum (sum of token ids AFTER masking).
+    Stateless per-batch kernel, zero shuffles; the tokens payload never
+    leaves the map task."""
+    from ..kernels.hashing import splitmix64
+
+    kcol = key_col or id_col
+
+    def f(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        vals = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        n_tok = np.diff(off)
+        keep = n_tok > 0
+        keys = np.asarray(b[kcol], dtype=np.int64)
+        out_ids = b[id_col].combine_chunks()
+        nrows = len(n_tok)
+        if len(vals) == 0 or not keep.any():
+            z = np.zeros(0, dtype=np.int64)
+            return pa.table(
+                {id_col: out_ids.take(pa.array(z)), "n_tok": pa.array(z),
+                 "n_masked": pa.array(z), "masked_pos_sum": pa.array(z),
+                 "tok_sum": pa.array(z)}
+            )
+        row = np.repeat(np.arange(nrows, dtype=np.int64), n_tok)
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(off[:-1], n_tok) + 1
+        # x = key * pos_mul + pos  (mod 2^64, via int64 wraparound views)
+        with np.errstate(over="ignore"):
+            x = (keys[row] * np.int64(pos_mul) + pos).view(np.uint64)
+        h = splitmix64(x)
+        mask = (h % np.uint64(100)) < np.uint64(rate_pct)
+        masked_vals = np.where(mask, np.int64(mask_id), vals)
+        n_masked = np.zeros(nrows, dtype=np.int64)
+        np.add.at(n_masked, row[mask], 1)
+        pos_sum = np.zeros(nrows, dtype=np.int64)
+        np.add.at(pos_sum, row[mask], pos[mask])
+        # reduceat over KEPT rows' anchors only: a zero-length row's anchor
+        # equals its successor's (or len(vals) at the tail) and would
+        # truncate / misread neighbor slices
+        tok_sum = np.add.reduceat(masked_vals, off[:-1][keep])
+        keep_ix = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                id_col: out_ids.take(keep_ix),
+                "n_tok": pa.array(n_tok[keep]),
+                "n_masked": pa.array(n_masked[keep]),
+                "masked_pos_sum": pa.array(pos_sum[keep]),
+                "tok_sum": pa.array(tok_sum),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -452,3 +452,52 @@ def test_token_diversity_vs_duckdb(ray_session):
         """
     ).df()
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_token_mask_vs_brute(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.kernels.hashing import splitmix64
+    from getml_community_ray.stages.tokens import token_mask
+
+    rng = np.random.default_rng(7)
+    tbl, toks = _tok_table(rng, n_docs=150, vocab=50)
+    got = (
+        token_mask(rd.from_arrow(tbl), tokens_col="tokens",
+                   id_col="doc_id", mask_id=99, rate_pct=20, pos_mul=31)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    # empty sequences are dropped
+    assert set(got.index) == {i for i, t in enumerate(toks) if len(t)}
+    for did, t in enumerate(toks):
+        if not len(t):
+            continue
+        pos = np.arange(1, len(t) + 1, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            x = (np.int64(did) * np.int64(31) + pos).view(np.uint64)
+        m = (splitmix64(x) % np.uint64(100)) < np.uint64(20)
+        assert got.loc[did, "n_tok"] == len(t)
+        assert got.loc[did, "n_masked"] == int(m.sum())
+        assert got.loc[did, "masked_pos_sum"] == int(pos[m].sum())
+        assert got.loc[did, "tok_sum"] == int(
+            np.where(m, 99, t.astype(np.int64)).sum())
+
+
+def test_token_mask_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.tokens import token_mask
+
+    rng = np.random.default_rng(8)
+    tbl, _ = _tok_table(rng, n_docs=120, vocab=30)
+
+    def run(nparts):
+        ds = rd.from_arrow(tbl).repartition(nparts)
+        return (
+            token_mask(ds, tokens_col="tokens", id_col="doc_id")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(1), run(7))
