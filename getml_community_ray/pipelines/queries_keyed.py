@@ -708,3 +708,51 @@ ORDER BY 1, 2
 
 KEYED_QUERIES["cohort_retention_events"] = q_cohort_retention_events
 KEYED_ORACLE_SQL["cohort_retention_events"] = SQL_COHORT
+
+
+def q_threshold_episodes_events(sf_dir: str):
+    """Per-user threshold-exceedance episodes (gaps-and-islands; the
+    alert-firing-period primitive): maximal runs of consecutive events
+    with value > 60 in (ts, event_id) order, one output row per episode
+    with exact int64 bounds/counts and the run's exact max
+    (stages/keyed.threshold_episodes)."""
+    from ..stages.keyed import threshold_episodes
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return threshold_episodes(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="value", threshold=60.0, num_partitions=8,
+    )
+
+
+SQL_EPISODES = """
+WITH f AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id, value,
+         (value > 60.0) AS above,
+         ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY tus, event_id) AS rn,
+         ROW_NUMBER() OVER (
+             PARTITION BY user_id, (value > 60.0)
+             ORDER BY tus, event_id) AS rn2
+  FROM events
+),
+g AS (SELECT * FROM f WHERE above),
+e AS (
+  SELECT user_id,
+         MIN(tus) AS start_us, MAX(tus) AS end_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(value) AS v_max
+  FROM g GROUP BY user_id, rn - rn2
+)
+SELECT user_id,
+       ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY start_us) - 1 AS episode_ix,
+       start_us, end_us, n_events, v_max
+FROM e
+ORDER BY 1, 2
+"""
+
+KEYED_QUERIES["threshold_episodes_events"] = q_threshold_episodes_events
+KEYED_ORACLE_SQL["threshold_episodes_events"] = SQL_EPISODES

@@ -1139,3 +1139,96 @@ def cohort_retention(
         parts.groupby(["cohort_us", "offset"])
         .aggregate(Sum("n_keys", alias_name="n_keys"))
     )
+
+
+def threshold_episodes(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    threshold: float,
+    num_partitions: int | None = None,
+):
+    """Per-key threshold-exceedance episodes (gaps-and-islands; the
+    alert-firing-period primitive of monitoring engines): over rows
+    ordered by (ts, id), a maximal run of CONSECUTIVE rows with
+    value > threshold is one episode. Output one row per episode:
+
+      key, episode_ix (0-based per key in time order),
+      start_us / end_us (epoch microseconds of first/last row),
+      n_events, v_max (exact max of the run — no float summation).
+
+    One hash exchange by key; per partition a single lexsort + O(n)
+    run-length pass (run starts where `above` begins or the key
+    changes). Episode boundaries depend only on rows of one key, so
+    hash partitioning is exact — the documented partitioning assumption."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+    thr = float(threshold)
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col])
+        ts = ts_to_us(t[ts_col].combine_chunks())
+        oid = np.asarray(t[id_col])
+        val = np.asarray(t[value_col], dtype=np.float64)
+        kt = t.schema.field(key_col).type
+        if len(key) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=kt),
+                    "episode_ix": pa.array([], type=pa.int64()),
+                    "start_us": pa.array([], type=pa.int64()),
+                    "end_us": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "v_max": pa.array([], type=pa.float64()),
+                }
+            )
+        order = np.lexsort((oid, ts, key))
+        k_s, t_s, v_s = key[order], ts[order], val[order]
+        ab = v_s > thr
+        if not ab.any():
+            return pa.table(
+                {
+                    key_col: pa.array([], type=kt),
+                    "episode_ix": pa.array([], type=pa.int64()),
+                    "start_us": pa.array([], type=pa.int64()),
+                    "end_us": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "v_max": pa.array([], type=pa.float64()),
+                }
+            )
+        new_key = np.ones(len(k_s), dtype=bool)
+        new_key[1:] = k_s[1:] != k_s[:-1]
+        prev_ab = np.concatenate(([False], ab[:-1]))
+        start = ab & (new_key | ~prev_ab)
+        pos = np.flatnonzero(ab)          # ascending; runs contiguous
+        s_in_pos = np.flatnonzero(start[pos])  # run starts within pos
+        n_runs = len(s_in_pos)
+        run_end = np.append(s_in_pos[1:], len(pos)) - 1
+        start_us = t_s[pos[s_in_pos]]
+        end_us = t_s[pos[run_end]]
+        n_events = (run_end - s_in_pos + 1).astype(np.int64)
+        v_max = np.maximum.reduceat(v_s[pos], s_in_pos)
+        run_keys = k_s[pos[s_in_pos]]
+        new_rk = np.ones(n_runs, dtype=bool)
+        new_rk[1:] = run_keys[1:] != run_keys[:-1]
+        first_of_key = np.maximum.accumulate(
+            np.where(new_rk, np.arange(n_runs, dtype=np.int64), 0)
+        )
+        episode_ix = np.arange(n_runs, dtype=np.int64) - first_of_key
+        return pa.table(
+            {
+                key_col: pa.array(run_keys),
+                "episode_ix": pa.array(episode_ix),
+                "start_us": pa.array(start_us.astype(np.int64)),
+                "end_us": pa.array(end_us.astype(np.int64)),
+                "n_events": pa.array(n_events),
+                "v_max": pa.array(v_max),
+            }
+        )
+
+    return _hash_exchange(ds, key_col, num_partitions, part_fn)

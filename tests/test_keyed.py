@@ -795,3 +795,89 @@ def test_cohort_retention_vs_duckdb(ray_session):
         """
     ).df()
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_threshold_episodes_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import threshold_episodes
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 25, n).astype(np.int64),
+            "eid": np.arange(n, dtype=np.int64),
+            "ts": (
+                1_700_000_000_000_000 + rng.integers(0, 10**7, n) * 1_000_000
+            ).astype("datetime64[us]"),
+            "v": rng.uniform(0, 100, n),
+        }
+    )
+    got = (
+        threshold_episodes(
+            rd.from_pandas(df).repartition(6),
+            key_col="key", ts_col="ts", id_col="eid", value_col="v",
+            threshold=70.0, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["key", "episode_ix"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.execute(
+        """
+        WITH f AS (
+          SELECT key, epoch_us(ts) AS tus, eid, v, (v > 70.0) AS above,
+                 ROW_NUMBER() OVER (PARTITION BY key ORDER BY tus, eid) AS rn,
+                 ROW_NUMBER() OVER (PARTITION BY key, (v > 70.0)
+                                    ORDER BY tus, eid) AS rn2
+          FROM e
+        ), g AS (SELECT * FROM f WHERE above),
+        ep AS (
+          SELECT key, MIN(tus) AS start_us, MAX(tus) AS end_us,
+                 CAST(COUNT(*) AS BIGINT) AS n_events, MAX(v) AS v_max
+          FROM g GROUP BY key, rn - rn2
+        )
+        SELECT key,
+               ROW_NUMBER() OVER (PARTITION BY key ORDER BY start_us) - 1
+                   AS episode_ix,
+               start_us, end_us, n_events, v_max
+        FROM ep ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_threshold_episodes_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import threshold_episodes
+
+    rng = np.random.default_rng(29)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 8, n).astype(np.int64),
+            "eid": np.arange(n, dtype=np.int64),
+            "ts": (
+                1_700_000_000_000_000 + rng.integers(0, 10**6, n) * 1_000_000
+            ).astype("datetime64[us]"),
+            "v": rng.uniform(0, 10, n),
+        }
+    )
+
+    def run(nparts, nhash):
+        return (
+            threshold_episodes(
+                rd.from_pandas(df).repartition(nparts),
+                key_col="key", ts_col="ts", id_col="eid", value_col="v",
+                threshold=5.0, num_partitions=nhash,
+            )
+            .to_pandas()
+            .sort_values(["key", "episode_ix"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(1, 2), run(9, 5))
