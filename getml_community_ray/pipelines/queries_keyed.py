@@ -756,3 +756,50 @@ ORDER BY 1, 2
 
 KEYED_QUERIES["threshold_episodes_events"] = q_threshold_episodes_events
 KEYED_ORACLE_SQL["threshold_episodes_events"] = SQL_EPISODES
+
+
+def q_xcorr_events(sf_dir: str):
+    """Cross-correlation of the hourly click vs purchase count series at
+    lags 0-3: exact int64 raw moments (n, sx, sy, sxx, syy, sxy) on the
+    dense hour grid, zeros filled (stages/keyed.xcorr_counts). Pearson r
+    per lag is one closed-form expression over the row."""
+    from ..stages.keyed import xcorr_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    return xcorr_counts(
+        ds, ts_col="ts", type_col="event_type", type_x="click",
+        type_y="purchase", bucket_s=3600, lags=(0, 1, 2, 3),
+    )
+
+
+SQL_XCORR = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS b, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM c),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, 3600000000)) AS b FROM bounds
+),
+s AS (
+  SELECT g.b,
+         COALESCE(MAX(CASE WHEN c.event_type = 'click' THEN c.c END), 0) AS x,
+         COALESCE(MAX(CASE WHEN c.event_type = 'purchase' THEN c.c END), 0) AS y
+  FROM grid g LEFT JOIN c ON c.b = g.b GROUP BY g.b
+)
+SELECT CAST(l.lag AS BIGINT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a.x) AS BIGINT) AS sx,
+       CAST(SUM(b2.y) AS BIGINT) AS sy,
+       CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+       CAST(SUM(b2.y * b2.y) AS BIGINT) AS syy,
+       CAST(SUM(a.x * b2.y) AS BIGINT) AS sxy
+FROM (VALUES (0), (1), (2), (3)) l(lag)
+JOIN s a ON TRUE
+JOIN s b2 ON b2.b = a.b + l.lag * 3600000000
+GROUP BY 1 ORDER BY 1
+"""
+
+KEYED_QUERIES["xcorr_events"] = q_xcorr_events
+KEYED_ORACLE_SQL["xcorr_events"] = SQL_XCORR

@@ -1232,3 +1232,95 @@ def threshold_episodes(
         )
 
     return _hash_exchange(ds, key_col, num_partitions, part_fn)
+
+
+def xcorr_counts(
+    ds,
+    *,
+    ts_col: str,
+    type_col: str,
+    type_x: str,
+    type_y: str,
+    bucket_s: int,
+    lags: tuple = (0, 1, 2, 3),
+):
+    """Cross-correlation raw moments between two event-count series: the
+    per-bucket counts of `type_x` and `type_y` on the dense bucket grid
+    [global min, global max] (missing buckets = 0), paired at each lag k
+    as (x[t], y[t + k·bucket]). Output one row per lag with the exact
+    int64 moments (n, sx, sy, sxx, syy, sxy) — Pearson r at lag k is a
+    single closed-form expression over them, so exactness never hangs on
+    float summation order (the same pattern as acf_keyed).
+
+    Scale shape: a per-batch integer combiner collapses each block to
+    O(buckets-in-batch) partial counts BEFORE the one small groupby; the
+    lag sweep then runs over the assembled O(n_buckets) series in a
+    single task — by construction the series is tiny (one row per time
+    bucket, not per event). The documented assumption: the bucketed
+    series fits one task (true until the time span itself is ~10^9
+    buckets)."""
+    wid = int(bucket_s) * 1_000_000
+    lags = tuple(int(x) for x in lags)
+
+    def combiner(b: pa.Table) -> pa.Table:
+        typ = np.asarray(b[type_col]).astype(str)
+        sel_x, sel_y = typ == type_x, typ == type_y
+        keep = sel_x | sel_y
+        if not keep.any():
+            return pa.table(
+                {"b": pa.array([], type=pa.int64()),
+                 "xc": pa.array([], type=pa.int64()),
+                 "yc": pa.array([], type=pa.int64())}
+            )
+        ts = ts_to_us(b[ts_col].combine_chunks())[keep]
+        is_y = sel_y[keep]
+        bkt = (ts // wid) * wid
+        ub, inv = np.unique(bkt, return_inverse=True)
+        xc = np.zeros(len(ub), dtype=np.int64)
+        yc = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(xc, inv[~is_y], 1)
+        np.add.at(yc, inv[is_y], 1)
+        return pa.table(
+            {"b": pa.array(ub), "xc": pa.array(xc), "yc": pa.array(yc)}
+        )
+
+    counts = (
+        ds.map_batches(combiner, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .sum(["xc", "yc"])
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["b"], dtype=np.int64)
+        xc = np.asarray(t["sum(xc)"], dtype=np.int64)
+        yc = np.asarray(t["sum(yc)"], dtype=np.int64)
+        if len(b) == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"lag": z, "n": z, "sx": z, "sy": z,
+                             "sxx": z, "syy": z, "sxy": z})
+        lo, hi = b.min(), b.max()
+        n_b = int((hi - lo) // wid) + 1
+        x = np.zeros(n_b, dtype=np.int64)
+        y = np.zeros(n_b, dtype=np.int64)
+        ix = ((b - lo) // wid).astype(np.int64)
+        x[ix], y[ix] = xc, yc
+        rows = {"lag": [], "n": [], "sx": [], "sy": [],
+                "sxx": [], "syy": [], "sxy": []}
+        for k in lags:
+            if k >= n_b:
+                continue
+            a = x[: n_b - k] if k else x
+            c = y[k:] if k else y
+            rows["lag"].append(k)
+            rows["n"].append(n_b - k)
+            rows["sx"].append(int(a.sum()))
+            rows["sy"].append(int(c.sum()))
+            rows["sxx"].append(int(np.dot(a, a)))
+            rows["syy"].append(int(np.dot(c, c)))
+            rows["sxy"].append(int(np.dot(a, c)))
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         for k, v in rows.items()})
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )

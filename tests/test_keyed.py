@@ -881,3 +881,49 @@ def test_threshold_episodes_partition_invariance(ray_session):
         )
 
     pd.testing.assert_frame_equal(run(1, 2), run(9, 5))
+
+
+def test_xcorr_counts_vs_brute(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import xcorr_counts
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "ts": (
+                1_700_000_000_000_000 + rng.integers(0, 200 * 3600, n) * 1_000_000
+            ).astype("datetime64[us]"),
+            "typ": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    got = (
+        xcorr_counts(
+            rd.from_pandas(df).repartition(5),
+            ts_col="ts", type_col="typ", type_x="a", type_y="b",
+            bucket_s=3600, lags=(0, 2, 5),
+        )
+        .to_pandas().sort_values("lag").reset_index(drop=True)
+    )
+    # brute force
+    tus = df["ts"].astype("int64").to_numpy()
+    bkt = (tus // 3_600_000_000) * 3_600_000_000
+    sel = df["typ"].isin(["a", "b"]).to_numpy()
+    lo, hi = bkt[sel].min(), bkt[sel].max()
+    n_b = int((hi - lo) // 3_600_000_000) + 1
+    x = np.zeros(n_b, np.int64)
+    y = np.zeros(n_b, np.int64)
+    for t, b in zip(df["typ"], bkt):
+        if t == "a":
+            x[(b - lo) // 3_600_000_000] += 1
+        elif t == "b":
+            y[(b - lo) // 3_600_000_000] += 1
+    for _, r in got.iterrows():
+        k = int(r["lag"])
+        a, c = x[: n_b - k] if k else x, y[k:] if k else y
+        assert r["n"] == n_b - k
+        assert r["sx"] == a.sum() and r["sy"] == c.sum()
+        assert r["sxx"] == np.dot(a, a) and r["syy"] == np.dot(c, c)
+        assert r["sxy"] == np.dot(a, c)
+    assert list(got["lag"]) == [0, 2, 5]
