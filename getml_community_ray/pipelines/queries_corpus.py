@@ -1574,3 +1574,54 @@ FROM h GROUP BY 1, 2
 
 CORPUS_QUERIES["token_mask_sequences"] = q_token_mask
 CORPUS_ORACLE_SQL["token_mask_sequences"] = sql_token_mask()
+
+
+def q_token_pmi(sf_dir: str):
+    """PMI raw counts for the top-50 adjacent token bigrams
+    (stages/tokens.token_pmi_bigrams): distributed bigram top-k +
+    O(vocab) unigram histogram broadcast — every PMI ingredient emitted
+    as exact integers (c_xy, c_x, c_y, n_tokens, n_bigrams), so the op
+    is hash-exact and PMI itself is one closed-form expression per row."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_pmi_bigrams
+
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(TOKENS_CORPUS, columns=["tokens"])
+    return token_pmi_bigrams(ds, tokens_col="tokens", top_k=50)
+
+
+def sql_token_pmi() -> str:
+    _ensure_tokens_corpus()
+    src = f"read_parquet('{TOKENS_CORPUS}/*.parquet')"
+    return f"""
+WITH bg AS (
+  SELECT CAST(tokens[CAST(i AS INT)] AS BIGINT) AS t0,
+         CAST(tokens[CAST(i AS INT) + 1] AS BIGINT) AS t1,
+         CAST(count(*) AS BIGINT) AS c_xy
+  FROM {src},
+       LATERAL (SELECT unnest(generate_series(1, len(tokens) - 1)) AS i) s
+  GROUP BY 1, 2
+  ORDER BY c_xy DESC, t0, t1
+  LIMIT 50
+),
+uc AS (
+  SELECT CAST(tok AS BIGINT) AS tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(tokens) AS tok FROM {src})
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(len(tokens)) AS BIGINT) AS n_tokens,
+         CAST(SUM(GREATEST(len(tokens) - 1, 0)) AS BIGINT) AS n_bigrams
+  FROM {src}
+)
+SELECT bg.t0, bg.t1, bg.c_xy, ux.c AS c_x, uy.c AS c_y,
+       tot.n_tokens, tot.n_bigrams
+FROM bg, tot
+JOIN uc ux ON ux.tok = bg.t0
+JOIN uc uy ON uy.tok = bg.t1
+"""
+
+
+CORPUS_QUERIES["token_pmi_sequences"] = q_token_pmi
+CORPUS_ORACLE_SQL["token_pmi_sequences"] = sql_token_pmi()

@@ -675,3 +675,76 @@ def token_mask(
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_pmi_bigrams(
+    ds, *, tokens_col: str = "tokens", top_k: int = 100,
+):
+    """PMI raw counts for the corpus's top-k adjacent bigrams: one row
+    per top bigram with ALL the exact integers PMI needs —
+
+      t0, t1, c_xy (bigram count), c_x / c_y (unigram counts),
+      n_tokens (corpus token total), n_bigrams (corpus adjacent-pair
+      total)
+
+    PMI(x,y) = ln(c_xy · n_tokens² / (n_bigrams · c_x · c_y)) is one
+    closed-form expression over the row; emitting the integer moments
+    instead of the float keeps the operator hash-exact (ln ULP drift
+    between engines can't leak in) — the same convention as acf_keyed /
+    xcorr_counts.
+
+    Composition, all existing scale lanes: distributed bigram top-k
+    (partition-local top-k, no global sort), the O(vocab) unigram
+    histogram combiner, and a per-batch (len, len-1) totals combiner; the
+    unigram table and totals are broadcast once (ray.put) and probed
+    inside map_batches over the ≤k bigram rows."""
+    import ray
+
+    hist = token_histogram(ds, tokens_col=tokens_col).to_pandas()
+    lut = dict(zip(hist["token_id"].astype(np.int64),
+                   hist["cnt"].astype(np.int64)))
+    n_tokens = int(hist["cnt"].sum())
+
+    def len_partial(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        lens = np.diff(off - off[0])
+        return pa.table(
+            {"n_bg": pa.array([int(np.maximum(lens - 1, 0).sum())],
+                              type=pa.int64())}
+        )
+
+    n_bigrams = int(
+        ds.map_batches(len_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .sum("n_bg")
+    )
+    lut_ref = ray.put(lut)
+
+    bigrams = token_bigram_counts(ds, tokens_col=tokens_col, top_k=top_k)
+
+    class AddPMI:
+        def __init__(self):
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            t0 = np.asarray(b["t0"], dtype=np.int64)
+            t1 = np.asarray(b["t1"], dtype=np.int64)
+            cx = np.array([self.lut.get(int(t), 0) for t in t0], np.int64)
+            cy = np.array([self.lut.get(int(t), 0) for t in t1], np.int64)
+            n = len(t0)
+            return pa.table(
+                {
+                    "t0": b["t0"], "t1": b["t1"],
+                    "c_xy": b["cnt"],
+                    "c_x": pa.array(cx), "c_y": pa.array(cy),
+                    "n_tokens": pa.array(
+                        np.full(n, n_tokens, dtype=np.int64)),
+                    "n_bigrams": pa.array(
+                        np.full(n, n_bigrams, dtype=np.int64)),
+                }
+            )
+
+    return bigrams.map_batches(
+        AddPMI, batch_format="pyarrow", concurrency=1
+    )

@@ -501,3 +501,34 @@ def test_token_mask_partition_invariance(ray_session):
         )
 
     pd.testing.assert_frame_equal(run(1), run(7))
+
+
+def test_token_pmi_vs_brute(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.tokens import token_pmi_bigrams
+
+    rng = np.random.default_rng(13)
+    tbl, toks = _tok_table(rng, n_docs=300, vocab=12)
+    got = (
+        token_pmi_bigrams(rd.from_arrow(tbl).repartition(4),
+                          tokens_col="tokens", top_k=10)
+        .to_pandas().reset_index(drop=True)
+    )
+    from collections import Counter
+
+    bg, ug = Counter(), Counter()
+    n_tokens = n_bigrams = 0
+    for t in toks:
+        ug.update(t.tolist())
+        n_tokens += len(t)
+        if len(t) >= 2:
+            bg.update(zip(t[:-1].tolist(), t[1:].tolist()))
+            n_bigrams += len(t) - 1
+    top = sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert len(got) == 10
+    for i, ((a, b), c) in enumerate(top):
+        r = got.iloc[i]
+        assert (r["t0"], r["t1"], r["c_xy"]) == (a, b, c)
+        assert r["c_x"] == ug[a] and r["c_y"] == ug[b]
+        assert r["n_tokens"] == n_tokens and r["n_bigrams"] == n_bigrams
