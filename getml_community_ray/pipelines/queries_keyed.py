@@ -803,3 +803,71 @@ GROUP BY 1 ORDER BY 1
 
 KEYED_QUERIES["xcorr_events"] = q_xcorr_events
 KEYED_ORACLE_SQL["xcorr_events"] = SQL_XCORR
+
+
+def q_sax_events(sf_dir: str):
+    """SAX symbolization of each user's daily value profile
+    (stages/keyed.sax_words): 4 six-hour PAA segments per day, symbol =
+    breakpoints (25/50/75) exceeded by the segment's exact integer mean
+    comparison (sum_cents > bp·n), empty segment = sentinel; the day's
+    word packs symbols base-5. Integer-exact end to end."""
+    from ..stages.keyed import sax_words
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return sax_words(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", cents_col="cents",
+        word_s=86400, paa=4, breakpoints_cents=(2500, 5000, 7500),
+        num_partitions=8,
+    )
+
+
+SQL_SAX = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS c
+  FROM events
+),
+segs AS (
+  SELECT user_id, (tus // 86400000000) * 86400000000 AS win,
+         (tus % 86400000000) // 21600000000 AS seg,
+         CAST(SUM(c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2, 3
+),
+wins AS (SELECT DISTINCT user_id, win FROM segs),
+grid AS (
+  SELECT user_id, win, gs.seg
+  FROM wins, LATERAL (SELECT unnest(generate_series(0, 3)) AS seg) gs
+),
+sym AS (
+  SELECT g.user_id, g.win, g.seg,
+         CASE WHEN s.n IS NULL THEN 4
+              ELSE (CASE WHEN s.s > 2500 * s.n THEN 1 ELSE 0 END
+                  + CASE WHEN s.s > 5000 * s.n THEN 1 ELSE 0 END
+                  + CASE WHEN s.s > 7500 * s.n THEN 1 ELSE 0 END)
+         END AS sym,
+         COALESCE(s.n, 0) AS n
+  FROM grid g LEFT JOIN segs s
+    ON s.user_id = g.user_id AND s.win = g.win AND s.seg = g.seg
+)
+SELECT user_id, win AS window_us,
+       CAST(SUM(sym * CAST(POWER(5, seg) AS BIGINT)) AS BIGINT) AS word,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM sym GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+KEYED_QUERIES["sax_events"] = q_sax_events
+KEYED_ORACLE_SQL["sax_events"] = SQL_SAX

@@ -1324,3 +1324,127 @@ def xcorr_counts(
     return counts.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )
+
+
+def sax_words(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    cents_col: str,
+    word_s: int,
+    paa: int,
+    breakpoints_cents: tuple,
+    num_partitions: int | None = None,
+):
+    """SAX symbolization (Lin et al. 2003), time-bucketed and
+    integer-exact: each `word_s` window per key splits into `paa` equal
+    time segments; a segment's symbol is how many breakpoints its MEAN
+    value (in cents) exceeds — decided by the exact integer
+    cross-multiplication  sum_cents > bp_cents * n  (no float division
+    ever happens), with empty segments assigned the sentinel symbol
+    a = len(breakpoints)+1. The window's word packs its symbols base
+    (a+1):  word = Σ sym_seg · (a+1)^seg.
+
+    Output one row per (key, window): key, window_us, word, n_events.
+
+    Scale shape: a per-batch combiner collapses blocks to
+    O(distinct (key, window, segment)) integer partials BEFORE the one
+    hash exchange by key; the per-partition finalize is two lexsort
+    run-length passes. Value payload never shuffles."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+    word_us = int(word_s) * 1_000_000
+    seg_us = word_us // int(paa)
+    if word_us % int(paa):
+        raise ValueError("word_s * 1e6 must divide evenly by paa")
+    bps = tuple(int(x) for x in breakpoints_cents)
+    a = len(bps) + 1          # symbols 0..len(bps); sentinel = a
+    base = a + 1
+    pw = (base ** np.arange(int(paa), dtype=np.int64)).astype(np.int64)
+    sentinel_total = int(a) * int(pw.sum())
+
+    def combiner(b: pa.Table) -> pa.Table:
+        key = np.asarray(b[key_col])
+        ts = ts_to_us(b[ts_col].combine_chunks())
+        c = np.asarray(b[cents_col], dtype=np.int64)
+        win = (ts // word_us) * word_us
+        seg = (ts % word_us) // seg_us
+        uk, gid = np.unique(key, return_inverse=True)
+        order = np.lexsort((seg, win, gid))
+        g_s, w_s, s_s, c_s = gid[order], win[order], seg[order], c[order]
+        new = np.ones(len(g_s), dtype=bool)
+        new[1:] = (
+            (g_s[1:] != g_s[:-1]) | (w_s[1:] != w_s[:-1])
+            | (s_s[1:] != s_s[:-1])
+        )
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(g_s))).astype(np.int64)
+        s = np.add.reduceat(c_s, starts)
+        return pa.table(
+            {
+                key_col: pa.array(uk[g_s[starts]]),
+                "_win": pa.array(w_s[starts]),
+                "_seg": pa.array(s_s[starts]),
+                "_s": pa.array(s),
+                "_n": pa.array(n),
+            }
+        )
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col])
+        kt = t.schema.field(key_col).type
+        if len(key) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=kt),
+                    "window_us": pa.array([], type=pa.int64()),
+                    "word": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                }
+            )
+        win = np.asarray(t["_win"], dtype=np.int64)
+        seg = np.asarray(t["_seg"], dtype=np.int64)
+        s = np.asarray(t["_s"], dtype=np.int64)
+        n = np.asarray(t["_n"], dtype=np.int64)
+        uk, gid = np.unique(key, return_inverse=True)
+        order = np.lexsort((seg, win, gid))
+        g_s, w_s, sg_s = gid[order], win[order], seg[order]
+        s_s, n_s = s[order], n[order]
+        new = np.ones(len(g_s), dtype=bool)
+        new[1:] = (
+            (g_s[1:] != g_s[:-1]) | (w_s[1:] != w_s[:-1])
+            | (sg_s[1:] != sg_s[:-1])
+        )
+        starts = np.flatnonzero(new)
+        s_tot = np.add.reduceat(s_s, starts)
+        n_tot = np.add.reduceat(n_s, starts)
+        seg_of = sg_s[starts]
+        # symbol per present segment: #breakpoints exceeded by the mean
+        sym = np.zeros(len(starts), dtype=np.int64)
+        for bp in bps:
+            sym += (s_tot > bp * n_tot).astype(np.int64)
+        # fold into per-(key, window) words
+        gw_new = np.ones(len(starts), dtype=bool)
+        gk, wk = g_s[starts], w_s[starts]
+        gw_new[1:] = (gk[1:] != gk[:-1]) | (wk[1:] != wk[:-1])
+        gw_starts = np.flatnonzero(gw_new)
+        # word = sentinel_total + Σ_present (sym - a)·base^seg
+        contrib = (sym - a) * pw[seg_of]
+        word = sentinel_total + np.add.reduceat(contrib, gw_starts)
+        n_events = np.add.reduceat(n_tot, gw_starts)
+        return pa.table(
+            {
+                key_col: pa.array(uk[gk[gw_starts]]),
+                "window_us": pa.array(wk[gw_starts]),
+                "word": pa.array(word.astype(np.int64)),
+                "n_events": pa.array(n_events.astype(np.int64)),
+            }
+        )
+
+    pre = ds.map_batches(
+        combiner, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _hash_exchange(pre, key_col, num_partitions, part_fn)

@@ -927,3 +927,52 @@ def test_xcorr_counts_vs_brute(ray_session):
         assert r["sxx"] == np.dot(a, a) and r["syy"] == np.dot(c, c)
         assert r["sxy"] == np.dot(a, c)
     assert list(got["lag"]) == [0, 2, 5]
+
+
+def test_sax_words_vs_brute(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import sax_words
+
+    rng = np.random.default_rng(37)
+    n = 2500
+    df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 20, n).astype(np.int64),
+            "ts": (
+                1_700_000_000_000_000
+                + rng.integers(0, 20 * 86400, n) * 1_000_000
+            ).astype("datetime64[us]"),
+            "cents": rng.integers(0, 10000, n).astype(np.int64),
+        }
+    )
+    bps = (2500, 5000, 7500)
+    got = (
+        sax_words(
+            rd.from_pandas(df).repartition(6),
+            key_col="key", ts_col="ts", cents_col="cents",
+            word_s=86400, paa=4, breakpoints_cents=bps, num_partitions=4,
+        )
+        .to_pandas().sort_values(["key", "window_us"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    wus, sus = 86400 * 10**6, 21600 * 10**6
+    tus = df["ts"].astype("int64")
+    agg = {}
+    for k, t, c in zip(df["key"], tus, df["cents"]):
+        w, s = (t // wus) * wus, (t % wus) // sus
+        e = agg.setdefault((k, w), [[0, 0] for _ in range(4)])
+        e[s][0] += c
+        e[s][1] += 1
+    rows = []
+    for (k, w), segs in sorted(agg.items()):
+        word = tot = 0
+        for i, (s, cnt) in enumerate(segs):
+            sym = 4 if cnt == 0 else sum(s > bp * cnt for bp in bps)
+            word += sym * 5**i
+            tot += cnt
+        rows.append((k, w, word, tot))
+    want = pd.DataFrame(rows, columns=["key", "window_us", "word",
+                                       "n_events"])
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
