@@ -1625,3 +1625,92 @@ JOIN uc uy ON uy.tok = bg.t1
 
 CORPUS_QUERIES["token_pmi_sequences"] = q_token_pmi
 CORPUS_ORACLE_SQL["token_pmi_sequences"] = sql_token_pmi()
+
+
+_SPAN_MOD, _SPAN_EXTRA, _SPAN_MUL1, _SPAN_MUL2 = 8, 3, 1_000_003, 786_433
+
+
+def q_token_span_corrupt(sf_dir: str):
+    """Deterministic T5-style span corruption over the tokens payload
+    (stages/tokens.token_span_corrupt): spans start where
+    splitmix64(dockey·MUL1+pos) % 8 == 0 with length 1 + h2 % 4, union
+    coverage via a vectorized difference array. (key,pos)-seeded ⇒
+    partition/batch/order-invariant; integer pins; zero shuffles."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.tokens import token_span_corrupt
+
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(TOKENS_CORPUS, columns=["doc_id", "tokens"])
+
+    def add_key(b: pa.Table) -> pa.Table:
+        d = b["doc_id"]
+        s = pc.cast(pc.utf8_slice_codeunits(d, 3, 6), pa.int64())
+        t = pc.cast(pc.utf8_slice_codeunits(d, 7, 19), pa.int64())
+        key = pc.add(pc.multiply(s, pa.scalar(10**12, pa.int64())), t)
+        return b.append_column("dockey", key)
+
+    ds = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    return token_span_corrupt(
+        ds, tokens_col="tokens", id_col="doc_id", key_col="dockey",
+        start_mod=_SPAN_MOD, max_extra=_SPAN_EXTRA,
+        mul_start=_SPAN_MUL1, mul_len=_SPAN_MUL2,
+    )
+
+
+def sql_token_span_corrupt() -> str:
+    from ..kernels.hashing import SQL_M64, sql_mulmod, sql_splitmix64_cols
+
+    _ensure_tokens_corpus()
+    sm_s = ",\n         ".join(sql_splitmix64_cols("xa", "s_"))
+    sm_l = ",\n         ".join(sql_splitmix64_cols("xb", "l_"))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(substring(doc_id, 4, 3) AS BIGINT) * 1000000000000
+           + CAST(substring(doc_id, 8) AS BIGINT) AS dockey,
+         CAST(len(tokens) AS BIGINT) AS n_tok,
+         unnest(CAST(tokens AS BIGINT[])) AS tok,
+         unnest(generate_series(1, len(tokens))) AS pos
+  FROM read_parquet('{TOKENS_CORPUS}/*.parquet') WHERE len(tokens) > 0
+),
+h AS (
+  SELECT doc_id, n_tok, tok, pos,
+         {sql_mulmod('dockey', _SPAN_MUL1)} AS ma,
+         CAST((CAST(ma AS HUGEINT) + pos) % {SQL_M64} AS UBIGINT) AS xa,
+         {sm_s},
+         {sql_mulmod('dockey', _SPAN_MUL2)} AS mb,
+         CAST((CAST(mb AS HUGEINT) + pos) % {SQL_M64} AS UBIGINT) AS xb,
+         {sm_l}
+  FROM t
+),
+hh AS (
+  SELECT doc_id, n_tok, tok, pos,
+         (s_out % {_SPAN_MOD} = 0) AS is_start,
+         1 + CAST(l_out % {_SPAN_EXTRA + 1} AS BIGINT) AS len
+  FROM h
+),
+starts AS (SELECT doc_id, pos, len FROM hh WHERE is_start),
+cover AS (
+  SELECT DISTINCT s.doc_id, s.pos + d.d AS cpos
+  FROM starts s,
+       LATERAL (SELECT unnest(generate_series(0, s.len - 1)) AS d) d
+)
+SELECT hh.doc_id, hh.n_tok,
+       CAST(COALESCE(SUM(CASE WHEN hh.is_start THEN 1 END), 0)
+            AS BIGINT) AS n_spans,
+       CAST(COALESCE(SUM(CASE WHEN c.cpos IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_corrupted,
+       CAST(COALESCE(SUM(CASE WHEN c.cpos IS NOT NULL THEN hh.pos END), 0)
+            AS BIGINT) AS corrupted_pos_sum,
+       CAST(COALESCE(SUM(CASE WHEN c.cpos IS NULL THEN hh.tok END), 0)
+            AS BIGINT) AS clean_tok_sum
+FROM hh LEFT JOIN cover c
+  ON c.doc_id = hh.doc_id AND c.cpos = hh.pos
+GROUP BY 1, 2
+"""
+
+
+CORPUS_QUERIES["token_span_corrupt_sequences"] = q_token_span_corrupt
+CORPUS_ORACLE_SQL["token_span_corrupt_sequences"] = sql_token_span_corrupt()

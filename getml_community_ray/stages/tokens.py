@@ -748,3 +748,97 @@ def token_pmi_bigrams(
     return bigrams.map_batches(
         AddPMI, batch_format="pyarrow", concurrency=1
     )
+
+
+def token_span_corrupt(
+    ds,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    key_col: str | None = None,
+    start_mod: int = 8,
+    max_extra: int = 3,
+    mul_start: int = 1_000_003,
+    mul_len: int = 786_433,
+):
+    """Deterministic T5-style span corruption: position `pos` (1-based)
+    of the sequence with int64 key k STARTS a span iff
+
+        splitmix64(k · mul_start + pos) % start_mod == 0,
+
+    and that span covers positions [pos, pos + L) clipped to the row,
+    with L = 1 + splitmix64(k · mul_len + pos) % (max_extra + 1).
+    Corrupted = covered by ANY span (overlaps union). Like token_mask,
+    seeding by (key, pos) makes the corruption mask invariant to batch
+    boundaries / partitioning / order, so any 100 TB shard recomputes in
+    isolation and a DuckDB twin can spell the identical spans.
+
+    Output per non-empty sequence (all exact int64):
+    n_tok, n_spans (# starts), n_corrupted (union size),
+    corrupted_pos_sum, clean_tok_sum (sum of UNcorrupted token ids).
+
+    Vectorized per batch: starts/lengths from two splitmix passes, span
+    union via a +1/−1 difference array + one cumsum (spans are clipped
+    at row ends, so the cumsum never bleeds across rows). Zero shuffles."""
+    from ..kernels.hashing import splitmix64
+
+    kcol = key_col or id_col
+    lmod = np.uint64(max_extra + 1)
+
+    def f(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        vals = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        n_tok = np.diff(off)
+        keep = n_tok > 0
+        keys = np.asarray(b[kcol], dtype=np.int64)
+        out_ids = b[id_col].combine_chunks()
+        nrows = len(n_tok)
+        if len(vals) == 0 or not keep.any():
+            z = np.zeros(0, dtype=np.int64)
+            return pa.table(
+                {id_col: out_ids.take(pa.array(z)), "n_tok": pa.array(z),
+                 "n_spans": pa.array(z), "n_corrupted": pa.array(z),
+                 "corrupted_pos_sum": pa.array(z),
+                 "clean_tok_sum": pa.array(z)}
+            )
+        row = np.repeat(np.arange(nrows, dtype=np.int64), n_tok)
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(off[:-1], n_tok) + 1
+        with np.errstate(over="ignore"):
+            h1 = splitmix64((keys[row] * np.int64(mul_start) + pos)
+                            .view(np.uint64))
+            h2 = splitmix64((keys[row] * np.int64(mul_len) + pos)
+                            .view(np.uint64))
+        is_start = (h1 % np.uint64(start_mod)) == 0
+        span_len = 1 + (h2 % lmod).astype(np.int64)
+        # union of spans via difference array, clipped at row ends
+        flat = np.arange(len(vals), dtype=np.int64)
+        row_end = np.repeat(off[1:], n_tok)      # exclusive flat end per row
+        s_ix = flat[is_start]
+        e_ix = np.minimum(s_ix + span_len[is_start], row_end[is_start])
+        diff = np.zeros(len(vals) + 1, dtype=np.int64)
+        np.add.at(diff, s_ix, 1)
+        np.add.at(diff, e_ix, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        n_spans = np.zeros(nrows, dtype=np.int64)
+        np.add.at(n_spans, row[is_start], 1)
+        n_corr = np.zeros(nrows, dtype=np.int64)
+        np.add.at(n_corr, row[covered], 1)
+        cps = np.zeros(nrows, dtype=np.int64)
+        np.add.at(cps, row[covered], pos[covered])
+        clean = np.zeros(nrows, dtype=np.int64)
+        np.add.at(clean, row[~covered], vals[~covered])
+        keep_ix = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                id_col: out_ids.take(keep_ix),
+                "n_tok": pa.array(n_tok[keep]),
+                "n_spans": pa.array(n_spans[keep]),
+                "n_corrupted": pa.array(n_corr[keep]),
+                "corrupted_pos_sum": pa.array(cps[keep]),
+                "clean_tok_sum": pa.array(clean[keep]),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -532,3 +532,42 @@ def test_token_pmi_vs_brute(ray_session):
         assert (r["t0"], r["t1"], r["c_xy"]) == (a, b, c)
         assert r["c_x"] == ug[a] and r["c_y"] == ug[b]
         assert r["n_tokens"] == n_tokens and r["n_bigrams"] == n_bigrams
+
+
+def test_token_span_corrupt_vs_brute(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.kernels.hashing import splitmix64
+    from getml_community_ray.stages.tokens import token_span_corrupt
+
+    rng = np.random.default_rng(41)
+    tbl, toks = _tok_table(rng, n_docs=200, vocab=40)
+    got = (
+        token_span_corrupt(
+            rd.from_arrow(tbl).repartition(5), tokens_col="tokens",
+            id_col="doc_id", start_mod=4, max_extra=2,
+            mul_start=31, mul_len=37,
+        )
+        .to_pandas().sort_values("doc_id").set_index("doc_id")
+    )
+    for did, t in enumerate(toks):
+        if not len(t):
+            assert did not in got.index
+            continue
+        n = len(t)
+        pos = np.arange(1, n + 1, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            h1 = splitmix64((np.int64(did) * np.int64(31) + pos)
+                            .view(np.uint64))
+            h2 = splitmix64((np.int64(did) * np.int64(37) + pos)
+                            .view(np.uint64))
+        starts = (h1 % np.uint64(4)) == 0
+        ln = 1 + (h2 % np.uint64(3)).astype(np.int64)
+        cov = np.zeros(n, dtype=bool)
+        for p in np.flatnonzero(starts):
+            cov[p: min(p + ln[p], n)] = True
+        assert got.loc[did, "n_spans"] == int(starts.sum())
+        assert got.loc[did, "n_corrupted"] == int(cov.sum())
+        assert got.loc[did, "corrupted_pos_sum"] == int(pos[cov].sum())
+        assert got.loc[did, "clean_tok_sum"] == int(
+            t.astype(np.int64)[~cov].sum())
