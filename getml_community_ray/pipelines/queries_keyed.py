@@ -871,3 +871,69 @@ FROM sym GROUP BY 1, 2 ORDER BY 1, 2
 
 KEYED_QUERIES["sax_events"] = q_sax_events
 KEYED_ORACLE_SQL["sax_events"] = SQL_SAX
+
+
+def q_interarrival_hist_events(sf_dir: str):
+    """HDR-style inter-arrival latency histogram: per-user consecutive
+    deltas bucketed by bit length (searchsorted over the power-of-two
+    table — no float log2), merged corpus-wide
+    (stages/keyed.interarrival_hist)."""
+    from ..stages.keyed import interarrival_hist
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return interarrival_hist(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        num_partitions=8,
+    )
+
+
+SQL_IAH = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events
+), d AS (
+  SELECT tus - LAG(tus) OVER (
+             PARTITION BY user_id ORDER BY tus, event_id) AS delta
+  FROM e
+)
+SELECT CAST(CASE WHEN delta = 0 THEN 0 ELSE LENGTH(BIN(delta)) END
+            AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_deltas
+FROM d WHERE delta IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+KEYED_QUERIES["interarrival_hist_events"] = q_interarrival_hist_events
+KEYED_ORACLE_SQL["interarrival_hist_events"] = SQL_IAH
+
+
+def q_transition_counts_events(sf_dir: str):
+    """User-journey Markov transition matrix: per-user consecutive
+    event_type pairs counted corpus-wide
+    (stages/keyed.transition_counts)."""
+    from ..stages.keyed import transition_counts
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return transition_counts(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        state_col="event_type", num_partitions=8,
+    )
+
+
+SQL_TRANSITIONS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events
+), p AS (
+  SELECT user_id, event_type AS to_state,
+         LAG(event_type) OVER (
+             PARTITION BY user_id ORDER BY tus, event_id) AS from_state
+  FROM e
+)
+SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+FROM p WHERE from_state IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+KEYED_QUERIES["transition_counts_events"] = q_transition_counts_events
+KEYED_ORACLE_SQL["transition_counts_events"] = SQL_TRANSITIONS

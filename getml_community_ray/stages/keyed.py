@@ -1448,3 +1448,129 @@ def sax_words(
         combiner, batch_format="pyarrow", zero_copy_batch=True
     )
     return _hash_exchange(pre, key_col, num_partitions, part_fn)
+
+
+_POW2 = (2 ** np.arange(0, 63, dtype=np.int64)).astype(np.int64)
+
+
+def interarrival_hist(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+):
+    """Log2-bucketed inter-arrival-time histogram: per key, consecutive
+    deltas (ordered by ts, id) in microseconds are bucketed by their
+    BIT LENGTH (bucket = #bits of delta; delta 0 → bucket 0) — the
+    latency-histogram convention of HDR-style monitoring, integer-exact
+    by construction (bucket via searchsorted over the power-of-two
+    table, never a float log2). Output: (bucket, n_deltas) corpus-wide.
+
+    One hash exchange by key for the per-key ordering, then an O(64)
+    integer histogram merge — exchange carries per-partition buckets
+    only."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col])
+        if len(key) == 0:
+            return pa.table(
+                {"bucket": pa.array([], type=pa.int64()),
+                 "n_deltas": pa.array([], type=pa.int64())}
+            )
+        ts = ts_to_us(t[ts_col].combine_chunks())
+        oid = np.asarray(t[id_col])
+        order = np.lexsort((oid, ts, key))
+        k_s, t_s = key[order], ts[order]
+        same = k_s[1:] == k_s[:-1]
+        d = (t_s[1:] - t_s[:-1])[same]
+        if len(d) == 0:
+            return pa.table(
+                {"bucket": pa.array([], type=pa.int64()),
+                 "n_deltas": pa.array([], type=pa.int64())}
+            )
+        bkt = np.searchsorted(_POW2, d, side="right").astype(np.int64)
+        bkt[d == 0] = 0
+        acc = np.bincount(bkt, minlength=1)
+        nz = np.flatnonzero(acc)
+        return pa.table(
+            {"bucket": pa.array(nz.astype(np.int64)),
+             "n_deltas": pa.array(acc[nz].astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _hash_exchange(ds, key_col, num_partitions, part_fn)
+        .groupby("bucket")
+        .aggregate(Sum("n_deltas", alias_name="n_deltas"))
+    )
+
+
+def transition_counts(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    state_col: str,
+    num_partitions: int | None = None,
+):
+    """First-order Markov transition counts: per key, consecutive rows
+    (ordered by ts, id) contribute one (from_state, to_state) pair;
+    output corpus-wide (from_state, to_state, n) — the user-journey
+    transition matrix. One hash exchange by key; per partition a lexsort
+    + factorized pair bincount; the final merge exchanges
+    O(states²) integer rows per partition."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col])
+        st = t[state_col].combine_chunks()
+        styp = t.schema.field(state_col).type
+        if len(key) == 0:
+            return pa.table(
+                {"from_state": pa.array([], type=styp),
+                 "to_state": pa.array([], type=styp),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        ts = ts_to_us(t[ts_col].combine_chunks())
+        oid = np.asarray(t[id_col])
+        s = np.asarray(st)
+        order = np.lexsort((oid, ts, key))
+        k_s, s_s = key[order], s[order]
+        same = k_s[1:] == k_s[:-1]
+        frm, to = s_s[:-1][same], s_s[1:][same]
+        if len(frm) == 0:
+            return pa.table(
+                {"from_state": pa.array([], type=styp),
+                 "to_state": pa.array([], type=styp),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        us, code = np.unique(np.concatenate([frm, to]), return_inverse=True)
+        cf, ct = code[: len(frm)], code[len(frm):]
+        pair = cf * len(us) + ct
+        up, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "from_state": pa.array(us[up // len(us)]).cast(styp),
+                "to_state": pa.array(us[up % len(us)]).cast(styp),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _hash_exchange(ds, key_col, num_partitions, part_fn)
+        .groupby(["from_state", "to_state"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

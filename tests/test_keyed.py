@@ -976,3 +976,87 @@ def test_sax_words_vs_brute(ray_session):
     want = pd.DataFrame(rows, columns=["key", "window_us", "word",
                                        "n_events"])
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_interarrival_hist_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import interarrival_hist
+
+    rng = np.random.default_rng(43)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 30, n).astype(np.int64),
+            "eid": np.arange(n, dtype=np.int64),
+            "ts": (
+                1_700_000_000_000_000 + rng.integers(0, 10**8, n)
+            ).astype("datetime64[us]"),
+        }
+    )
+    got = (
+        interarrival_hist(
+            rd.from_pandas(df).repartition(5),
+            key_col="key", ts_col="ts", id_col="eid", num_partitions=4,
+        )
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.execute(
+        """
+        WITH d AS (
+          SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY key ORDER BY epoch_us(ts), eid) AS delta
+          FROM e
+        )
+        SELECT CAST(CASE WHEN delta = 0 THEN 0
+                         ELSE LENGTH(BIN(delta)) END AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_deltas
+        FROM d WHERE delta IS NOT NULL GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_transition_counts_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import transition_counts
+
+    rng = np.random.default_rng(47)
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 15, n).astype(np.int64),
+            "eid": np.arange(n, dtype=np.int64),
+            "ts": (
+                1_700_000_000_000_000 + rng.integers(0, 10**7, n) * 1000
+            ).astype("datetime64[us]"),
+            "st": rng.choice(["a", "b", "c", "d"], n),
+        }
+    )
+    got = (
+        transition_counts(
+            rd.from_pandas(df).repartition(6),
+            key_col="key", ts_col="ts", id_col="eid", state_col="st",
+            num_partitions=4,
+        )
+        .to_pandas().sort_values(["from_state", "to_state"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.execute(
+        """
+        WITH p AS (
+          SELECT st AS to_state,
+                 LAG(st) OVER (PARTITION BY key
+                               ORDER BY epoch_us(ts), eid) AS from_state
+          FROM e
+        )
+        SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p WHERE from_state IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
