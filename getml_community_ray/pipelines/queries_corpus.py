@@ -1714,3 +1714,57 @@ GROUP BY 1, 2
 
 CORPUS_QUERIES["token_span_corrupt_sequences"] = q_token_span_corrupt
 CORPUS_ORACLE_SQL["token_span_corrupt_sequences"] = sql_token_span_corrupt()
+
+
+def q_token_max_run(sf_dir: str):
+    """Longest identical-token run per sequence — the degenerate-
+    repetition detector (stages/tokens.token_max_run): earliest longest
+    run's token carried as witness; integer-exact, zero shuffles."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_max_run
+
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(TOKENS_CORPUS, columns=["doc_id", "tokens"])
+    return token_max_run(ds, tokens_col="tokens", id_col="doc_id")
+
+
+def sql_token_max_run() -> str:
+    _ensure_tokens_corpus()
+    src = f"read_parquet('{TOKENS_CORPUS}/*.parquet')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tok,
+         CAST(unnest(tokens) AS BIGINT) AS tok,
+         unnest(generate_series(1, len(tokens))) AS pos
+  FROM {src} WHERE len(tokens) > 0
+),
+r AS (
+  SELECT doc_id, n_tok, tok,
+         pos - ROW_NUMBER() OVER (
+             PARTITION BY doc_id, tok ORDER BY pos) AS grp,
+         pos
+  FROM t
+),
+runs AS (
+  SELECT doc_id, n_tok, tok,
+         CAST(COUNT(*) AS BIGINT) AS run_len,
+         MIN(pos) AS start_pos
+  FROM r GROUP BY doc_id, n_tok, tok, grp
+),
+best AS (
+  SELECT doc_id, n_tok, run_len AS max_run, tok AS run_token
+  FROM runs
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY run_len DESC, start_pos) = 1
+),
+cnt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs FROM runs GROUP BY 1
+)
+SELECT best.doc_id, best.n_tok, best.max_run, best.run_token, cnt.n_runs
+FROM best JOIN cnt USING (doc_id)
+"""
+
+
+CORPUS_QUERIES["token_max_run_sequences"] = q_token_max_run
+CORPUS_ORACLE_SQL["token_max_run_sequences"] = sql_token_max_run()

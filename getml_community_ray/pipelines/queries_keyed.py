@@ -937,3 +937,57 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 KEYED_QUERIES["transition_counts_events"] = q_transition_counts_events
 KEYED_ORACLE_SQL["transition_counts_events"] = SQL_TRANSITIONS
+
+
+def q_seasonal_baseline_events(sf_dir: str):
+    """Seasonal hour-of-week baseline + anomaly counts per
+    (event_type, phase): anomalous ⇔ |value·n − sum| > n·30.00, the
+    exact integer cross-multiplied deviation test against the phase's
+    corpus mean (stages/keyed.seasonal_baseline_anomalies). Two
+    streaming passes; the profile broadcasts, the raw table never
+    shuffles."""
+    from ..stages.keyed import seasonal_baseline_anomalies
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "ts": b["ts"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return seasonal_baseline_anomalies(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        type_col="event_type", ts_col="ts", cents_col="cents",
+        bucket_s=3600, period=168, threshold_cents=3000,
+    )
+
+
+SQL_SEASONAL_BASE = """
+WITH e AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 168 AS phase,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS c
+  FROM events
+),
+p AS (
+  SELECT event_type, phase, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+)
+SELECT e.event_type, CAST(e.phase AS BIGINT) AS phase, p.n,
+       p.s AS sum_cents,
+       CAST(COALESCE(SUM(
+           CASE WHEN ABS(e.c * p.n - p.s) > p.n * 3000 THEN 1 END), 0)
+           AS BIGINT) AS n_anomalous
+FROM e JOIN p USING (event_type, phase)
+GROUP BY 1, 2, 3, 4 ORDER BY 1, 2
+"""
+
+KEYED_QUERIES["seasonal_baseline_events"] = q_seasonal_baseline_events
+KEYED_ORACLE_SQL["seasonal_baseline_events"] = SQL_SEASONAL_BASE

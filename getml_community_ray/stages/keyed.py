@@ -1574,3 +1574,116 @@ def transition_counts(
         .groupby(["from_state", "to_state"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def seasonal_baseline_anomalies(
+    ds,
+    *,
+    type_col: str,
+    ts_col: str,
+    cents_col: str,
+    bucket_s: int = 3600,
+    period: int = 168,
+    threshold_cents: int = 3000,
+):
+    """Seasonal-profile anomaly counts: the baseline is each
+    (type, phase)'s exact integer mean over the whole corpus, where
+    phase = (epoch // bucket) % period (hour-of-week for 3600/168); an
+    event is anomalous iff its deviation from the baseline mean exceeds
+    the threshold — decided by the exact integer cross-multiplication
+
+        |value_cents · n − sum_cents| > n · threshold_cents
+
+    (n, sum are the phase's totals; no float division ever happens).
+    Output one row per (type, phase): n, sum_cents, n_anomalous.
+
+    Two streaming passes: (1) per-batch combiner → O(types × period)
+    integer profile, merged in one tiny groupby and broadcast via
+    ray.put; (2) per-batch anomaly counting against the broadcast
+    profile → the same tiny groupby shape. The raw table never
+    shuffles."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    wid = int(bucket_s) * 1_000_000
+    per = int(period)
+    thr = int(threshold_cents)
+
+    def profile_partial(b: pa.Table) -> pa.Table:
+        typ = np.asarray(b[type_col]).astype(str)
+        ts = ts_to_us(b[ts_col].combine_chunks())
+        c = np.asarray(b[cents_col], dtype=np.int64)
+        ph = (ts // wid) % per
+        ut, tid = np.unique(typ, return_inverse=True)
+        key = tid * per + ph
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        n = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, c)
+        np.add.at(n, inv, 1)
+        return pa.table(
+            {
+                type_col: pa.array(ut[uk // per]),
+                "phase": pa.array((uk % per).astype(np.int64)),
+                "sum_cents": pa.array(s),
+                "n": pa.array(n),
+            }
+        )
+
+    profile = (
+        ds.map_batches(profile_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby([type_col, "phase"])
+        .aggregate(Sum("sum_cents", alias_name="sum_cents"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    lut = {
+        (t, int(p)): (int(s), int(n))
+        for t, p, s, n in zip(profile[type_col], profile["phase"],
+                              profile["sum_cents"], profile["n"])
+    }
+    lut_ref = ray.put(lut)
+
+    def count_anoms(b: pa.Table) -> pa.Table:
+        # broadcast profile: ray.get on a local plasma ref — O(1) after
+        # the first touch per node, no actor pool needed (a pinned actor
+        # pool can starve the upstream read on small test clusters)
+        lut_ = ray.get(lut_ref)
+        typ = np.asarray(b[type_col]).astype(str)
+        ts = ts_to_us(b[ts_col].combine_chunks())
+        c = np.asarray(b[cents_col], dtype=np.int64)
+        ph = (ts // wid) % per
+        ut, tid = np.unique(typ, return_inverse=True)
+        key = tid * per + ph
+        uk, inv = np.unique(key, return_inverse=True)
+        s_arr = np.zeros(len(uk), dtype=np.int64)
+        n_arr = np.zeros(len(uk), dtype=np.int64)
+        for i, k in enumerate(uk):
+            s_arr[i], n_arr[i] = lut_[(ut[k // per], int(k % per))]
+        dev = np.abs(c * n_arr[inv] - s_arr[inv])
+        an = dev > n_arr[inv] * thr
+        n_an = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(n_an, inv[an], 1)
+        return pa.table(
+            {
+                type_col: pa.array(ut[uk // per]),
+                "phase": pa.array((uk % per).astype(np.int64)),
+                "n_anomalous": pa.array(n_an),
+            }
+        )
+
+    anoms = (
+        ds.map_batches(count_anoms, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby([type_col, "phase"])
+        .aggregate(Sum("n_anomalous", alias_name="n_anomalous"))
+        .to_pandas()
+    )
+    out = profile.merge(anoms, on=[type_col, "phase"], how="left")
+    out["n_anomalous"] = out["n_anomalous"].fillna(0).astype(np.int64)
+    out = out.sort_values([type_col, "phase"]).reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out[[type_col, "phase", "n", "sum_cents",
+                               "n_anomalous"]])

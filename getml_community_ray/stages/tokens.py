@@ -842,3 +842,66 @@ def token_span_corrupt(
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_max_run(
+    ds, *, tokens_col: str = "tokens", id_col: str = "doc_id",
+):
+    """Longest identical-token run per sequence — the cheapest
+    degenerate-repetition detector (a 4096-token sequence of one id is
+    the classic broken-detokenizer artifact): per non-empty sequence
+    emit n_tok, max_run (longest run of equal consecutive tokens),
+    run_token (the token of the EARLIEST run achieving max_run) and
+    n_runs (total runs = distinct consecutive blocks).
+
+    Stateless per-batch kernel: one new-run flag pass over the
+    flattened values, run lengths by diff of starts, earliest-max per
+    row via a single lexsort on (row, −runlen, start). Zero shuffles."""
+
+    def f(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        vals = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        n_tok = np.diff(off)
+        keep = n_tok > 0
+        out_ids = b[id_col].combine_chunks()
+        nrows = len(n_tok)
+        if len(vals) == 0 or not keep.any():
+            z = np.zeros(0, dtype=np.int64)
+            return pa.table(
+                {id_col: out_ids.take(pa.array(z)), "n_tok": pa.array(z),
+                 "max_run": pa.array(z), "run_token": pa.array(z),
+                 "n_runs": pa.array(z)}
+            )
+        row = np.repeat(np.arange(nrows, dtype=np.int64), n_tok)
+        new = np.ones(len(vals), dtype=bool)
+        new[1:] = (row[1:] != row[:-1]) | (vals[1:] != vals[:-1])
+        starts = np.flatnonzero(new)
+        runlen = np.diff(np.append(starts, len(vals)))
+        run_row = row[starts]
+        run_val = vals[starts]
+        n_runs = np.zeros(nrows, dtype=np.int64)
+        np.add.at(n_runs, run_row, 1)
+        # earliest longest run per row: sort (row, -len, start), take first
+        order = np.lexsort((starts, -runlen, run_row))
+        rr = run_row[order]
+        first = np.ones(len(rr), dtype=bool)
+        first[1:] = rr[1:] != rr[:-1]
+        sel = order[first]
+        max_run = np.zeros(nrows, dtype=np.int64)
+        run_token = np.zeros(nrows, dtype=np.int64)
+        max_run[run_row[sel]] = runlen[sel]
+        run_token[run_row[sel]] = run_val[sel]
+        keep_ix = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                id_col: out_ids.take(keep_ix),
+                "n_tok": pa.array(n_tok[keep]),
+                "max_run": pa.array(max_run[keep]),
+                "run_token": pa.array(run_token[keep]),
+                "n_runs": pa.array(n_runs[keep]),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

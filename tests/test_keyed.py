@@ -1060,3 +1060,51 @@ def test_transition_counts_vs_duckdb(ray_session):
         """
     ).df()
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_seasonal_baseline_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import seasonal_baseline_anomalies
+
+    rng = np.random.default_rng(59)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "typ": rng.choice(["x", "y"], n),
+            "ts": (
+                1_700_000_000_000_000
+                + rng.integers(0, 30 * 86400, n) * 1_000_000
+            ).astype("datetime64[us]"),
+            "cents": rng.integers(0, 10000, n).astype(np.int64),
+        }
+    )
+    got = (
+        seasonal_baseline_anomalies(
+            rd.from_pandas(df).repartition(5),
+            type_col="typ", ts_col="ts", cents_col="cents",
+            bucket_s=3600, period=24, threshold_cents=2000,
+        )
+        .to_pandas().reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.execute(
+        """
+        WITH b AS (
+          SELECT typ, (epoch_us(ts) // 3600000000) % 24 AS phase, cents AS c
+          FROM e
+        ),
+        p AS (SELECT typ, phase, CAST(SUM(c) AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM b GROUP BY 1, 2)
+        SELECT b.typ, CAST(b.phase AS BIGINT) AS phase, p.n,
+               p.s AS sum_cents,
+               CAST(COALESCE(SUM(CASE WHEN ABS(b.c * p.n - p.s) > p.n * 2000
+                                      THEN 1 END), 0) AS BIGINT)
+                   AS n_anomalous
+        FROM b JOIN p USING (typ, phase)
+        GROUP BY 1, 2, 3, 4 ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))

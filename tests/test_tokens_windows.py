@@ -571,3 +571,33 @@ def test_token_span_corrupt_vs_brute(ray_session):
         assert got.loc[did, "corrupted_pos_sum"] == int(pos[cov].sum())
         assert got.loc[did, "clean_tok_sum"] == int(
             t.astype(np.int64)[~cov].sum())
+
+
+def test_token_max_run_vs_brute(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.tokens import token_max_run
+
+    rng = np.random.default_rng(53)
+    # low vocab => frequent runs
+    tbl, toks = _tok_table(rng, n_docs=250, vocab=4)
+    got = (
+        token_max_run(rd.from_arrow(tbl).repartition(5),
+                      tokens_col="tokens", id_col="doc_id")
+        .to_pandas().sort_values("doc_id").set_index("doc_id")
+    )
+    for did, t in enumerate(toks):
+        if not len(t):
+            assert did not in got.index
+            continue
+        runs = []
+        start = 0
+        for i in range(1, len(t) + 1):
+            if i == len(t) or t[i] != t[start]:
+                runs.append((i - start, start, int(t[start])))
+                start = i
+        best = max(runs, key=lambda r: (r[0], -r[1]))
+        assert got.loc[did, "n_tok"] == len(t)
+        assert got.loc[did, "max_run"] == best[0]
+        assert got.loc[did, "run_token"] == best[2]
+        assert got.loc[did, "n_runs"] == len(runs)
