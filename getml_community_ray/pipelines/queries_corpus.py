@@ -1768,3 +1768,43 @@ FROM best JOIN cnt USING (doc_id)
 
 CORPUS_QUERIES["token_max_run_sequences"] = q_token_max_run
 CORPUS_ORACLE_SQL["token_max_run_sequences"] = sql_token_max_run()
+
+
+def q_hopping_distinct(sf_dir: str):
+    """Sliding unique-visitors: exact distinct user count per
+    (event_type, 1h window sliding 15min)
+    (stages/windows.hopping_distinct) — triples hash-partition BY
+    TRIPLE so per-partition distinct partials sum exactly; exchange is
+    O(distinct triples)."""
+    import ray.data as rd
+
+    from ..stages.windows import hopping_distinct
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
+    )
+    return hopping_distinct(
+        ev, ts_col="ts", key_col="event_type", member_col="user_id",
+        width_s=3600, slide_s=900, num_partitions=8,
+    )
+
+
+SQL_HOPPING_DISTINCT = """
+WITH e AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS tsu, user_id
+  FROM events
+),
+ex AS (
+  SELECT event_type,
+         ((tsu // 900000000) - CAST(j AS BIGINT)) * 900000000
+             AS window_start_us,
+         user_id
+  FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) s
+)
+SELECT event_type AS key, window_start_us,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM ex GROUP BY 1, 2
+"""
+
+CORPUS_QUERIES["hopping_distinct_events"] = q_hopping_distinct
+CORPUS_ORACLE_SQL["hopping_distinct_events"] = SQL_HOPPING_DISTINCT

@@ -601,3 +601,45 @@ def test_token_max_run_vs_brute(ray_session):
         assert got.loc[did, "max_run"] == best[0]
         assert got.loc[did, "run_token"] == best[2]
         assert got.loc[did, "n_runs"] == len(runs)
+
+
+def test_hopping_distinct_vs_brute(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.windows import hopping_distinct
+
+    rng = np.random.default_rng(61)
+    n = 1500
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                (1_700_000_000_000_000
+                 + rng.integers(0, 3 * 86400, n) * 1_000_000),
+                type=pa.timestamp("us"),
+            ),
+            "k": pa.array(rng.choice(["a", "b"], n)),
+            "m": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        }
+    )
+    got = (
+        hopping_distinct(
+            rd.from_arrow(tbl).repartition(6), ts_col="ts", key_col="k",
+            member_col="m", width_s=3600, slide_s=900, num_partitions=5,
+        )
+        .to_pandas().sort_values(["key", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    from collections import defaultdict
+
+    sets = defaultdict(set)
+    tus = tbl["ts"].cast(pa.int64()).to_numpy()
+    S = 900 * 10**6
+    for t, k, m in zip(tus, tbl["k"].to_pylist(), tbl["m"].to_pylist()):
+        for j in range(4):
+            sets[(k, (t // S - j) * S)].add(m)
+    want = pd.DataFrame(
+        [(k, w, len(s)) for (k, w), s in sorted(sets.items())],
+        columns=["key", "window_start_us", "n_distinct"],
+    )
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
