@@ -1808,3 +1808,55 @@ FROM ex GROUP BY 1, 2
 
 CORPUS_QUERIES["hopping_distinct_events"] = q_hopping_distinct
 CORPUS_ORACLE_SQL["hopping_distinct_events"] = SQL_HOPPING_DISTINCT
+
+
+def q_token_context_diversity(sf_dir: str):
+    """Next-token diversity per context token
+    (stages/tokens.token_context_diversity): packed-bigram combiner,
+    exchange partitioned BY CONTEXT so each t0's successors co-locate;
+    exact integer diversity moments + deterministic top successor."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_context_diversity
+
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(TOKENS_CORPUS, columns=["tokens"])
+    return token_context_diversity(ds, tokens_col="tokens",
+                                   num_partitions=8)
+
+
+def sql_token_context_diversity() -> str:
+    _ensure_tokens_corpus()
+    src = f"read_parquet('{TOKENS_CORPUS}/*.parquet')"
+    return f"""
+WITH bg AS (
+  SELECT CAST(tokens[CAST(i AS INT)] AS BIGINT) AS t0,
+         CAST(tokens[CAST(i AS INT) + 1] AS BIGINT) AS t1,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {src},
+       LATERAL (SELECT unnest(generate_series(1, len(tokens) - 1)) AS i) s
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT t0, CAST(SUM(c) AS BIGINT) AS n_pairs,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_next,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS simpson_num
+  FROM bg GROUP BY 1
+),
+top AS (
+  SELECT t0, t1 AS top_next, c AS top_c
+  FROM bg
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY t0 ORDER BY c DESC, t1) = 1
+)
+SELECT agg.t0, agg.n_pairs, agg.n_distinct_next, agg.simpson_num,
+       top.top_next, top.top_c
+FROM agg JOIN top USING (t0)
+"""
+
+
+CORPUS_QUERIES["token_context_diversity_sequences"] = (
+    q_token_context_diversity
+)
+CORPUS_ORACLE_SQL["token_context_diversity_sequences"] = (
+    sql_token_context_diversity()
+)

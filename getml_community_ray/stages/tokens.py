@@ -905,3 +905,113 @@ def token_max_run(
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_context_diversity(
+    ds, *, tokens_col: str = "tokens", num_partitions: int | None = None,
+):
+    """Next-token diversity per context token — the unigram-context
+    predictability table an LLM-data pipeline uses to find boilerplate
+    (low diversity = the corpus nearly always continues t0 the same
+    way). Per context t0 (every token with at least one successor):
+
+      n_pairs        — Σ bigram counts with this t0
+      n_distinct_next — distinct successor tokens
+      simpson_num    — Σ c·(c−1) over successor counts (collision mass)
+      top_next       — most frequent successor (tie → smallest id)
+      top_c          — its count
+
+    All exact int64. Scale shape: per-batch packed-bigram combiner (the
+    token_bigram_counts partial), hash exchange BY t0 so one partition
+    owns each context, per-partition exact merge + segment kernels;
+    output is O(vocab) rows."""
+    from .partitioning import auto_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_partitions(ds)
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        vals = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        empty = pa.table(
+            {"key": pa.array([], type=pa.int64()),
+             "cnt": pa.array([], type=pa.int64())}
+        )
+        if len(vals) < 2:
+            return empty
+        keep = np.ones(len(vals) - 1, dtype=bool)
+        ends = off[1:-1] - 1
+        keep[ends[(ends >= 0) & (ends < len(keep))]] = False
+        a = vals[:-1][keep]
+        bb = vals[1:][keep]
+        if len(a) == 0:
+            return empty
+        key = (a << 31) | bb
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"key": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t0 = np.asarray(b["key"], dtype=np.int64) >> 31
+        return b.append_column(
+            "_part",
+            pa.array((t0 * 0x9E3779B1 % num_partitions).astype(np.int64)),
+        )
+
+    def per_context(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"t0": pa.array([], type=pa.int64()),
+             "n_pairs": pa.array([], type=pa.int64()),
+             "n_distinct_next": pa.array([], type=pa.int64()),
+             "simpson_num": pa.array([], type=pa.int64()),
+             "top_next": pa.array([], type=pa.int64()),
+             "top_c": pa.array([], type=pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        key = np.asarray(t["key"], dtype=np.int64)
+        cnt = np.asarray(t["cnt"], dtype=np.int64)
+        uniq, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, cnt)
+        t0 = uniq >> 31
+        t1 = uniq & ((1 << 31) - 1)
+        # per-t0 segments (uniq sorted => t0 non-decreasing)
+        new = np.ones(len(uniq), dtype=bool)
+        new[1:] = t0[1:] != t0[:-1]
+        starts = np.flatnonzero(new)
+        n_pairs = np.add.reduceat(tot, starts)
+        n_dist = np.diff(np.append(starts, len(uniq))).astype(np.int64)
+        simpson = np.add.reduceat(tot * (tot - 1), starts)
+        # argmax per segment: lexsort (t1 asc, -tot, t0) -> first per t0
+        order = np.lexsort((t1, -tot, t0))
+        tt = t0[order]
+        first = np.ones(len(tt), dtype=bool)
+        first[1:] = tt[1:] != tt[:-1]
+        sel = order[first]
+        return pa.table(
+            {
+                "t0": pa.array(t0[starts]),
+                "n_pairs": pa.array(n_pairs),
+                "n_distinct_next": pa.array(n_dist),
+                "simpson_num": pa.array(simpson),
+                "top_next": pa.array(t1[sel]),
+                "top_c": pa.array(tot[sel]),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda t: per_context(t.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )

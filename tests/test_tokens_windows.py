@@ -643,3 +643,32 @@ def test_hopping_distinct_vs_brute(ray_session):
         columns=["key", "window_start_us", "n_distinct"],
     )
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_token_context_diversity_vs_brute(ray_session):
+    import ray.data as rd
+
+    from getml_community_ray.stages.tokens import token_context_diversity
+
+    rng = np.random.default_rng(67)
+    tbl, toks = _tok_table(rng, n_docs=200, vocab=15)
+    got = (
+        token_context_diversity(rd.from_arrow(tbl).repartition(4),
+                                tokens_col="tokens", num_partitions=3)
+        .to_pandas().sort_values("t0").reset_index(drop=True)
+    )
+    from collections import Counter, defaultdict
+
+    ctx = defaultdict(Counter)
+    for t in toks:
+        for a, b in zip(t[:-1], t[1:]):
+            ctx[int(a)][int(b)] += 1
+    assert set(got["t0"]) == set(ctx)
+    g = got.set_index("t0")
+    for t0, c in ctx.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert g.loc[t0, "n_pairs"] == sum(c.values())
+        assert g.loc[t0, "n_distinct_next"] == len(c)
+        assert g.loc[t0, "simpson_num"] == sum(v * (v - 1) for v in c.values())
+        assert g.loc[t0, "top_next"] == top[0]
+        assert g.loc[t0, "top_c"] == top[1]
