@@ -1102,6 +1102,81 @@ ORACLE_SQL["column_expr_lineitem"] = _sql_column_expr_lineitem()
 
 
 # --------------------------------------------------------------------------
+# Continuous-aggregate tier router (pipelines/router.py)
+# --------------------------------------------------------------------------
+
+_ROUTER_A = "2024-01-03 07:21:13.500000"
+_ROUTER_B = "2024-01-27 18:02:41.250000"
+
+
+def q_tier_router_events(sf_dir: str):
+    """Query-time half of the rollup engine: answer an UNALIGNED time-range
+    aggregate over events from the 1m/1h/1d tier cascade plus
+    predicate-pushdown raw reads for the sub-minute ragged edges — the
+    routed answer must be bit-exact vs computing directly over raw (the
+    oracle does exactly that). The range reads O(days) 1d rows, <=48 1h
+    rows, <=120 1m rows and <2 min of raw events, not O(range) raw rows."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from .rollup import RollupConfig, rollup_decomposable
+    from .router import route_range_aggregate
+
+    cfg = RollupConfig(
+        source_col="event_type",
+        ts_col="ts",
+        value_col="cents",
+        tiers={"1m": 60, "1h": 3600, "1d": 86400},
+        aggs=["count", "sum", "min", "max"],
+    )
+    tiers = rollup_decomposable(_events_rollup_base(sf_dir), cfg)
+
+    def raw_read(lo_us: int, hi_us: int):
+        import ray.data as rd
+
+        lo = pa.scalar(lo_us, type=pa.int64()).cast(pa.timestamp("us"))
+        hi = pa.scalar(hi_us, type=pa.int64()).cast(pa.timestamp("us"))
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["ts", "event_type", "value"],
+            filter=(pads.field("ts") >= lo) & (pads.field("ts") < hi),
+        )
+        return ds.map_batches(
+            lambda b: _cents(b, "value", "cents"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    a_us = int(np.datetime64(_ROUTER_A.replace(" ", "T"), "us").astype(np.int64))
+    b_us = int(np.datetime64(_ROUTER_B.replace(" ", "T"), "us").astype(np.int64))
+    return route_range_aggregate(
+        tiers,
+        dict(cfg.tiers),
+        raw_read,
+        a_us=a_us,
+        b_us=b_us,
+        source_col="event_type",
+        ts_col="ts",
+        value_col="cents",
+    )
+
+
+SQL_TIER_ROUTER = f"""
+SELECT event_type AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events
+WHERE ts >= TIMESTAMP '{_ROUTER_A}' AND ts < TIMESTAMP '{_ROUTER_B}'
+GROUP BY 1
+"""
+
+QUERIES["tier_router_events"] = q_tier_router_events
+ORACLE_SQL["tier_router_events"] = SQL_TIER_ROUTER
+
+
+# --------------------------------------------------------------------------
 # FastProp propositionalization (point-in-time window features)
 # --------------------------------------------------------------------------
 

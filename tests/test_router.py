@@ -1,0 +1,111 @@
+"""Continuous-aggregate tier router (pipelines/router.py): cover tiling
+property + routed answer vs direct computation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from getml_community_ray.pipelines.router import (
+    US,
+    route_range_aggregate,
+    tier_cover,
+)
+
+WIDTHS = [60 * US, 3600 * US, 86400 * US]
+
+
+def test_cover_tiles_exactly():
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        a = int(rng.integers(0, 40 * 86400 * US))
+        b = a + int(rng.integers(1, 35 * 86400 * US))
+        spans = tier_cover(a, b, WIDTHS)
+        # pairwise disjoint + union == [a, b)
+        spans_sorted = sorted(spans, key=lambda s: s[1])
+        cur = a
+        for i, lo, hi in spans_sorted:
+            assert lo == cur and hi > lo
+            if i >= 0:
+                w = WIDTHS[i]
+                assert lo % w == 0 and hi % w == 0
+            cur = hi
+        assert cur == b
+        # raw edges are sub-finest-width
+        for i, lo, hi in spans:
+            if i == -1:
+                assert hi - lo < WIDTHS[0]
+
+
+def test_cover_degenerate():
+    assert tier_cover(5, 5, WIDTHS) == []
+    # entirely inside one finest bucket -> one raw span
+    assert tier_cover(10, 20, WIDTHS) == [(-1, 10, 20)]
+    # exactly one coarse bucket
+    assert tier_cover(0, 86400 * US, WIDTHS) == [(2, 0, 86400 * US)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_routed_answer_matches_direct(tmp_path):
+    import ray.data as rd
+
+    from getml_community_ray.pipelines.rollup import (
+        RollupConfig,
+        rollup_decomposable,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    ts_us = np.sort(rng.integers(0, 9 * 86400 * US, size=n))
+    src = rng.choice(["a", "b", "c"], size=n)
+    cents = rng.integers(0, 100_000, size=n).astype(np.float64)
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts_us).cast(pa.timestamp("us")),
+            "source": pa.array(src),
+            "cents": pa.array(cents),
+        }
+    )
+
+    cfg = RollupConfig(
+        source_col="source",
+        ts_col="ts",
+        value_col="cents",
+        tiers={"1m": 60, "1h": 3600, "1d": 86400},
+        aggs=["count", "sum", "min", "max"],
+        num_partitions=4,
+    )
+    tiers = rollup_decomposable(rd.from_arrow(tbl).repartition(6), cfg)
+
+    a_us = int(1.37 * 86400 * US)
+    b_us = int(7.83 * 86400 * US) + 17_500_000  # unaligned both ends
+
+    def raw_read(lo, hi):
+        return rd.from_arrow(tbl)
+
+    out = (
+        route_range_aggregate(
+            tiers, dict(cfg.tiers), raw_read,
+            a_us=a_us, b_us=b_us,
+            source_col="source", ts_col="ts", value_col="cents",
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+    mask = (ts_us >= a_us) & (ts_us < b_us)
+    df = pd.DataFrame({"source": src[mask], "cents": cents[mask]})
+    exp = (
+        df.groupby("source")["cents"]
+        .agg(n_events="count", sum_cents="sum", min_cents="min",
+             max_cents="max")
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in ["n_events", "sum_cents", "min_cents", "max_cents"]:
+        assert (out[c].to_numpy() == exp[c].to_numpy().astype(np.int64)).all()
+    assert list(out["source"]) == list(exp["source"])
