@@ -1176,6 +1176,47 @@ QUERIES["tier_router_events"] = q_tier_router_events
 ORACLE_SQL["tier_router_events"] = SQL_TIER_ROUTER
 
 
+def q_exact_quantiles_events(sf_dir: str):
+    """Exact p50/p90/p99 of integer cents WITHOUT a global sort:
+    multi-pass histogram refinement (stages/quantiles.py) — each pass is a
+    streaming scan carrying O(4096) counters, 2 passes for the cents range,
+    vs an all-to-all shuffle of every row for sort-based quantiles."""
+    from ..stages.quantiles import exact_quantiles
+
+    def make_ds():
+        ds = _read(sf_dir, "events", columns=["value"])
+        return ds.map_batches(
+            lambda b: pa.table(
+                {"cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                    pa.int64(),
+                )}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    return exact_quantiles(make_ds, value_col="cents", q_pcts=[50, 90, 99])
+
+
+SQL_EXACT_QUANTILES = """
+WITH v AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+), n AS (
+  SELECT COUNT(*) AS n FROM v
+), r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM v
+)
+SELECT CAST(qs.q_pct AS BIGINT) AS q_pct, r.c AS value
+FROM (VALUES (50), (90), (99)) qs(q_pct), n, r
+WHERE r.rn = GREATEST(1, CAST(CEIL(qs.q_pct * n.n / 100.0) AS BIGINT))
+ORDER BY 1
+"""
+
+QUERIES["exact_quantiles_events"] = q_exact_quantiles_events
+ORACLE_SQL["exact_quantiles_events"] = SQL_EXACT_QUANTILES
+
+
 # --------------------------------------------------------------------------
 # FastProp propositionalization (point-in-time window features)
 # --------------------------------------------------------------------------

@@ -1,0 +1,137 @@
+"""Distributed EXACT quantiles without a global sort: iterative histogram
+refinement (multi-pass selection).
+
+A full `ds.sort(value)` is an all-to-all shuffle of every row — the one
+thing a 100 TB engine must not do for a 3-number answer. This lane instead
+finds the exact rank-k element with O(log_B(range)) streaming passes, each
+pass carrying only O(B * n_quantiles) int64 counters through the object
+store (B = 4096 buckets): for integer cents spanning ~1e6 distinct values
+that is 2 passes. The classic distributed selection algorithm
+(Blum et al. selection generalized to histogram bisection; the same
+refinement loop DuckDB itself uses for windowed MODE).
+
+Rank semantics: value at 1-indexed rank ceil(q * n / 100) of the ascending
+multiset — deterministic under ties and spelled identically in the SQL
+twin (ROW_NUMBER join), so the oracle is exact.
+
+Reference analog: getML's column-level eager aggregates include quantiles
+computed by per-column sort (src/engine/include/fastprop/algorithm/
+Aggregator.hpp MEDIAN branch); this replaces the sort with streaming
+refinement so the aggregate stays exact at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def exact_quantiles(
+    make_ds,
+    *,
+    value_col: str,
+    q_pcts: list[int],
+    n_buckets: int = 4096,
+):
+    """Exact integer quantiles over `value_col` (int64-encodable values).
+
+    `make_ds` is a zero-arg factory returning the input Dataset — each
+    refinement pass re-executes the (lazy, streaming) read rather than
+    pinning the corpus in memory; passes = O(log_B(value range)).
+
+    Returns a pyarrow Table (q_pct, value) — driver-side tiny result, the
+    shape of an aggregate, not a Dataset."""
+    from ray.data.aggregate import Count, Max, Min
+
+    q_pcts = sorted(set(int(q) for q in q_pcts))
+    if not q_pcts or any(q < 0 or q > 100 for q in q_pcts):
+        raise ValueError("q_pcts must be integer percentages in [0, 100]")
+
+    stats = (
+        make_ds()
+        .aggregate(
+            Count(),
+            Min(value_col, alias_name="mn"),
+            Max(value_col, alias_name="mx"),
+        )
+    )
+    n = int(stats["count()"])
+    if n == 0:
+        return pa.table(
+            {"q_pct": pa.array([], type=pa.int64()),
+             "value": pa.array([], type=pa.int64())}
+        )
+    gmin, gmax = int(stats["mn"]), int(stats["mx"])
+
+    # per-quantile state: inclusive bracket [lo, hi] + remaining rank
+    # inside it (1-indexed).  rank 0 (q=0) clamps to rank 1 = the minimum.
+    lo = np.full(len(q_pcts), gmin, dtype=np.int64)
+    hi = np.full(len(q_pcts), gmax, dtype=np.int64)
+    rank = np.array(
+        [max(1, -(-q * n // 100)) for q in q_pcts], dtype=np.int64
+    )
+
+    while True:
+        active = np.flatnonzero(lo < hi)
+        if len(active) == 0:
+            break
+        a_lo, a_hi = lo[active].copy(), hi[active].copy()
+        width = np.maximum(1, -(-(a_hi - a_lo + 1) // n_buckets))
+
+        def hist(b: pa.Table, a_lo=a_lo, a_hi=a_hi, width=width) -> pa.Table:
+            v = np.asarray(b[value_col], dtype=np.int64)
+            qs, bks, cts = [], [], []
+            for j in range(len(a_lo)):
+                m = (v >= a_lo[j]) & (v <= a_hi[j])
+                if not m.any():
+                    continue
+                bk = (v[m] - a_lo[j]) // width[j]
+                cnt = np.bincount(bk)
+                nz = np.flatnonzero(cnt)
+                qs.append(np.full(len(nz), j, dtype=np.int64))
+                bks.append(nz.astype(np.int64))
+                cts.append(cnt[nz].astype(np.int64))
+            if not qs:
+                return pa.table(
+                    {"qid": pa.array([], type=pa.int64()),
+                     "bucket": pa.array([], type=pa.int64()),
+                     "n": pa.array([], type=pa.int64())}
+                )
+            return pa.table(
+                {"qid": pa.array(np.concatenate(qs)),
+                 "bucket": pa.array(np.concatenate(bks)),
+                 "n": pa.array(np.concatenate(cts))}
+            )
+
+        from ray.data.aggregate import Sum
+
+        rows = (
+            make_ds()
+            .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["qid", "bucket"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )  # O(n_buckets * n_active) rows — an aggregate-sized result
+        by_q: dict[int, list[tuple[int, int]]] = {}
+        for r in rows:
+            by_q.setdefault(int(r["qid"]), []).append(
+                (int(r["bucket"]), int(r["n"]))
+            )
+        for j in range(len(active)):
+            g = active[j]
+            pairs = sorted(by_q.get(j, []))
+            cum = 0
+            for bk, cnt in pairs:
+                if cum + cnt >= rank[g]:
+                    rank[g] -= cum
+                    lo[g] = a_lo[j] + bk * width[j]
+                    hi[g] = min(a_hi[j], a_lo[j] + (bk + 1) * width[j] - 1)
+                    break
+                cum += cnt
+            else:  # pragma: no cover - rank exceeds bracket population
+                raise AssertionError("rank fell outside its bracket")
+
+    return pa.table(
+        {"q_pct": pa.array(np.array(q_pcts, dtype=np.int64)),
+         "value": pa.array(lo)}
+    )
