@@ -1217,6 +1217,63 @@ QUERIES["exact_quantiles_events"] = q_exact_quantiles_events
 ORACLE_SQL["exact_quantiles_events"] = SQL_EXACT_QUANTILES
 
 
+def _q_calendar_rollup(sf_dir: str, unit: str):
+    from ..stages.rollup import calendar_rollup
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return calendar_rollup(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        source_col="event_type",
+        ts_col="ts",
+        value_col="cents",
+        unit=unit,
+    )
+
+
+def q_rollup_monthly_events(sf_dir: str):
+    """Calendar-month rollup tier (variable 28-31 day buckets — the tier
+    fixed-width widths can't express); decomposable combiner, exchange is
+    O(sources x months) (stages/rollup.calendar_rollup)."""
+    return _q_calendar_rollup(sf_dir, "month")
+
+
+def q_rollup_weekly_events(sf_dir: str):
+    """ISO-week (Monday-start) rollup tier via pure integer day arithmetic
+    (stages/rollup.calendar_bucket_us)."""
+    return _q_calendar_rollup(sf_dir, "week")
+
+
+def _sql_calendar_rollup(unit: str) -> str:
+    return f"""
+SELECT event_type AS source,
+       date_trunc('{unit}', ts) AS bucket_ts,
+       CAST(COUNT(*) AS BIGINT) AS count,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum,
+       CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min,
+       CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES["rollup_monthly_events"] = q_rollup_monthly_events
+ORACLE_SQL["rollup_monthly_events"] = _sql_calendar_rollup("month")
+QUERIES["rollup_weekly_events"] = q_rollup_weekly_events
+ORACLE_SQL["rollup_weekly_events"] = _sql_calendar_rollup("week")
+
+
 # --------------------------------------------------------------------------
 # FastProp propositionalization (point-in-time window features)
 # --------------------------------------------------------------------------

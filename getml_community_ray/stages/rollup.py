@@ -1114,3 +1114,119 @@ class HolisticClustered:
             for a in self.aggs:
                 cols[f"{c}__{a}" if multi else a] = pa.array(results[ci][a])
         return pa.table(cols)
+
+
+# --------------------------------------------------------------------------
+# Calendar tiers (month / ISO-week buckets)
+# --------------------------------------------------------------------------
+
+_DAY_US = 86400 * US
+
+
+def calendar_bucket_us(ts_us: np.ndarray, unit: str) -> np.ndarray:
+    """Bucket-start microseconds for calendar units that fixed-width tiers
+    cannot express: 'week' (Monday 00:00, ISO / DuckDB date_trunc('week')
+    convention) and 'month' (first of month). Vectorized integer/datetime64
+    arithmetic, no Python datetime loop."""
+    if unit == "week":
+        days = ts_us // _DAY_US
+        # 1970-01-01 was a Thursday: shift so Monday == 0
+        dow = (days + 3) % 7
+        return (days - dow) * _DAY_US
+    if unit == "month":
+        m = ts_us.astype("datetime64[us]").astype("datetime64[M]")
+        return m.astype("datetime64[us]").astype(np.int64)
+    raise ValueError(f"unsupported calendar unit: {unit}")
+
+
+def calendar_rollup(
+    ds,
+    *,
+    source_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str,
+):
+    """Calendar-bucketed rollup tier (count/sum/min/max of integer values
+    per (source, calendar bucket)) — the calendar counterpart of the
+    fixed-width tier cascade, for month/week retention tiers where bucket
+    width varies (28-31 days).  Same decomposable-combiner shape as
+    partial_states: each batch collapses to one partial row per
+    (source, bucket) BEFORE the one small groupby merge, so the exchange
+    is O(sources x buckets), never O(rows)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .blocks import norm_empty_blocks
+
+    def part(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], type=pa.string()),
+                "bucket_us": pa.array([], type=pa.int64()),
+                "count": pa.array([], type=pa.int64()),
+                "sum": pa.array([], type=pa.int64()),
+                "min": pa.array([], type=pa.int64()),
+                "max": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        ts_us = ts_to_us(b[ts_col].combine_chunks())
+        v = np.asarray(b[value_col], dtype=np.int64)
+        src = np.asarray(b[source_col]).astype(str)
+        bucket = calendar_bucket_us(ts_us, unit)
+        uniq_src, six = np.unique(src, return_inverse=True)
+        ub, bix = np.unique(bucket, return_inverse=True)
+        key = six.astype(np.int64) * len(ub) + bix
+        uk, first_ix, gid = np.unique(key, return_index=True,
+                                      return_inverse=True)
+        G = len(uk)
+        cnt = np.bincount(gid, minlength=G)
+        s = np.zeros(G, dtype=np.int64)
+        np.add.at(s, gid, v)
+        order = np.argsort(gid, kind="stable")
+        starts = np.searchsorted(gid[order], np.arange(G))
+        mn = np.minimum.reduceat(v[order], starts)
+        mx = np.maximum.reduceat(v[order], starts)
+        return pa.table(
+            {
+                "source": pa.array(src[first_ix], type=pa.string()),
+                "bucket_us": pa.array(bucket[first_ix]),
+                "count": pa.array(cnt.astype(np.int64)),
+                "sum": pa.array(s),
+                "min": pa.array(mn),
+                "max": pa.array(mx),
+            }
+        )
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=65536)
+        .groupby(["source", "bucket_us"])
+        .aggregate(
+            Sum("count", alias_name="count"),
+            Sum("sum", alias_name="sum"),
+            Min("min", alias_name="min"),
+            Max("max", alias_name="max"),
+        )
+    )
+    agg = norm_empty_blocks(
+        agg,
+        [("source", pa.string()), ("bucket_us", pa.int64()),
+         ("count", pa.int64()), ("sum", pa.int64()),
+         ("min", pa.int64()), ("max", pa.int64())],
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": b["bucket_us"].cast(pa.timestamp("us")),
+                "count": b["count"],
+                "sum": b["sum"],
+                "min": b["min"],
+                "max": b["max"],
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)

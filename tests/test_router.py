@@ -109,3 +109,24 @@ def test_routed_answer_matches_direct(tmp_path):
     for c in ["n_events", "sum_cents", "min_cents", "max_cents"]:
         assert (out[c].to_numpy() == exp[c].to_numpy().astype(np.int64)).all()
     assert list(out["source"]) == list(exp["source"])
+
+
+def test_calendar_bucket_us_week_and_month():
+    from getml_community_ray.stages.rollup import US, calendar_bucket_us
+
+    # 2024-01-03 is a Wednesday -> week starts Monday 2024-01-01
+    ts = np.array(
+        [np.datetime64("2024-01-03T15:30:00", "us").astype(np.int64),
+         np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64),
+         np.datetime64("2024-01-07T23:59:59", "us").astype(np.int64),
+         np.datetime64("2024-02-29T12:00:00", "us").astype(np.int64)],
+        dtype=np.int64,
+    )
+    wk = calendar_bucket_us(ts, "week")
+    assert (
+        wk[:3] == np.datetime64("2024-01-01", "us").astype(np.int64)
+    ).all()
+    assert wk[3] == np.datetime64("2024-02-26", "us").astype(np.int64)
+    mo = calendar_bucket_us(ts, "month")
+    assert (mo[:3] == np.datetime64("2024-01-01", "us").astype(np.int64)).all()
+    assert mo[3] == np.datetime64("2024-02-01", "us").astype(np.int64)
