@@ -1860,3 +1860,46 @@ CORPUS_QUERIES["token_context_diversity_sequences"] = (
 CORPUS_ORACLE_SQL["token_context_diversity_sequences"] = (
     sql_token_context_diversity()
 )
+
+
+NEARDUP_TOKENS_CORPUS = "/tmp/graft_neardup_tokens"
+
+
+def _ensure_neardup_tokens() -> str:
+    from ..sources.synth import ensure_neardup_token_corpus
+
+    return ensure_neardup_token_corpus(NEARDUP_TOKENS_CORPUS)
+
+
+def q_token_minhash_lsh(sf_dir: str):
+    """Payload-native near-dup candidates: MinHash over length-8 TOKEN-ID
+    windows (no detokenization), LSH-banded, bucketed one-task-per-hash-
+    partition (stages/tokens.token_minhash_lsh_candidates). Runs over the
+    injected-near-dup token corpus (sources/synth.ensure_neardup_token_
+    corpus); cluster members share ~96% of positions => near-certain band
+    collisions, independent docs collide with ~0 probability."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_minhash_lsh_candidates
+
+    _ensure_neardup_tokens()
+    ds = rd.read_parquet(NEARDUP_TOKENS_CORPUS, columns=["doc_id", "tokens"])
+    return token_minhash_lsh_candidates(
+        ds, tokens_col="tokens", id_col="doc_id",
+        num_perm=32, bands=8, n=8, num_partitions=8,
+    )
+
+
+def sql_token_minhash_lsh_corpus() -> str:
+    from .sql_oracles import sql_token_minhash_lsh
+
+    _ensure_neardup_tokens()
+    return sql_token_minhash_lsh(
+        src=f"read_parquet('{NEARDUP_TOKENS_CORPUS}/*.parquet')",
+        id_col="doc_id", tokens_col="tokens",
+        num_perm=32, bands=8, n=8,
+    )
+
+
+CORPUS_QUERIES["token_minhash_lsh_sequences"] = q_token_minhash_lsh
+CORPUS_ORACLE_SQL["token_minhash_lsh_sequences"] = sql_token_minhash_lsh_corpus()

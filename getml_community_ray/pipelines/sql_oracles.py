@@ -608,3 +608,89 @@ r2 AS (
 SELECT event_id, {r6("yhat")} AS prediction, {r6("r2.r")} AS fit_r2
 FROM pred, r2
 """
+
+
+def sql_token_minhash_lsh(
+    *,
+    src: str,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 8,
+) -> str:
+    """Oracle for stages/tokens.token_minhash_lsh_candidates: the gram
+    universe is length-n token-id windows hashed with the token polynomial
+    (sum tokens[s+j] * B^(n-1-j) mod 2^64); the permutation / band-fold
+    arithmetic is byte-identical to sql_minhash_lsh. Docs with < n tokens
+    contribute no grams (engine contract)."""
+    from ..stages.tokens import _TOK_B
+
+    r = num_perm // bands
+    if r != 4:
+        raise NotImplementedError(
+            "oracle generator is specialized to rows_per_band=4"
+        )
+    m64 = "18446744073709551616"
+    terms = " + ".join(
+        f"CAST({tokens_col}[CAST(s AS INT) + {j}] AS HUGEINT) * "
+        f"{pow(_TOK_B, n - 1 - j, 1 << 64)}"
+        for j in range(n)
+    )
+    sm_mix = ",\n       ".join(sql_splitmix64_cols("xor(gh, seed)", "m_"))
+    sm1 = ",\n       ".join(sql_splitmix64_cols("xor(s0, s1)", "b1_"))
+    sm2 = ",\n       ".join(sql_splitmix64_cols("xor(h1, s2)", "b2_"))
+    sm3 = ",\n       ".join(sql_splitmix64_cols("xor(h2, s3)", "b3_"))
+    return f"""
+WITH seeds(p, seed) AS (VALUES {_seed_values(num_perm)}),
+g AS MATERIALIZED (
+  SELECT {id_col} AS did,
+         CAST(({terms}) % {m64} AS UBIGINT) AS gh
+  FROM {src},
+       LATERAL (SELECT unnest(generate_series(
+           1, len({tokens_col}) - {n - 1})) AS s) t
+  WHERE len({tokens_col}) >= {n}
+),
+gd AS MATERIALIZED (SELECT DISTINCT did, gh FROM g),
+uh AS MATERIALIZED (SELECT DISTINCT gh FROM gd),
+mix AS MATERIALIZED (
+  SELECT gh, p,
+       {sm_mix}
+  FROM uh CROSS JOIN seeds
+),
+sig AS MATERIALIZED (
+  SELECT did, p, min(m_out) AS s
+  FROM gd JOIN mix USING (gh) GROUP BY did, p
+),
+piv AS (
+  SELECT did, p // 4 AS band,
+         max(CASE WHEN p % 4 = 0 THEN s END) AS s0,
+         max(CASE WHEN p % 4 = 1 THEN s END) AS s1,
+         max(CASE WHEN p % 4 = 2 THEN s END) AS s2,
+         max(CASE WHEN p % 4 = 3 THEN s END) AS s3
+  FROM sig GROUP BY did, p // 4
+),
+bh1 AS MATERIALIZED (
+  SELECT did, band, s2, s3,
+       {sm1}
+  FROM piv
+),
+bh2 AS MATERIALIZED (
+  SELECT did, band, s3, b1_out AS h1,
+       {sm2}
+  FROM bh1
+),
+bh3 AS MATERIALIZED (
+  SELECT did, band, b2_out AS h2,
+       {sm3}
+  FROM bh2
+),
+grp AS (
+  SELECT CAST(band AS BIGINT) AS band,
+         {sql_signed64('b3_out')} AS band_hash,
+         list(did ORDER BY did) AS ids,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM bh3 GROUP BY 1, 2
+)
+SELECT band, band_hash, ids, group_size FROM grp WHERE group_size > 1
+"""

@@ -317,3 +317,70 @@ def generate_text_corpus(
 
     ray.get([_write.remote(k) for k in range(n_shards)])
     return out_dir
+
+
+def ensure_neardup_token_corpus(
+    out_dir: str,
+    *,
+    n_base: int = 1500,
+    n_clusters: int = 60,
+    cluster_size: int = 3,
+    perturb_frac: float = 0.01,
+    vocab: int = 32000,
+    seed: int = 777,
+) -> str:
+    """Deterministic token corpus WITH injected near-duplicate clusters,
+    for the payload-native (token-n-gram) near-dedup lanes: `n_base`
+    independent random sequences plus `n_clusters` clusters whose members
+    share a base sequence with ~perturb_frac of positions resampled —
+    high token-n-gram Jaccard within a cluster, ~0 across. Single shard
+    set, atomic writes, content a pure function of the parameters."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "shard-00000.parquet")
+    if os.path.exists(path):
+        return out_dir
+    rng = np.random.default_rng(seed)
+    rows_tokens: list[np.ndarray] = []
+    doc_ids: list[str] = []
+    lens = rng.integers(64, 512, size=n_base)
+    for i in range(n_base):
+        rows_tokens.append(
+            rng.integers(0, vocab, size=int(lens[i]), dtype=np.int32)
+        )
+        doc_ids.append(f"base-{i:06d}")
+    for c in range(n_clusters):
+        proto = rng.integers(
+            0, vocab, size=int(rng.integers(96, 384)), dtype=np.int32
+        )
+        for m in range(cluster_size):
+            t = proto.copy()
+            k = max(1, int(len(t) * perturb_frac))
+            pos = rng.choice(len(t), size=k, replace=False)
+            t[pos] = rng.integers(0, vocab, size=k, dtype=np.int32)
+            rows_tokens.append(t)
+            doc_ids.append(f"dup-{c:04d}-{m}")
+    off = np.zeros(len(rows_tokens) + 1, dtype=np.int32)
+    np.cumsum([len(t) for t in rows_tokens], out=off[1:])
+    tokens = pa.ListArray.from_arrays(
+        pa.array(off, type=pa.int32()),
+        pa.array(np.concatenate(rows_tokens), type=pa.int32()),
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "tokens": tokens,
+            "n_tok": pa.array(np.diff(off).astype(np.int32)),
+            "source": pa.array(
+                ["dup" if d.startswith("dup") else "base" for d in doc_ids],
+                type=pa.string(),
+            ),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp, row_group_size=100_000)
+    os.replace(tmp, path)
+    return out_dir

@@ -169,6 +169,24 @@ def minhash_lsh_candidates(
             }
         )
 
+    from .partitioning import auto_partitions
+
+    band_rows = ds.map_batches(
+        to_bands, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return band_bucket_groups(
+        band_rows, id_col=id_col, num_partitions=auto_partitions(ds)
+    )
+
+
+def band_bucket_groups(band_rows, *, id_col: str, num_partitions: int):
+    """(band, band_hash, id) rows -> candidate groups of size > 1.
+
+    Shared by the text-shingle and token-n-gram MinHash lanes. One task
+    per HASH PARTITION of (band, band_hash) — never per bucket — and all
+    size>1 buckets of a partition segment out of one vectorized lexsort.
+    Works for integer or string ids (lexsort keys are dtype-agnostic)."""
+
     def add_part(b: pa.Table) -> pa.Table:
         bh = np.asarray(b["band_hash"], dtype=np.int64).view(np.uint64)
         band = np.asarray(b["band"], dtype=np.int64).view(np.uint64)
@@ -183,9 +201,10 @@ def minhash_lsh_candidates(
         would make one Python call per (band, hash) bucket — O(corpus)
         driver-scheduled groups, measured as the near-dedup wall-time at
         100k docs; one call per PARTITION keeps the stage O(partitions)."""
+        id_type = part.schema.field(id_col).type
         band = np.asarray(part["band"], dtype=np.int64)
         bh = np.asarray(part["band_hash"], dtype=np.int64)
-        ids = np.asarray(part[id_col], dtype=np.int64)
+        ids = np.asarray(part[id_col])
         order = np.lexsort((ids, bh, band))
         b_s, h_s, i_s = band[order], bh[order], ids[order]
         new = np.ones(len(b_s), dtype=bool)
@@ -199,7 +218,8 @@ def minhash_lsh_candidates(
         offs = np.concatenate([[0], np.cumsum(kcnt)])
         starts = np.flatnonzero(new)
         lists = pa.ListArray.from_arrays(
-            pa.array(offs, type=pa.int32()), pa.array(i_s[keep])
+            pa.array(offs, type=pa.int32()),
+            pa.array(i_s[keep]).cast(id_type),
         )
         return pa.table(
             {
@@ -210,12 +230,10 @@ def minhash_lsh_candidates(
             }
         )
 
-    from .partitioning import auto_partitions
-
-    num_partitions = auto_partitions(ds)
     return (
-        ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        band_rows.map_batches(
+            add_part, batch_format="pyarrow", zero_copy_batch=True
+        )
         .groupby("_part")
         .map_groups(
             lambda t: bucket(t.drop_columns(["_part"])),

@@ -1015,3 +1015,95 @@ def token_context_diversity(
             batch_format="pyarrow",
         )
     )
+
+
+def token_minhash_lsh_candidates(
+    ds,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 8,
+    num_partitions: int | None = None,
+):
+    """PAYLOAD-NATIVE MinHash + LSH near-dup candidates over the token
+    arrays themselves — no detokenization, no text shingles: the gram
+    universe is length-`n` token-id windows (the Lee et al. 2022 dup-gram
+    unit), hashed with the same 64-bit polynomial as token_dup_windows and
+    min-hashed with the same splitmix64 permutation family as the text
+    lane (kernels/hashing.perm_seeds), so the DuckDB twin reuses the
+    proven sql_splitmix64 generators.
+
+    sig[p] = min over grams of splitmix64(gramhash ^ seed[p]);
+    band_hash = splitmix64-fold of the band's rows_per_band signatures.
+    Docs with fewer than `n` tokens have no grams and are (by contract)
+    excluded — spelled the same way in the SQL twin's WHERE.
+
+    Scale shape: signatures are stateless per-batch (tokens never leave
+    the batch); only (band, band_hash, id) rows — O(bands) per doc —
+    enter the one exchange, bucketed by stages/dedup.band_bucket_groups
+    (one task per hash partition, never per bucket)."""
+    from ..kernels.hashing import perm_seeds, splitmix64
+    from .dedup import band_bucket_groups
+
+    if num_perm % bands != 0:
+        raise ValueError("bands must divide num_perm")
+    rows_per_band = num_perm // bands
+    seeds = perm_seeds(num_perm)
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        id_type = b.schema.field(id_col).type
+        empty = pa.table(
+            {
+                "band": pa.array([], type=pa.int64()),
+                "band_hash": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=id_type),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        toks = b[tokens_col].combine_chunks()
+        flat = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        h, doc = _token_gram_hashes(flat, off, n)
+        if len(h) == 0:
+            return empty
+        # grams arrive doc-contiguous (flat scan order), so per-doc minima
+        # are segmented reduceat over gram runs — no ufunc.at scatter
+        docs_with = np.unique(doc)
+        nd = len(docs_with)
+        seg_starts = np.searchsorted(doc, docs_with)
+        sigs = np.empty((nd, num_perm), dtype=np.uint64)
+        for p in range(num_perm):
+            mixed = splitmix64(h ^ seeds[p])
+            sigs[:, p] = np.minimum.reduceat(mixed, seg_starts)
+        ids = np.asarray(b[id_col])[docs_with]
+        band_ids = np.repeat(np.arange(bands, dtype=np.int64), nd)
+        doc_ids = np.tile(ids, bands)
+        bh = np.empty(nd * bands, dtype=np.int64)
+        for k in range(bands):
+            seg = sigs[:, k * rows_per_band : (k + 1) * rows_per_band]
+            hh = seg[:, 0]
+            for j in range(1, rows_per_band):
+                hh = splitmix64(hh ^ seg[:, j])
+            bh[k * nd : (k + 1) * nd] = hh.astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(band_ids),
+                "band_hash": pa.array(bh),
+                id_col: pa.array(doc_ids).cast(id_type),
+            }
+        )
+
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+    band_rows = ds.map_batches(
+        to_bands, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return band_bucket_groups(
+        band_rows, id_col=id_col, num_partitions=num_partitions
+    )
