@@ -1903,3 +1903,69 @@ def sql_token_minhash_lsh_corpus() -> str:
 
 CORPUS_QUERIES["token_minhash_lsh_sequences"] = q_token_minhash_lsh
 CORPUS_ORACLE_SQL["token_minhash_lsh_sequences"] = sql_token_minhash_lsh_corpus()
+
+
+def q_token_jaccard_pairs(sf_dir: str):
+    """Exact token-8-gram Jaccard over token-LSH candidate pairs, fully
+    distributed (stages/tokens.token_jaccard_pairs); the oracle is the
+    EXACT pipeline twin (LSH pair derivation + gram Jaccard in SQL), so
+    the check is independent of LSH recall."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_jaccard_pairs
+
+    _ensure_neardup_tokens()
+    ds = rd.read_parquet(NEARDUP_TOKENS_CORPUS, columns=["doc_key", "tokens"])
+    return token_jaccard_pairs(
+        ds, tokens_col="tokens", id_col="doc_key",
+        num_perm=32, bands=8, n=8, threshold=0.5,
+    )
+
+
+def sql_token_jaccard_pairs_corpus() -> str:
+    from .sql_oracles import sql_token_jaccard_pairs
+
+    _ensure_neardup_tokens()
+    return sql_token_jaccard_pairs(
+        src=f"read_parquet('{NEARDUP_TOKENS_CORPUS}/*.parquet')",
+        id_col="doc_key", tokens_col="tokens",
+        num_perm=32, bands=8, n=8, threshold=0.5,
+    )
+
+
+CORPUS_QUERIES["token_jaccard_pairs_sequences"] = q_token_jaccard_pairs
+CORPUS_ORACLE_SQL["token_jaccard_pairs_sequences"] = (
+    sql_token_jaccard_pairs_corpus()
+)
+
+
+def q_token_near_dedup(sf_dir: str):
+    """End-to-end payload-native near-dedup clustering over token arrays
+    (stages/tokens.token_near_dedup_clusters): LSH -> exact gram-Jaccard
+    verify -> connected components (lane shared with the text pipeline),
+    canonical = min doc_key."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_near_dedup_clusters
+
+    _ensure_neardup_tokens()
+    ds = rd.read_parquet(NEARDUP_TOKENS_CORPUS, columns=["doc_key", "tokens"])
+    return token_near_dedup_clusters(
+        ds, tokens_col="tokens", id_col="doc_key",
+        num_perm=32, bands=8, n=8, threshold=0.5,
+    )
+
+
+def sql_token_near_dedup_corpus() -> str:
+    from .sql_oracles import sql_token_near_dedup
+
+    _ensure_neardup_tokens()
+    return sql_token_near_dedup(
+        src=f"read_parquet('{NEARDUP_TOKENS_CORPUS}/*.parquet')",
+        id_col="doc_key", tokens_col="tokens",
+        num_perm=32, bands=8, n=8, threshold=0.5,
+    )
+
+
+CORPUS_QUERIES["token_near_dedup_sequences"] = q_token_near_dedup
+CORPUS_ORACLE_SQL["token_near_dedup_sequences"] = sql_token_near_dedup_corpus()

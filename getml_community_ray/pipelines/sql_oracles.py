@@ -610,27 +610,20 @@ FROM pred, r2
 """
 
 
-def sql_token_minhash_lsh(
+def _token_lsh_cte_body(
     *,
     src: str,
-    id_col: str = "doc_id",
-    tokens_col: str = "tokens",
-    num_perm: int = 16,
-    bands: int = 4,
-    n: int = 8,
+    id_col: str,
+    tokens_col: str,
+    num_perm: int,
+    n: int,
 ) -> str:
-    """Oracle for stages/tokens.token_minhash_lsh_candidates: the gram
-    universe is length-n token-id windows hashed with the token polynomial
-    (sum tokens[s+j] * B^(n-1-j) mod 2^64); the permutation / band-fold
-    arithmetic is byte-identical to sql_minhash_lsh. Docs with < n tokens
-    contribute no grams (engine contract)."""
+    """Shared CTE chain (seeds .. bh3 + gd) replicating the token-MinHash
+    arithmetic: gram hash = sum tokens[s+j] * B^(n-1-j) mod 2^64, then
+    the same splitmix64 permutation/band-fold chain as sql_minhash_lsh.
+    Specialized to rows_per_band = 4 (callers enforce)."""
     from ..stages.tokens import _TOK_B
 
-    r = num_perm // bands
-    if r != 4:
-        raise NotImplementedError(
-            "oracle generator is specialized to rows_per_band=4"
-        )
     m64 = "18446744073709551616"
     terms = " + ".join(
         f"CAST({tokens_col}[CAST(s AS INT) + {j}] AS HUGEINT) * "
@@ -641,8 +634,7 @@ def sql_token_minhash_lsh(
     sm1 = ",\n       ".join(sql_splitmix64_cols("xor(s0, s1)", "b1_"))
     sm2 = ",\n       ".join(sql_splitmix64_cols("xor(h1, s2)", "b2_"))
     sm3 = ",\n       ".join(sql_splitmix64_cols("xor(h2, s3)", "b3_"))
-    return f"""
-WITH seeds(p, seed) AS (VALUES {_seed_values(num_perm)}),
+    return f"""seeds(p, seed) AS (VALUES {_seed_values(num_perm)}),
 g AS MATERIALIZED (
   SELECT {id_col} AS did,
          CAST(({terms}) % {m64} AS UBIGINT) AS gh
@@ -684,7 +676,34 @@ bh3 AS MATERIALIZED (
   SELECT did, band, b2_out AS h2,
        {sm3}
   FROM bh2
-),
+)"""
+
+
+def sql_token_minhash_lsh(
+    *,
+    src: str,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 8,
+) -> str:
+    """Oracle for stages/tokens.token_minhash_lsh_candidates: the gram
+    universe is length-n token-id windows hashed with the token polynomial
+    (sum tokens[s+j] * B^(n-1-j) mod 2^64); the permutation / band-fold
+    arithmetic is byte-identical to sql_minhash_lsh. Docs with < n tokens
+    contribute no grams (engine contract)."""
+    r = num_perm // bands
+    if r != 4:
+        raise NotImplementedError(
+            "oracle generator is specialized to rows_per_band=4"
+        )
+    body = _token_lsh_cte_body(
+        src=src, id_col=id_col, tokens_col=tokens_col,
+        num_perm=num_perm, n=n,
+    )
+    return f"""
+WITH {body},
 grp AS (
   SELECT CAST(band AS BIGINT) AS band,
          {sql_signed64('b3_out')} AS band_hash,
@@ -693,4 +712,121 @@ grp AS (
   FROM bh3 GROUP BY 1, 2
 )
 SELECT band, band_hash, ids, group_size FROM grp WHERE group_size > 1
+"""
+
+
+def sql_token_jaccard_pairs(
+    *,
+    src: str,
+    id_col: str = "doc_key",
+    tokens_col: str = "tokens",
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 8,
+    threshold: float = 0.5,
+) -> str:
+    """Oracle for stages/tokens.token_jaccard_pairs — the EXACT pipeline
+    twin (not a brute-force approximation): candidate pairs come from the
+    same LSH band buckets (bh3 self-join), verified with exact
+    distinct-gram Jaccard from gd. Exact regardless of LSH recall."""
+    if num_perm // bands != 4:
+        raise NotImplementedError(
+            "oracle generator is specialized to rows_per_band=4"
+        )
+    body = _token_lsh_cte_body(
+        src=src, id_col=id_col, tokens_col=tokens_col,
+        num_perm=num_perm, n=n,
+    )
+    return f"""
+WITH {body},
+pairs AS MATERIALIZED (
+  SELECT DISTINCT l.did AS id_a, r.did AS id_b
+  FROM bh3 l JOIN bh3 r
+    ON l.band = r.band AND l.b3_out = r.b3_out AND l.did < r.did
+),
+c AS (SELECT did, count(*) AS sz FROM gd GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS i
+  FROM pairs p
+  JOIN gd ga ON ga.did = p.id_a
+  JOIN gd gb ON gb.did = p.id_b AND gb.gh = ga.gh
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       CAST(round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                  / (ca.sz + cb.sz - COALESCE(i.i, 0)) * 1e6) AS BIGINT)
+           / 1000000.0 AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN c ca ON ca.did = p.id_a
+JOIN c cb ON cb.did = p.id_b
+WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+      / (ca.sz + cb.sz - COALESCE(i.i, 0)) >= {threshold}
+"""
+
+
+def sql_token_near_dedup(
+    *,
+    src: str,
+    id_col: str = "doc_key",
+    tokens_col: str = "tokens",
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 8,
+    threshold: float = 0.5,
+) -> str:
+    """Oracle for stages/tokens.token_near_dedup_clusters: recursive
+    reachability over the exact LSH+verify edge list (same CTEs as
+    sql_token_jaccard_pairs); canonical = min id of the component,
+    untouched docs map to themselves with size 1."""
+    if num_perm // bands != 4:
+        raise NotImplementedError(
+            "oracle generator is specialized to rows_per_band=4"
+        )
+    body = _token_lsh_cte_body(
+        src=src, id_col=id_col, tokens_col=tokens_col,
+        num_perm=num_perm, n=n,
+    )
+    return f"""
+WITH RECURSIVE {body},
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.did AS id_a, r.did AS id_b
+  FROM bh3 l JOIN bh3 r
+    ON l.band = r.band AND l.b3_out = r.b3_out AND l.did < r.did
+),
+c AS (SELECT did, count(*) AS sz FROM gd GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS i
+  FROM cand p
+  JOIN gd ga ON ga.did = p.id_a
+  JOIN gd gb ON gb.did = p.id_b AND gb.gh = ga.gh
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  JOIN c ca ON ca.did = p.id_a
+  JOIN c cb ON cb.did = p.id_b
+  WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+        / (ca.sz + cb.sz - COALESCE(i.i, 0)) >= {threshold}
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+),
+canon AS (
+  SELECT d.{id_col} AS {id_col},
+         least(d.{id_col}, coalesce(r.mn, d.{id_col})) AS canonical_id
+  FROM {src} d
+  LEFT JOIN (SELECT a, min(b) AS mn FROM reach GROUP BY a) r
+    ON r.a = d.{id_col}
+)
+SELECT {id_col}, canonical_id,
+       CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+           AS cluster_size
+FROM canon
 """

@@ -372,6 +372,11 @@ def ensure_neardup_token_corpus(
     tbl = pa.table(
         {
             "doc_id": pa.array(doc_ids, type=pa.string()),
+            # int64 surrogate key for the pair/cluster machinery (the
+            # pair exchange hashes int64 ids); row order is deterministic
+            "doc_key": pa.array(
+                np.arange(len(doc_ids), dtype=np.int64)
+            ),
             "tokens": tokens,
             "n_tok": pa.array(np.diff(off).astype(np.int32)),
             "source": pa.array(

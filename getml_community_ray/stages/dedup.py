@@ -278,6 +278,76 @@ def simhash_signatures(ds, *, text_col: str, id_col: str, shingle: int = 5):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def candidate_pairs_from_groups(cands, *, dedup_parts: int):
+    """LSH candidate groups -> DISTINCT (id_a, id_b) int64 pair Dataset,
+    materialized (candidate volume, not corpus volume — safe to pin; the
+    callers consume it twice: Bloom build + the id_a join).
+
+    Explode is vectorized across the whole batch (no per-group Python):
+    for flattened group values with per-element intra-group position i in
+    a group of size g, the element pairs with the (g-1-i) elements after
+    it — one repeat() for the a-side, repeat-base + intra-run arange for
+    the b-side. Dedup of pairs found in several bands is a per-hash-
+    partition lexsort, not a Ray multi-key aggregate (which can emit
+    zero-COLUMN empty blocks the downstream join rejects)."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        from ..kernels.hashing import _intra
+
+        lists = b["ids"].combine_chunks()
+        # flatten() (not .values) — on a sliced/offset ListArray the raw
+        # values buffer includes sibling rows and np.repeat would raise;
+        # offsets are rebased to the slice start for the same reason.
+        flat = np.asarray(lists.flatten(), dtype=np.int64)
+        offs = np.asarray(lists.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        cnt = np.diff(offs)
+        if len(flat) == 0 or not (cnt > 1).any():
+            return pa.table(
+                {
+                    "id_a": pa.array(np.zeros(0, dtype=np.int64)),
+                    "id_b": pa.array(np.zeros(0, dtype=np.int64)),
+                }
+            )
+        intra = _intra(cnt)  # 0..g-1 within each group
+        reps = np.repeat(cnt, cnt) - 1 - intra  # partners after each elem
+        pos = np.arange(len(flat), dtype=np.int64)
+        a_pos = np.repeat(pos, reps)
+        b_pos = a_pos + 1 + _intra(reps)
+        return pa.table(
+            {"id_a": pa.array(flat[a_pos]), "id_b": pa.array(flat[b_pos])}
+        )
+
+    def pair_part(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"], dtype=np.int64).view(np.uint64)
+        c = np.asarray(b["id_b"], dtype=np.int64).view(np.uint64)
+        part = _splitmix64(a ^ _splitmix64(c)) % np.uint64(dedup_parts)
+        return b.append_column("_part", pa.array(part.astype(np.int64)))
+
+    def pair_dedup(part: pa.Table) -> pa.Table:
+        a = np.asarray(part["id_a"], dtype=np.int64)
+        c = np.asarray(part["id_b"], dtype=np.int64)
+        order = np.lexsort((c, a))
+        a_s, c_s = a[order], c[order]
+        new = np.ones(len(a_s), dtype=bool)
+        if len(a_s) > 1:
+            new[1:] = (a_s[1:] != a_s[:-1]) | (c_s[1:] != c_s[:-1])
+        return pa.table(
+            {"id_a": pa.array(a_s[new]), "id_b": pa.array(c_s[new])}
+        )
+
+    return (
+        cands.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda t: pair_dedup(t.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+
 def ngram_jaccard_pairs(
     ds,
     *,
@@ -314,79 +384,10 @@ def ngram_jaccard_pairs(
         num_perm=num_perm, bands=bands, shingle=shingle,
     )
 
-    def explode(b: pa.Table) -> pa.Table:
-        """All unordered pairs within each candidate group, vectorized
-        across the whole batch (no per-group Python): for flattened group
-        values with per-element intra-group position i in a group of size
-        g, element at global position p pairs with the (g-1-i) elements
-        after it — one repeat() for the a-side, repeat-base + intra-run
-        arange for the b-side."""
-        from ..kernels.hashing import _intra
-
-        lists = b["ids"].combine_chunks()
-        # flatten() (not .values) — on a sliced/offset ListArray the raw
-        # values buffer includes sibling rows and np.repeat would raise;
-        # offsets are rebased to the slice start for the same reason.
-        flat = np.asarray(lists.flatten(), dtype=np.int64)
-        offs = np.asarray(lists.offsets, dtype=np.int64)
-        offs = offs - offs[0]
-        cnt = np.diff(offs)
-        if len(flat) == 0 or not (cnt > 1).any():
-            return pa.table(
-                {
-                    "id_a": pa.array(np.zeros(0, dtype=np.int64)),
-                    "id_b": pa.array(np.zeros(0, dtype=np.int64)),
-                }
-            )
-        intra = _intra(cnt)  # 0..g-1 within each group
-        reps = np.repeat(cnt, cnt) - 1 - intra  # partners after each elem
-        pos = np.arange(len(flat), dtype=np.int64)
-        a_pos = np.repeat(pos, reps)
-        b_pos = a_pos + 1 + _intra(reps)
-        return pa.table(
-            {"id_a": pa.array(flat[a_pos]), "id_b": pa.array(flat[b_pos])}
-        )
-
-    # pair-dedup shuffle granularity: explicit override, else one hash
-    # partition per ~2 CPUs (the exploded pair list is candidate-sized)
     from .partitioning import auto_partitions
 
     dedup_parts = num_partitions or max(8, auto_partitions() // 2)
-
-    def pair_part(b: pa.Table) -> pa.Table:
-        a = np.asarray(b["id_a"], dtype=np.int64).view(np.uint64)
-        c = np.asarray(b["id_b"], dtype=np.int64).view(np.uint64)
-        part = _splitmix64(a ^ _splitmix64(c)) % np.uint64(dedup_parts)
-        return b.append_column("_part", pa.array(part.astype(np.int64)))
-
-    def pair_dedup(part: pa.Table) -> pa.Table:
-        """Distinct (id_a, id_b) within one hash partition — replaces a
-        Ray multi-key aggregate, which can emit zero-COLUMN empty blocks
-        that the downstream hash-shuffle join rejects (FieldRef no-match,
-        flaky by partition emptiness)."""
-        a = np.asarray(part["id_a"], dtype=np.int64)
-        c = np.asarray(part["id_b"], dtype=np.int64)
-        order = np.lexsort((c, a))
-        a_s, c_s = a[order], c[order]
-        new = np.ones(len(a_s), dtype=bool)
-        if len(a_s) > 1:
-            new[1:] = (a_s[1:] != a_s[:-1]) | (c_s[1:] != c_s[:-1])
-        return pa.table(
-            {"id_a": pa.array(a_s[new]), "id_b": pa.array(c_s[new])}
-        )
-
-    pairs = (
-        cands.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_part")
-        .map_groups(
-            lambda t: pair_dedup(t.drop_columns(["_part"])),
-            batch_format="pyarrow",
-        )
-        # candidate volume, not corpus volume — safe to pin in the object
-        # store; consumed twice below (bloom build + the id_a join)
-        .materialize()
-    )
+    pairs = candidate_pairs_from_groups(cands, dedup_parts=dedup_parts)
 
     def rename(side: str):
         def f(b: pa.Table) -> pa.Table:
@@ -402,10 +403,14 @@ def ngram_jaccard_pairs(
     # this the two joins below shuffle every document's text (round-1
     # audit finding); with it they move only candidate-matched texts
     # (+ a ~4e-4 Bloom FP tail that the exact joins drop).
+    # materialized: candidate-bounded (same bound as `pairs`), consumed by
+    # BOTH joins — one Bloom pass instead of two, and the join plan carries
+    # no live actor pools (2 Bloom pools + 2 joins in one streaming plan
+    # can deadlock on small CPU counts)
     docs = bloom_semi_join(
         ds.select_columns([id_col, text_col]), pairs,
         on=id_col, keys_on=["id_a", "id_b"],
-    )
+    ).materialize()
     # join granularity scales with CANDIDATE volume (pairs is materialized,
     # count is metadata) — each Ray hash-shuffle join partition spawns an
     # aggregator actor, so corpus- or CPU-proportional counts here spawn
@@ -942,6 +947,18 @@ def near_dedup_clusters(
         ds, text_col=text_col, id_col=id_col, threshold=threshold,
         num_perm=num_perm, bands=bands, shingle=shingle,
     ).materialize()
+    return assign_clusters(
+        ds, pairs_ds, id_col=id_col, driver_max_edges=driver_max_edges
+    )
+
+
+def assign_clusters(ds, pairs_ds, *, id_col: str,
+                    driver_max_edges: int = 2_000_000):
+    """Verified dup-edge list -> (id, canonical_id, cluster_size) over the
+    whole corpus. Two lanes by edge count (identical output): driver
+    union-find + broadcast searchsorted assign below `driver_max_edges`,
+    distributed label propagation above. Shared by the text-shingle and
+    token-n-gram near-dedup pipelines."""
     n_edges = pairs_ds.count()
 
     if n_edges > driver_max_edges:

@@ -1107,3 +1107,200 @@ def token_minhash_lsh_candidates(
     return band_bucket_groups(
         band_rows, id_col=id_col, num_partitions=num_partitions
     )
+
+
+def token_jaccard_pairs(
+    ds,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_key",
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 8,
+    threshold: float = 0.5,
+    num_partitions: int | None = None,
+):
+    """Exact token-n-gram Jaccard over token-MinHash-LSH candidate pairs —
+    the payload-native analog of stages/dedup.ngram_jaccard_pairs, same
+    fully-distributed chain: LSH buckets -> vectorized pair explode +
+    dedup (candidate-sized, materialized) -> Bloom semi-join cuts the
+    corpus to candidates BEFORE any token list moves -> two candidate-
+    sized hash joins attach the token arrays to both pair sides -> exact
+    DISTINCT-gram-set Jaccard inside map_batches (gram identity = the
+    64-bit token polynomial; collision stance as in ngram_jaccard_pairs).
+    `id_col` must be int64 (the pair exchange hashes int64 ids).
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b."""
+    from .blocks import empty_block_normalizer as norm_schema
+    from .dedup import candidate_pairs_from_groups
+    from .joins import bloom_semi_join, hash_join
+    from .partitioning import auto_partitions
+
+    cands = token_minhash_lsh_candidates(
+        ds, tokens_col=tokens_col, id_col=id_col,
+        num_perm=num_perm, bands=bands, n=n,
+        num_partitions=num_partitions,
+    )
+    dedup_parts = num_partitions or max(8, auto_partitions() // 2)
+    pairs = candidate_pairs_from_groups(cands, dedup_parts=dedup_parts)
+
+    def rename(side: str):
+        # list<int32> is not joinable as a payload column (Arrow hash-join
+        # limitation) — and a single binary buffer ships cheaper through
+        # the exchange anyway: encode tokens as little-endian int32 bytes
+        def f(b: pa.Table) -> pa.Table:
+            lst = b[tokens_col].combine_chunks()
+            vals = np.asarray(lst.flatten(), dtype=np.int32)
+            off = np.asarray(lst.offsets, dtype=np.int64)
+            off = off - off[0]
+            bin_arr = pa.Array.from_buffers(
+                pa.binary(), len(off) - 1,
+                [None, pa.py_buffer((off * 4).astype(np.int32).tobytes()),
+                 pa.py_buffer(vals.tobytes())],
+            )
+            return pa.table(
+                {f"id_{side}": b[id_col], f"_toks_{side}": bin_arr}
+            )
+
+        return f
+
+    # materialized: candidate-bounded (same bound as `pairs`), consumed by
+    # BOTH joins — pinning it (a) runs the Bloom pass once, not twice, and
+    # (b) keeps the two JoinOperators' plan free of live actor pools
+    # (2 Bloom pools + 2 joins in one streaming plan deadlocks on small
+    # CPU counts — each reserves workers the others are waiting for)
+    docs = bloom_semi_join(
+        ds.select_columns([id_col, tokens_col]), pairs,
+        on=id_col, keys_on=["id_a", "id_b"],
+    ).materialize()
+    join_parts = num_partitions or int(
+        min(4096, max(8, pairs.count() // 250_000 + 1))
+    )
+    tok_t = pa.binary()
+    left = hash_join(
+        pairs,
+        docs.map_batches(rename("a"), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        on="id_a", num_partitions=join_parts,
+    ).map_batches(
+        norm_schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                     ("_toks_a", tok_t)]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    both = hash_join(
+        left,
+        docs.map_batches(rename("b"), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        on="id_b", num_partitions=join_parts,
+    ).map_batches(
+        norm_schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                     ("_toks_a", tok_t), ("_toks_b", tok_t)]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        m = len(b)
+        if m == 0:
+            return empty
+        ia_ids = np.asarray(b["id_a"], dtype=np.int64)
+        ib_ids = np.asarray(b["id_b"], dtype=np.int64)
+        # unique docs in this batch (a pair side may repeat): gram sets
+        # computed once per unique doc, all docs hashed in ONE fused pass
+        all_ids = np.concatenate([ia_ids, ib_ids])
+        uniq_ids, first_pos, codes = np.unique(
+            all_ids, return_index=True, return_inverse=True
+        )
+        def decode_bin(col):
+            """binary column (int32-LE token bytes) -> (flat int64 values,
+            rebased element offsets)."""
+            arr = col.combine_chunks()
+            # normalize the slice window so buffer math is offset-free
+            arr = arr.take(pa.array(np.arange(len(arr), dtype=np.int64)))
+            bufs = arr.buffers()
+            boff = np.frombuffer(bufs[1], dtype=np.int32,
+                                 count=len(arr) + 1).astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.int32,
+                                 count=int(boff[-1]) // 4)
+            return data.astype(np.int64), boff // 4
+
+        va, oa = decode_bin(b["_toks_a"])
+        vb, ob = decode_bin(b["_toks_b"])
+        # concatenated token stream of the UNIQUE docs only
+        lens = np.where(
+            first_pos < m,
+            np.diff(oa)[np.minimum(first_pos, m - 1)],
+            np.diff(ob)[np.maximum(first_pos - m, 0)],
+        )
+        starts = np.where(
+            first_pos < m,
+            oa[np.minimum(first_pos, m - 1)],
+            len(va) + ob[np.maximum(first_pos - m, 0)],
+        )
+        flat_all = np.concatenate([va, vb])
+        gather = np.repeat(starts, lens) + (
+            np.arange(int(lens.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(lens[:-1])]), lens)
+        )
+        uoff = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        h, gdoc = _token_gram_hashes(flat_all[gather], uoff, n)
+        seg = np.searchsorted(gdoc, np.arange(len(uniq_ids) + 1))
+        sets = [np.unique(h[seg[u]: seg[u + 1]])
+                for u in range(len(uniq_ids))]
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        ca, cb = codes[:m], codes[m:]
+        inter = np.fromiter(
+            (
+                len(np.intersect1d(sets[x], sets[y], assume_unique=True))
+                for x, y in zip(ca, cb)
+            ),
+            count=m,
+            dtype=np.int64,
+        )
+        union = sizes[ca] + sizes[cb] - inter
+        ja = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = ja >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ia_ids[keep]),
+                "id_b": pa.array(ib_ids[keep]),
+                "jaccard": pa.array(np.rint(ja[keep] * 1e6) / 1e6),
+            }
+        )
+
+    return both.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=8192,
+    )
+
+
+def token_near_dedup_clusters(
+    ds,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_key",
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 8,
+    threshold: float = 0.5,
+    driver_max_edges: int = 2_000_000,
+):
+    """End-to-end payload-native near-dedup: token-MinHash LSH -> exact
+    token-gram Jaccard verify -> connected components -> (id,
+    canonical_id, cluster_size); canonical = min id. Component lanes and
+    corpus assignment shared with the text pipeline
+    (stages/dedup.assign_clusters)."""
+    from .dedup import assign_clusters
+
+    pairs_ds = token_jaccard_pairs(
+        ds, tokens_col=tokens_col, id_col=id_col,
+        num_perm=num_perm, bands=bands, n=n, threshold=threshold,
+    ).materialize()
+    return assign_clusters(
+        ds, pairs_ds, id_col=id_col, driver_max_edges=driver_max_edges
+    )

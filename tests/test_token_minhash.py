@@ -108,3 +108,35 @@ def test_text_minhash_unchanged_after_refactor():
     ).to_pandas()
     flat = {i for ids in out["ids"] for i in ids}
     assert flat == {1, 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_near_dedup_lanes_agree(tmp_path):
+    """Union-find lane == forced-distributed label-propagation lane, and
+    clusters recover the injected membership."""
+    import ray.data as rd
+
+    from getml_community_ray.sources.synth import ensure_neardup_token_corpus
+    from getml_community_ray.stages.tokens import token_near_dedup_clusters
+
+    d = ensure_neardup_token_corpus(
+        str(tmp_path / "c"), n_base=300, n_clusters=15
+    )
+    ds = rd.read_parquet(d, columns=["doc_key", "doc_id", "tokens"])
+    kw = dict(tokens_col="tokens", id_col="doc_key",
+              num_perm=32, bands=8, n=8, threshold=0.5)
+    a = (
+        token_near_dedup_clusters(ds, **kw)
+        .to_pandas().sort_values("doc_key").reset_index(drop=True)
+    )
+    b = (
+        token_near_dedup_clusters(ds, driver_max_edges=0, **kw)
+        .to_pandas().sort_values("doc_key").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # injected clusters: members contiguous doc_keys (written together);
+    # most clusters collapse onto one canonical id of size >= 2
+    big = a[a["cluster_size"] > 1]
+    assert big["doc_key"].nunique() >= 15 * 2  # most of 15*3 members
+    assert (a[a["cluster_size"] == 1]["canonical_id"]
+            == a[a["cluster_size"] == 1]["doc_key"]).all()
