@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "asof_join_events",
     "rolling_rows_events",
     "histogram_events",
+    "tier_router_events",
+    "exact_quantiles_events",
+    "token_near_dedup_sequences",
 ]
 
 
