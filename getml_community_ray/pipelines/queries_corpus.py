@@ -1969,3 +1969,42 @@ def sql_token_near_dedup_corpus() -> str:
 
 CORPUS_QUERIES["token_near_dedup_sequences"] = q_token_near_dedup
 CORPUS_ORACLE_SQL["token_near_dedup_sequences"] = sql_token_near_dedup_corpus()
+
+
+def q_token_topk_per_source(sf_dir: str):
+    """Top-20 tokens per source over the sequences corpus
+    (stages/tokens.token_topk_per_source): exact counts, deterministic
+    (cnt desc, token asc) ties, combiner-pruned exchange."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_topk_per_source
+
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(TOKENS_CORPUS, columns=["source", "tokens"])
+    return token_topk_per_source(
+        ds, tokens_col="tokens", source_col="source", k=20
+    )
+
+
+def sql_token_topk_per_source() -> str:
+    _ensure_tokens_corpus()
+    return f"""
+WITH c AS (
+  SELECT source, CAST(u.t AS BIGINT) AS token_id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM read_parquet('{TOKENS_CORPUS}/*.parquet'), unnest(tokens) AS u(t)
+  GROUP BY 1, 2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY cnt DESC, token_id) AS rank
+  FROM c
+)
+SELECT source, token_id, cnt, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 20
+"""
+
+
+CORPUS_QUERIES["token_topk_per_source_sequences"] = q_token_topk_per_source
+CORPUS_ORACLE_SQL["token_topk_per_source_sequences"] = (
+    sql_token_topk_per_source()
+)

@@ -991,3 +991,111 @@ GROUP BY 1, 2, 3, 4 ORDER BY 1, 2
 
 KEYED_QUERIES["seasonal_baseline_events"] = q_seasonal_baseline_events
 KEYED_ORACLE_SQL["seasonal_baseline_events"] = SQL_SEASONAL_BASE
+
+
+def q_irate_events(sf_dir: str):
+    """PromQL-irate analog per (user, hour): exact int64 delta of the last
+    two samples' cents and their microsecond spacing; per-batch combiner
+    collapses to <= 2 rows per group before the one exchange
+    (stages/keyed.irate_last_two)."""
+    from ..stages.keyed import irate_last_two
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return irate_last_two(
+        ds.map_batches(to_cents, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="cents", width_s=3600, num_partitions=8,
+    )
+
+
+SQL_IRATE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS cents,
+         date_trunc('hour', ts) AS bucket_ts
+  FROM events
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, bucket_ts
+      ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, bucket_ts,
+       MAX(CASE WHEN rn = 1 THEN cents END)
+         - MAX(CASE WHEN rn = 2 THEN cents END) AS dv,
+       epoch_us(MAX(CASE WHEN rn = 1 THEN ts END))
+         - epoch_us(MAX(CASE WHEN rn = 2 THEN ts END)) AS dt_us
+FROM r WHERE rn <= 2
+GROUP BY 1, 2 HAVING count(*) = 2
+"""
+
+KEYED_QUERIES["irate_events"] = q_irate_events
+KEYED_ORACLE_SQL["irate_events"] = SQL_IRATE
+
+
+def q_tier_delta_events(sf_dir: str):
+    """Stage COMPOSITION over the tier cascade: 1h decomposable rollup of
+    cents per event_type, then the per-source consecutive-bucket delta of
+    the hourly sum (stages/keyed.keyed_delta) — the derivative-over-tier
+    query every monitoring stack runs against its continuous aggregates."""
+    from ..stages.keyed import keyed_delta
+    from .queries import _events_rollup_base
+    from .rollup import RollupConfig, rollup_decomposable
+
+    cfg = RollupConfig(
+        source_col="event_type",
+        ts_col="ts",
+        value_col="cents",
+        tiers={"1h": 3600},
+        aggs=["count", "sum"],
+    )
+    t1h = rollup_decomposable(_events_rollup_base(sf_dir), cfg)["1h"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": b["bucket_ts"],
+                "sum_cents": pc.cast(pc.round(b["sum"]), pa.int64()),
+            }
+        )
+
+    return keyed_delta(
+        t1h.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="source", order_col="bucket_ts", value_col="sum_cents",
+        num_partitions=8,
+    )
+
+
+SQL_TIER_DELTA = """
+WITH h AS (
+  SELECT event_type AS source,
+         date_trunc('hour', ts) AS bucket_ts,
+         CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT source, bucket_ts, sum_cents,
+       sum_cents - LAG(sum_cents) OVER (
+           PARTITION BY source ORDER BY bucket_ts) AS delta
+FROM h
+"""
+
+KEYED_QUERIES["tier_delta_events"] = q_tier_delta_events
+KEYED_ORACLE_SQL["tier_delta_events"] = SQL_TIER_DELTA

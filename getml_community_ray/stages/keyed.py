@@ -1687,3 +1687,159 @@ def seasonal_baseline_anomalies(
 
     return rd.from_pandas(out[[type_col, "phase", "n", "sum_cents",
                                "n_anomalous"]])
+
+
+def irate_last_two(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    width_s: int,
+    num_partitions: int | None = None,
+):
+    """PromQL-irate analog: per (key, bucket) the instantaneous delta
+    between the LAST TWO samples (ordered by ts, id) — dv and dt as exact
+    int64 ingredients (rate = dv/dt left to the caller, as PromQL leaves
+    unit scaling). Buckets with a single sample are omitted (irate needs
+    two points).
+
+    DECOMPOSABLE: the per-batch combiner collapses each (key, bucket) to
+    its last <= 2 samples BEFORE the one hash exchange — merging two
+    last-two partials is again a last-two selection, so the exchange
+    carries <= 2 rows per (key, bucket) per batch, never the raw stream."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+    width_us = width_s * 1_000_000
+
+    def last_two(t: pa.Table, *, final: bool) -> pa.Table:
+        key = np.asarray(t[key_col])
+        if len(key) == 0:
+            if final:
+                return pa.table(
+                    {
+                        key_col: pa.array([], type=t.schema.field(key_col).type),
+                        "bucket_ts": pa.array([], type=pa.timestamp("us")),
+                        "dv": pa.array([], type=pa.int64()),
+                        "dt_us": pa.array([], type=pa.int64()),
+                    }
+                )
+            return t
+        ts = ts_to_us(t[ts_col].combine_chunks())
+        oid = np.asarray(t[id_col])
+        v = np.asarray(t[value_col], dtype=np.int64)
+        bucket = ts // width_us
+        order = np.lexsort((oid, ts, bucket, key))
+        k_s, b_s = key[order], bucket[order]
+        ts_s, id_s, v_s = ts[order], oid[order], v[order]
+        new = np.ones(len(k_s), dtype=bool)
+        new[1:] = (k_s[1:] != k_s[:-1]) | (b_s[1:] != b_s[:-1])
+        gid = np.cumsum(new) - 1
+        last_ix = np.concatenate([np.flatnonzero(new)[1:] - 1,
+                                  [len(k_s) - 1]])
+        if not final:
+            # keep the last two positions of each group
+            keep = np.zeros(len(k_s), dtype=bool)
+            keep[last_ix] = True
+            prev_ix = last_ix - 1
+            valid = prev_ix >= 0
+            valid[valid] &= gid[prev_ix[valid]] == gid[last_ix[valid]]
+            keep[prev_ix[valid]] = True
+            sel = np.flatnonzero(keep)
+            cols = {
+                key_col: pa.array(k_s[sel]).cast(
+                    t.schema.field(key_col).type
+                ),
+                ts_col: pa.array(ts_s[sel]).cast(pa.timestamp("us")),
+                id_col: pa.array(id_s[sel]).cast(
+                    t.schema.field(id_col).type
+                ),
+                value_col: pa.array(v_s[sel]),
+            }
+            return pa.table(cols)
+        # final: emit (key, bucket, dv, dt) for groups of size >= 2
+        prev_ix = last_ix - 1
+        has_prev = prev_ix >= 0
+        has_prev[has_prev] &= gid[prev_ix[has_prev]] == gid[last_ix[has_prev]]
+        li = last_ix[has_prev]
+        pi = li - 1
+        return pa.table(
+            {
+                key_col: pa.array(k_s[li]).cast(t.schema.field(key_col).type),
+                "bucket_ts": pa.array(b_s[li] * width_us).cast(
+                    pa.timestamp("us")
+                ),
+                "dv": pa.array(v_s[li] - v_s[pi]),
+                "dt_us": pa.array(ts_s[li] - ts_s[pi]),
+            }
+        )
+
+    combined = ds.map_batches(
+        lambda b: last_two(b, final=False),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    )
+    return _hash_exchange(
+        combined, key_col, num_partitions,
+        lambda t: last_two(t, final=True),
+    )
+
+
+def keyed_delta(
+    ds,
+    *,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    num_partitions: int | None = None,
+):
+    """Consecutive delta of an int64 value per key, ordered by `order_col`
+    (unique within key — e.g. a rollup bucket): (key, order, value, delta)
+    with delta NULL on each key's first row. The composition primitive for
+    derivative-over-tier queries (rollup -> delta), one hash exchange."""
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col])
+        kt = t.schema.field(key_col).type
+        ot = t.schema.field(order_col).type
+        if len(key) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=kt),
+                    order_col: pa.array([], type=ot),
+                    value_col: pa.array([], type=pa.int64()),
+                    "delta": pa.array([], type=pa.int64()),
+                }
+            )
+        o = ts_to_us(t[order_col].combine_chunks()) if pa.types.is_timestamp(
+            ot
+        ) else np.asarray(t[order_col], dtype=np.int64)
+        v = np.asarray(t[value_col], dtype=np.int64)
+        order = np.lexsort((o, key))
+        k_s, o_s, v_s = key[order], o[order], v[order]
+        same = np.zeros(len(k_s), dtype=bool)
+        same[1:] = k_s[1:] == k_s[:-1]
+        d = np.zeros(len(v_s), dtype=np.int64)
+        d[1:] = v_s[1:] - v_s[:-1]
+        return pa.table(
+            {
+                key_col: pa.array(k_s).cast(kt),
+                order_col: pa.array(
+                    o_s
+                ).cast(ot) if not pa.types.is_timestamp(ot) else pa.array(
+                    o_s
+                ).cast(pa.timestamp("us")),
+                value_col: pa.array(v_s),
+                "delta": pa.array(
+                    np.where(same, d, 0), mask=~same
+                ),
+            }
+        )
+
+    return _hash_exchange(ds, key_col, num_partitions, part_fn)

@@ -1304,3 +1304,68 @@ def token_near_dedup_clusters(
     return assign_clusters(
         ds, pairs_ds, id_col=id_col, driver_max_edges=driver_max_edges
     )
+
+
+def token_topk_per_source(
+    ds,
+    *,
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+    k: int = 20,
+):
+    """Per-source token leaderboard: exact (source, token) counts, then
+    top-k tokens per source with deterministic ties (cnt desc, token asc).
+
+    Two decomposable stages, tokens never shuffle: (1) per-batch
+    factorize+bincount combiner -> ONE groupby-sum over O(sources x
+    seen-vocab) integer rows; (2) the grouped_topk combiner
+    (stages/groupby.py) prunes each source to k candidates per batch
+    before the final selection."""
+    from ray.data.aggregate import Sum
+
+    from .groupby import grouped_topk
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        vals = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        src = np.asarray(b[source_col]).astype(str)
+        if len(vals) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "token_id": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        lens = np.diff(off)
+        usrc, six = np.unique(src, return_inverse=True)
+        row_src = np.repeat(six, lens)
+        vmax = int(vals.max()) + 1
+        key = row_src * vmax + vals
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(usrc[uk // vmax], type=pa.string()),
+                "token_id": pa.array(uk % vmax),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=65536)
+        .groupby(["source", "token_id"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    from .blocks import norm_empty_blocks
+
+    counts = norm_empty_blocks(
+        counts,
+        [("source", pa.string()), ("token_id", pa.int64()),
+         ("cnt", pa.int64())],
+    )
+    return grouped_topk(
+        counts, key_col="source", value_col="cnt", id_col="token_id", k=k
+    )

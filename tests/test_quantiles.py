@@ -65,3 +65,85 @@ def test_exact_quantiles_partition_invariance():
         {"q_pct": 50, "value": brute(vals, [50])[50]},
         {"q_pct": 95, "value": brute(vals, [95])[95]},
     ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_irate_last_two_brute():
+    import pandas as pd
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import irate_last_two
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 20, n)),
+            "ts": pa.array(
+                rng.integers(0, 3600 * 6 * 10**6, n).astype("datetime64[us]")
+            ),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(rng.integers(-1000, 1000, n).astype(np.int64)),
+        }
+    )
+    out = (
+        irate_last_two(
+            rd.from_arrow(t).repartition(7),
+            key_col="k", ts_col="ts", id_col="id", value_col="v",
+            width_s=3600, num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["k", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    df["b"] = df["ts"].astype("int64") // (3600 * 10**6)
+    exp = []
+    for (k, bkt), g in df.groupby(["k", "b"]):
+        g = g.sort_values(["ts", "id"])
+        if len(g) < 2:
+            continue
+        exp.append(
+            (k, bkt * 3600 * 10**6,
+             int(g["v"].iloc[-1] - g["v"].iloc[-2]),
+             int(g["ts"].astype("int64").iloc[-1]
+                 - g["ts"].astype("int64").iloc[-2]))
+        )
+    exp = pd.DataFrame(exp, columns=["k", "bts", "dv", "dt_us"]).sort_values(
+        ["k", "bts"]
+    ).reset_index(drop=True)
+    assert len(out) == len(exp)
+    assert (out["k"].to_numpy() == exp["k"].to_numpy()).all()
+    assert (out["bucket_ts"].astype("int64").to_numpy()
+            == exp["bts"].to_numpy()).all()
+    assert (out["dv"].to_numpy() == exp["dv"].to_numpy()).all()
+    assert (out["dt_us"].to_numpy() == exp["dt_us"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_keyed_delta_brute():
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import keyed_delta
+
+    rng = np.random.default_rng(9)
+    n = 500
+    t = pa.table(
+        {
+            "k": pa.array(rng.permutation(np.repeat(np.arange(10), 50))),
+            "o": pa.array(rng.permutation(np.arange(n)).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 10**6, n).astype(np.int64)),
+        }
+    )
+    out = (
+        keyed_delta(rd.from_arrow(t).repartition(4),
+                    key_col="k", order_col="o", value_col="v",
+                    num_partitions=3)
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    exp = df.groupby("k")["v"].diff()
+    assert np.array_equal(
+        out["delta"].to_numpy(na_value=-10**18),
+        exp.to_numpy(na_value=-10**18),
+    )
