@@ -1099,3 +1099,88 @@ FROM h
 
 KEYED_QUERIES["tier_delta_events"] = q_tier_delta_events
 KEYED_ORACLE_SQL["tier_delta_events"] = SQL_TIER_DELTA
+
+
+def q_align_series_events(sf_dir: str):
+    """Align two event-count series on a common hourly grid with a FULL
+    OUTER hash join (buckets where only one series fired survive with a
+    zero on the other side) — the series-alignment primitive behind every
+    multi-metric dashboard; exchange is O(distinct buckets) after the
+    per-batch count combiners."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.blocks import norm_empty_blocks
+    from ..stages.joins import hash_join
+    from ..stages.rollup import ts_to_us
+
+    W = 3600 * 1_000_000
+
+    def hourly(etype: str, out: str):
+        ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+        def part(b: pa.Table) -> pa.Table:
+            sel = pc.equal(b["event_type"], etype)
+            ts = ts_to_us(b["ts"].combine_chunks())[np.asarray(sel)]
+            if len(ts) == 0:
+                return pa.table(
+                    {"bucket_us": pa.array([], type=pa.int64()),
+                     out: pa.array([], type=pa.int64())}
+                )
+            bkt = (ts // W) * W
+            u, c = np.unique(bkt, return_counts=True)
+            return pa.table(
+                {"bucket_us": pa.array(u), out: pa.array(c.astype(np.int64))}
+            )
+
+        agg = (
+            ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=65536)
+            .groupby("bucket_us")
+            .aggregate(Sum(out, alias_name=out))
+        )
+        return norm_empty_blocks(
+            agg, [("bucket_us", pa.int64()), (out, pa.int64())]
+        )
+
+    joined = hash_join(
+        hourly("click", "n_click"), hourly("error", "n_error"),
+        on="bucket_us", how="full_outer", num_partitions=8,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return pa.table(
+                {"bucket_ts": pa.array([], type=pa.timestamp("us")),
+                 "n_click": pa.array([], type=pa.int64()),
+                 "n_error": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "bucket_ts": b["bucket_us"].cast(pa.timestamp("us")),
+                "n_click": pc.coalesce(b["n_click"], pa.scalar(0, pa.int64())),
+                "n_error": pc.coalesce(b["n_error"], pa.scalar(0, pa.int64())),
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+SQL_ALIGN_SERIES = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS b, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), e AS (
+  SELECT date_trunc('hour', ts) AS b, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT COALESCE(c.b, e.b) AS bucket_ts,
+       COALESCE(c.n, 0) AS n_click,
+       COALESCE(e.n, 0) AS n_error
+FROM c FULL OUTER JOIN e ON c.b = e.b
+"""
+
+KEYED_QUERIES["align_series_events"] = q_align_series_events
+KEYED_ORACLE_SQL["align_series_events"] = SQL_ALIGN_SERIES
