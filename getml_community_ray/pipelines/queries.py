@@ -1128,6 +1128,9 @@ def q_tier_router_events(sf_dir: str):
         value_col="cents",
         tiers={"1m": 60, "1h": 3600, "1d": 86400},
         aggs=["count", "sum", "min", "max"],
+        # exchange granularity sized to the tier-cascade OUTPUT (bench
+        # scale: ~84k rows); at cluster scale size to O(cores)
+        num_partitions=16,
     )
     tiers = rollup_decomposable(_events_rollup_base(sf_dir), cfg)
 

@@ -1064,6 +1064,7 @@ def q_tier_delta_events(sf_dir: str):
         value_col="cents",
         tiers={"1h": 3600},
         aggs=["count", "sum"],
+        num_partitions=16,
     )
     t1h = rollup_decomposable(_events_rollup_base(sf_dir), cfg)["1h"]
 

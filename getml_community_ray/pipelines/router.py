@@ -170,13 +170,18 @@ def route_range_aggregate(
     for i, ranges in per_tier.items():
         bounds = np.asarray(sorted(ranges)).reshape(-1)
         if i < 0:
-            lo, hi = int(bounds.min()), int(bounds.max())
-            parts.append(
-                _raw_partials(
-                    raw_read_fn(lo, hi), bounds,
-                    source_col=source_col, ts_col=ts_col, value_col=value_col,
+            # ONE read per contiguous raw edge (<= 2 sub-finest-width
+            # spans) — a single read spanning min..max would cover the
+            # whole query range and defeat the tier routing
+            for lo, hi in sorted(ranges):
+                parts.append(
+                    _raw_partials(
+                        raw_read_fn(int(lo), int(hi)),
+                        np.asarray([lo, hi], dtype=np.int64),
+                        source_col=source_col, ts_col=ts_col,
+                        value_col=value_col,
+                    )
                 )
-            )
         else:
             name = ordered[i][0]
             parts.append(_tier_partials(tiers[name], bounds, source_col="source"))
