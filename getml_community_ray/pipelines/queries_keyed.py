@@ -1185,3 +1185,66 @@ FROM c FULL OUTER JOIN e ON c.b = e.b
 
 KEYED_QUERIES["align_series_events"] = q_align_series_events
 KEYED_ORACLE_SQL["align_series_events"] = SQL_ALIGN_SERIES
+
+
+def q_grouping_sets_events(sf_dir: str):
+    """SQL GROUPING SETS ((type, day), (type), (day), ()) in ONE input
+    pass: finest-level combiner + packed exchange, coarser levels folded
+    from the finest (stages/groupby.grouping_sets_counts) — the OLAP
+    subtotal/cube query without re-scanning per level."""
+    import numpy as np
+
+    from ..stages.groupby import grouping_sets_counts
+    from ..stages.rollup import ts_to_us
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    DAY = 86400 * 1_000_000
+
+    def day_us(b: pa.Table):
+        return (ts_to_us(b["ts"].combine_chunks()) // DAY) * DAY
+
+    out = grouping_sets_counts(
+        ds.map_batches(to_cents, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        dim_a="event_type", dim_b_us=day_us, value_col="cents",
+        num_partitions=8,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["a"],
+                "bucket_ts": b["b_us"].cast(pa.timestamp("us")),
+                "n": b["n"],
+                "sum_cents": b["s"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_GROUPING_SETS = """
+SELECT event_type AS source,
+       date_trunc('day', ts) AS bucket_ts,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM events
+GROUP BY GROUPING SETS ((1, 2), (1), (2), ())
+"""
+
+KEYED_QUERIES["grouping_sets_events"] = q_grouping_sets_events
+KEYED_ORACLE_SQL["grouping_sets_events"] = SQL_GROUPING_SETS

@@ -475,3 +475,146 @@ def pivot_counts(ds, *, key_col: str, cat_col: str, categories: list[str]):
         .groupby(key_col)
         .aggregate(*[Sum(n, alias_name=n) for n in col_names])
     )
+
+
+def grouping_sets_counts(
+    ds,
+    *,
+    dim_a: str,
+    dim_b_us,
+    value_col: str,
+    num_partitions: int | None = None,
+):
+    """SQL GROUPING SETS ((a, b), (a), (b), ()) — count + int64 sum at all
+    four aggregation levels in ONE pass over the input: the per-batch
+    combiner collapses to finest-level (a, b) partials, one packed-key
+    exchange produces exact (a, b) totals, and the coarser levels fold
+    from the finest (tier-cascade style) in a final output-sized task.
+    `dim_b_us(batch) -> int64 ndarray` computes the second dimension
+    (e.g. a day bucket). Output: (a | NULL, b_us | NULL, n, s)."""
+    import ray
+    import ray.data as rd
+
+    from ..kernels.hashing import splitmix64
+    from .partitioning import auto_partitions
+    from .rollup import crc_hash_sources
+
+    parts = num_partitions or auto_partitions(ds)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {"a": pa.array([], type=pa.string()),
+                 "b_us": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64()),
+                 "s": pa.array([], type=pa.int64())}
+            )
+        a = np.asarray(b[dim_a]).astype(str)
+        bu = dim_b_us(b)
+        v = np.asarray(b[value_col], dtype=np.int64)
+        ua, ai = np.unique(a, return_inverse=True)
+        ub, bi = np.unique(bu, return_inverse=True)
+        key = ai.astype(np.int64) * len(ub) + bi
+        uk, first_ix, gid = np.unique(key, return_index=True,
+                                      return_inverse=True)
+        n = np.bincount(gid, minlength=len(uk))
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, gid, v)
+        return pa.table(
+            {"a": pa.array(a[first_ix], type=pa.string()),
+             "b_us": pa.array(bu[first_ix]),
+             "n": pa.array(n.astype(np.int64)),
+             "s": pa.array(s)}
+        )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = splitmix64(
+            crc_hash_sources(np.asarray(b["a"]).astype(str)).view(np.uint64)
+            ^ np.asarray(b["b_us"], dtype=np.int64).view(np.uint64)
+        )
+        return b.append_column(
+            "_part", pa.array((h % np.uint64(parts)).astype(np.int64))
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], type=pa.string()),
+                 "b_us": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64()),
+                 "s": pa.array([], type=pa.int64())}
+            )
+        a = np.asarray(t["a"]).astype(str)
+        bu = np.asarray(t["b_us"], dtype=np.int64)
+        n = np.asarray(t["n"], dtype=np.int64)
+        s = np.asarray(t["s"], dtype=np.int64)
+        ua, ai = np.unique(a, return_inverse=True)
+        ub, bi = np.unique(bu, return_inverse=True)
+        key = ai.astype(np.int64) * len(ub) + bi
+        uk, first_ix, gid = np.unique(key, return_index=True,
+                                      return_inverse=True)
+        nn = np.zeros(len(uk), dtype=np.int64)
+        ss = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(nn, gid, n)
+        np.add.at(ss, gid, s)
+        return pa.table(
+            {"a": pa.array(a[first_ix], type=pa.string()),
+             "b_us": pa.array(bu[first_ix]),
+             "n": pa.array(nn),
+             "s": pa.array(ss)}
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=65536)
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(lambda t: merge(t.drop_columns(["_part"])),
+                    batch_format="pyarrow")
+    )
+
+    # coarser levels fold from the finest — output-sized, one task
+    tbls = [t for t in ray.get(fine.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        base = pa.table(
+            {"a": pa.array([], type=pa.string()),
+             "b_us": pa.array([], type=pa.int64()),
+             "n": pa.array([], type=pa.int64()),
+             "s": pa.array([], type=pa.int64())}
+        )
+    else:
+        base = pa.concat_tables(tbls)
+    a = np.asarray(base["a"]).astype(str)
+    bu = np.asarray(base["b_us"], dtype=np.int64)
+    n = np.asarray(base["n"], dtype=np.int64)
+    s = np.asarray(base["s"], dtype=np.int64)
+
+    out_a, out_b, out_n, out_s = [], [], [], []
+    # (a, b) level
+    out_a.append(pa.array(a, type=pa.string()))
+    out_b.append(pa.array(bu))
+    out_n.append(pa.array(n))
+    out_s.append(pa.array(s))
+    if len(a):
+        ua, ai = np.unique(a, return_inverse=True)
+        nn = np.zeros(len(ua), dtype=np.int64); ss = np.zeros(len(ua), dtype=np.int64)
+        np.add.at(nn, ai, n); np.add.at(ss, ai, s)
+        out_a.append(pa.array(ua, type=pa.string()))
+        out_b.append(pa.nulls(len(ua), pa.int64()))
+        out_n.append(pa.array(nn)); out_s.append(pa.array(ss))
+        ub, bi = np.unique(bu, return_inverse=True)
+        nn = np.zeros(len(ub), dtype=np.int64); ss = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(nn, bi, n); np.add.at(ss, bi, s)
+        out_a.append(pa.nulls(len(ub), pa.string()))
+        out_b.append(pa.array(ub))
+        out_n.append(pa.array(nn)); out_s.append(pa.array(ss))
+        out_a.append(pa.nulls(1, pa.string()))
+        out_b.append(pa.nulls(1, pa.int64()))
+        out_n.append(pa.array([int(n.sum())])); out_s.append(pa.array([int(s.sum())]))
+    final = pa.table(
+        {"a": pa.concat_arrays([x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in out_a]),
+         "b_us": pa.concat_arrays([x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in out_b]),
+         "n": pa.concat_arrays([x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in out_n]),
+         "s": pa.concat_arrays([x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in out_s])}
+    )
+    return rd.from_arrow(final)
