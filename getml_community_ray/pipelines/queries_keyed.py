@@ -1248,3 +1248,55 @@ GROUP BY GROUPING SETS ((1, 2), (1), (2), ())
 
 KEYED_QUERIES["grouping_sets_events"] = q_grouping_sets_events
 KEYED_ORACLE_SQL["grouping_sets_events"] = SQL_GROUPING_SETS
+
+
+def q_grouped_quantiles_events(sf_dir: str):
+    """Per-event-type exact p50/p95 of cents WITHOUT per-key sorts:
+    keyed multi-pass histogram refinement — one streaming scan per pass,
+    O(keys x quantiles) driver state (stages/quantiles.
+    grouped_exact_quantiles)."""
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    def make_ds():
+        ds = _read(sf_dir, "events", columns=["event_type", "value"])
+        return ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "cents": pc.cast(
+                        pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    out = grouped_exact_quantiles(
+        make_ds, key_col="event_type", value_col="cents", q_pcts=[50, 95]
+    )
+    return out.rename_columns(["source", "q_pct", "value"])
+
+
+SQL_GROUPED_QUANTILES = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+), n AS (
+  SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1
+), r AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn
+  FROM v
+)
+SELECT r.event_type AS source, CAST(qs.q_pct AS BIGINT) AS q_pct,
+       r.c AS value
+FROM (VALUES (50), (95)) qs(q_pct)
+JOIN n ON TRUE
+JOIN r ON r.event_type = n.event_type
+      AND r.rn = GREATEST(1, CAST(CEIL(qs.q_pct * n.n / 100.0) AS BIGINT))
+ORDER BY 1, 2
+"""
+
+KEYED_QUERIES["grouped_quantiles_events"] = q_grouped_quantiles_events
+KEYED_ORACLE_SQL["grouped_quantiles_events"] = SQL_GROUPED_QUANTILES

@@ -135,3 +135,129 @@ def exact_quantiles(
         {"q_pct": pa.array(np.array(q_pcts, dtype=np.int64)),
          "value": pa.array(lo)}
     )
+
+
+def grouped_exact_quantiles(
+    make_ds,
+    *,
+    key_col: str,
+    value_col: str,
+    q_pcts: list[int],
+    n_buckets: int = 1024,
+):
+    """Per-key exact integer quantiles WITHOUT per-key sorts: the same
+    multi-pass histogram refinement as `exact_quantiles`, with one bracket
+    per (key, quantile) refined simultaneously — each pass is one
+    streaming scan, fully vectorized per batch (per-row bracket params
+    gathered by key index; one bincount over packed (key, q, bucket)
+    ids). Passes = O(log_B(range)) regardless of key count.
+
+    Driver state is O(keys x quantiles) int64 — the same size as the
+    result itself (the bound any grouped-quantile output already has).
+    Returns a pyarrow Table (key, q_pct, value)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    q_pcts = sorted(set(int(q) for q in q_pcts))
+    if not q_pcts or any(q < 0 or q > 100 for q in q_pcts):
+        raise ValueError("q_pcts must be integer percentages in [0, 100]")
+    nq = len(q_pcts)
+
+    stats = (
+        make_ds()
+        .groupby(key_col)
+        .aggregate(
+            Count(),
+            Min(value_col, alias_name="mn"),
+            Max(value_col, alias_name="mx"),
+        )
+        .take_all()
+    )
+    if not stats:
+        return pa.table(
+            {"key": pa.array([], type=pa.string()),
+             "q_pct": pa.array([], type=pa.int64()),
+             "value": pa.array([], type=pa.int64())}
+        )
+    stats.sort(key=lambda r: r[key_col])
+    keys = np.array([r[key_col] for r in stats])
+    counts = np.array([int(r["count()"]) for r in stats], dtype=np.int64)
+    gmin = np.array([int(r["mn"]) for r in stats], dtype=np.int64)
+    gmax = np.array([int(r["mx"]) for r in stats], dtype=np.int64)
+    nk = len(keys)
+
+    lo = np.repeat(gmin, nq).reshape(nk, nq)
+    hi = np.repeat(gmax, nq).reshape(nk, nq)
+    rank = np.empty((nk, nq), dtype=np.int64)
+    for j, q in enumerate(q_pcts):
+        rank[:, j] = np.maximum(1, -(-q * counts // 100))
+
+    while (lo < hi).any():
+        width = np.maximum(1, -(-(hi - lo + 1) // n_buckets))
+        lo_c, hi_c, width_c = lo.copy(), hi.copy(), width.copy()
+
+        def hist(b: pa.Table, lo=lo_c, hi=hi_c, width=width_c) -> pa.Table:
+            k = np.asarray(b[key_col])
+            v = np.asarray(b[value_col], dtype=np.int64)
+            kix = np.searchsorted(keys, k)
+            # rows whose key is known (always true for a consistent ds)
+            slot_ids, slot_cnt = [], []
+            for j in range(nq):
+                l = lo[kix, j]
+                w = width[kix, j]
+                m = (v >= l) & (v <= hi[kix, j])
+                if not m.any():
+                    continue
+                bk = (v[m] - l[m]) // w[m]
+                sid = (kix[m] * nq + j) * n_buckets + bk
+                slot_ids.append(sid)
+            if not slot_ids:
+                return pa.table(
+                    {"sid": pa.array([], type=pa.int64()),
+                     "n": pa.array([], type=pa.int64())}
+                )
+            sid = np.concatenate(slot_ids)
+            u, c = np.unique(sid, return_counts=True)
+            return pa.table(
+                {"sid": pa.array(u), "n": pa.array(c.astype(np.int64))}
+            )
+
+        from ray.data.aggregate import Sum
+
+        rows = (
+            make_ds()
+            .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("sid")
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )
+        acc: dict[int, list[tuple[int, int]]] = {}
+        for r in rows:
+            sid = int(r["sid"])
+            acc.setdefault(sid // n_buckets, []).append(
+                (sid % n_buckets, int(r["n"]))
+            )
+        for g in range(nk):
+            for j in range(nq):
+                if lo[g, j] >= hi[g, j]:
+                    continue
+                pairs = sorted(acc.get(g * nq + j, []))
+                cum = 0
+                for bk, cnt in pairs:
+                    if cum + cnt >= rank[g, j]:
+                        rank[g, j] -= cum
+                        new_lo = lo[g, j] + bk * width[g, j]
+                        hi[g, j] = min(hi[g, j],
+                                       new_lo + width[g, j] - 1)
+                        lo[g, j] = new_lo
+                        break
+                    cum += cnt
+                else:  # pragma: no cover
+                    raise AssertionError("rank outside bracket")
+
+    key_out = np.repeat(keys, nq)
+    q_out = np.tile(np.array(q_pcts, dtype=np.int64), nk)
+    return pa.table(
+        {"key": pa.array(key_out),
+         "q_pct": pa.array(q_out),
+         "value": pa.array(lo.reshape(-1))}
+    )

@@ -147,3 +147,36 @@ def test_keyed_delta_brute():
         out["delta"].to_numpy(na_value=-10**18),
         exp.to_numpy(na_value=-10**18),
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_exact_quantiles_brute():
+    import ray.data as rd
+
+    from getml_community_ray.stages.quantiles import grouped_exact_quantiles
+
+    rng = np.random.default_rng(17)
+    n = 30_000
+    keys = rng.choice(np.array(["a", "b", "c", "dd"]), size=n)
+    # per-key different ranges + duplicates + negatives
+    vals = np.where(
+        keys == "a", rng.integers(-100, 100, n),
+        np.where(keys == "b", rng.integers(0, 10**9, n),
+                 rng.integers(5, 8, n)),
+    ).astype(np.int64)
+
+    def make_ds():
+        return rd.from_arrow(
+            pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+        ).repartition(6)
+
+    out = grouped_exact_quantiles(
+        make_ds, key_col="k", value_col="v", q_pcts=[10, 50, 99],
+        n_buckets=8,  # force many refinement passes
+    ).to_pandas()
+    got = {(r["key"], r["q_pct"]): r["value"] for _, r in out.iterrows()}
+    for k in np.unique(keys):
+        kv = np.sort(vals[keys == k])
+        for q in (10, 50, 99):
+            rk = max(1, -(-q * len(kv) // 100))
+            assert got[(k, q)] == kv[rk - 1], (k, q)
