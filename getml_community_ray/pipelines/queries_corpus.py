@@ -2008,3 +2008,30 @@ CORPUS_QUERIES["token_topk_per_source_sequences"] = q_token_topk_per_source
 CORPUS_ORACLE_SQL["token_topk_per_source_sequences"] = (
     sql_token_topk_per_source()
 )
+
+
+def q_token_exact_dedup(sf_dir: str):
+    """Exact dedup of identical token SEQUENCES (stages/tokens.
+    token_exact_dedup): only (length-salted content hash, id) pairs
+    shuffle; the injected verbatim copies collapse onto their base doc."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_exact_dedup
+
+    _ensure_neardup_tokens()
+    ds = rd.read_parquet(NEARDUP_TOKENS_CORPUS, columns=["doc_key", "tokens"])
+    return token_exact_dedup(ds, tokens_col="tokens", id_col="doc_key")
+
+
+def sql_token_exact_dedup() -> str:
+    _ensure_neardup_tokens()
+    return f"""
+SELECT CAST(MIN(doc_key) AS BIGINT) AS doc_key,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM read_parquet('{NEARDUP_TOKENS_CORPUS}/*.parquet')
+GROUP BY tokens
+"""
+
+
+CORPUS_QUERIES["token_exact_dedup_sequences"] = q_token_exact_dedup
+CORPUS_ORACLE_SQL["token_exact_dedup_sequences"] = sql_token_exact_dedup()

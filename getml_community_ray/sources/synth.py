@@ -363,6 +363,13 @@ def ensure_neardup_token_corpus(
             t[pos] = rng.integers(0, vocab, size=k, dtype=np.int32)
             rows_tokens.append(t)
             doc_ids.append(f"dup-{c:04d}-{m}")
+    # verbatim copies of base docs — EXACT-dup signal for token_exact_dedup
+    n_exact = max(1, n_base // 40)
+    for i, src_ix in enumerate(
+        rng.choice(n_base, size=n_exact, replace=False)
+    ):
+        rows_tokens.append(rows_tokens[int(src_ix)].copy())
+        doc_ids.append(f"copy-{i:04d}")
     off = np.zeros(len(rows_tokens) + 1, dtype=np.int32)
     np.cumsum([len(t) for t in rows_tokens], out=off[1:])
     tokens = pa.ListArray.from_arrays(
@@ -380,7 +387,7 @@ def ensure_neardup_token_corpus(
             "tokens": tokens,
             "n_tok": pa.array(np.diff(off).astype(np.int32)),
             "source": pa.array(
-                ["dup" if d.startswith("dup") else "base" for d in doc_ids],
+                [d.split("-")[0] for d in doc_ids],
                 type=pa.string(),
             ),
         }

@@ -1407,3 +1407,84 @@ def token_topk_per_source(
     return grouped_topk(
         counts, key_col="source", value_col="cnt", id_col="token_id", k=k
     )
+
+
+def token_exact_dedup(ds, *, tokens_col: str = "tokens",
+                      id_col: str = "doc_key"):
+    """Exact dedup of identical token SEQUENCES: smallest id + occurrence
+    count per distinct token array. Content identity = (n_tok, whole-row
+    64-bit polynomial hash) — only (len-salted hash, id) pairs shuffle,
+    the payload never moves (same stance as stages/dedup.exact_dedup for
+    text; 64-bit collision odds documented there)."""
+    from ray.data.aggregate import Count, Min
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        flat = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        lens = np.diff(off)
+        n = len(lens)
+        h = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            # whole-row polynomial: h_row = sum v[i] * B^(len-1-i) mod 2^64,
+            # computed for ALL rows at once via a running scan per batch:
+            # prefix[i] = prefix[i-1]*B + v[i]; row hash = prefix[end-1]
+            # - prefix[start-1]*B^len. Vectorized with precomputed powers.
+            maxlen = int(lens.max())
+            pows = np.empty(maxlen + 1, dtype=np.int64)
+            acc = 1
+            for i in range(maxlen + 1):
+                pows[i] = acc - (1 << 64) if acc >= (1 << 63) else acc
+                acc = (acc * _TOK_B) % (1 << 64)
+            pref = np.zeros(len(flat) + 1, dtype=np.int64)
+            # prefix scan is sequential; do it per batch in C via reduce:
+            # p[i+1] = p[i]*B + v[i]  ==  p[n] = sum v[i] * B^(n-1-i).
+            # Equivalent closed form: weight each v[i] by B^(-i) doesn't
+            # exist in modular ints without inverse; B is odd => invertible
+            # mod 2^64, so use w[i] = v[i] * Binv^i and a cumsum.
+            binv = pow(_TOK_B, -1, 1 << 64)
+            iexp = np.arange(len(flat), dtype=np.int64)
+            # Binv^i via repeated squaring per power-of-two bit, vectorized
+            w = np.ones(len(flat), dtype=np.int64)
+            base = binv
+            bits = iexp.copy()
+            while bits.any():
+                odd = (bits & 1).astype(bool)
+                bc = np.int64(base - (1 << 64) if base >= (1 << 63) else base)
+                w[odd] = w[odd] * bc  # wraparound mod 2^64
+                bits >>= 1
+                base = (base * base) % (1 << 64)
+            s = np.cumsum(flat * w)  # wraparound cumsum mod 2^64
+            pref[1:] = s
+            seg = pref[off[1:]] - pref[off[:-1]]
+            # seg = sum v[i] * Binv^i over the row; normalize by B^(start +
+            # len - 1) to get the forward polynomial. Empty rows would give
+            # exponent -1 (negative stays negative under >>, infinite
+            # loop): clamp to 0 — their seg is 0 so the hash is 0 anyway.
+            start_pow = np.maximum(off[:-1] + lens - 1, 0).astype(np.int64)
+            pw = np.ones(n, dtype=np.int64)
+            base = _TOK_B % (1 << 64)
+            bits = start_pow.copy()
+            while bits.any():
+                odd = (bits & 1).astype(bool)
+                bc = np.int64(base - (1 << 64) if base >= (1 << 63) else base)
+                pw[odd] = pw[odd] * bc
+                bits >>= 1
+                base = (base * base) % (1 << 64)
+            h = seg * pw
+        from ..kernels.hashing import splitmix64
+
+        # salt with the length so [] and length collisions separate
+        hh = splitmix64(h.view(np.uint64) ^ lens.view(np.uint64))
+        return pa.table(
+            {id_col: b[id_col], "_h": pa.array(hh.astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_h")
+        .aggregate(Min(id_col, alias_name=id_col),
+                   Count(alias_name="dup_count"))
+        .drop_columns(["_h"])
+    )
