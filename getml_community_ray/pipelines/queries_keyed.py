@@ -1300,3 +1300,112 @@ ORDER BY 1, 2
 
 KEYED_QUERIES["grouped_quantiles_events"] = q_grouped_quantiles_events
 KEYED_ORACLE_SQL["grouped_quantiles_events"] = SQL_GROUPED_QUANTILES
+
+
+def q_enrich_asof_tier_events(sf_dir: str):
+    """Feature-store read path: enrich each event with the stats of the
+    LAST COMPLETED 1h rollup bucket of its type (bucket end <= event ts,
+    within a 6h lookback) — an as-of join of the raw stream against the
+    continuous aggregate (stages/asof.asof_join over the tier output).
+    Counts events per (type, matched bucket) to keep the output
+    aggregate-sized for the oracle."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    from ..stages.asof import asof_join
+    from ..stages.blocks import norm_empty_blocks
+    from .queries import _events_rollup_base
+    from .rollup import RollupConfig, rollup_decomposable
+
+    cfg = RollupConfig(
+        source_col="event_type",
+        ts_col="ts",
+        value_col="cents",
+        tiers={"1h": 3600},
+        aggs=["count", "sum"],
+        num_partitions=16,
+    )
+    t1h = rollup_decomposable(_events_rollup_base(sf_dir), cfg)["1h"]
+
+    def tier_prep(b: pa.Table) -> pa.Table:
+        # a bucket is COMPLETE at bucket_ts + 1h: that's its as-of time
+        end_us = pc.add(b["bucket_ts"].cast(pa.int64()),
+                        3600 * 1_000_000)
+        return pa.table(
+            {
+                "event_type": b["source"],
+                "avail_ts": end_us.cast(pa.timestamp("us")),
+                "hour_n": b["count"].cast(pa.float64()),
+            }
+        )
+
+    right = t1h.map_batches(tier_prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    left = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+    joined = asof_join(
+        left, right,
+        on="event_type", left_ts="ts", right_ts="avail_ts",
+        value_cols=["hour_n"], id_cols=["event_id"],
+        tolerance_s=6 * 3600.0,
+        num_partitions=8,
+    )
+
+    def to_groups(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or len(b) == 0:
+            return pa.table(
+                {"event_type": pa.array([], type=pa.string()),
+                 "hour_n": pa.array([], type=pa.float64()),
+                 "n_events": pa.array([], type=pa.int64())}
+            )
+        et = np.asarray(b["event_type"]).astype(str)
+        hn = np.asarray(b["hour_n_asof"], dtype=np.float64)
+        hn = np.where(np.isnan(hn), -1.0, hn)
+        ue, ei = np.unique(et, return_inverse=True)
+        uh, hi = np.unique(hn, return_inverse=True)
+        key = ei.astype(np.int64) * len(uh) + hi
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"event_type": pa.array(ue[uk // len(uh)], type=pa.string()),
+             "hour_n": pa.array(uh[uk % len(uh)]),
+             "n_events": pa.array(cnt.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(to_groups, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(["event_type", "hour_n"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+    return norm_empty_blocks(
+        agg,
+        [("event_type", pa.string()), ("hour_n", pa.float64()),
+         ("n_events", pa.int64())],
+    )
+
+
+SQL_ENRICH_ASOF_TIER = """
+WITH h AS (
+  SELECT event_type,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS avail_ts,
+         CAST(count(*) AS DOUBLE) AS hour_n
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT e.event_type,
+         COALESCE(
+           (SELECT hour_n FROM h
+            WHERE h.event_type = e.event_type
+              AND h.avail_ts <= e.ts
+              AND epoch_us(e.ts) - epoch_us(h.avail_ts) <= CAST(21600000000 AS BIGINT)
+            ORDER BY h.avail_ts DESC LIMIT 1),
+           -1.0) AS hour_n
+  FROM events e
+)
+SELECT event_type, hour_n, CAST(count(*) AS BIGINT) AS n_events
+FROM j GROUP BY 1, 2
+"""
+
+KEYED_QUERIES["enrich_asof_tier_events"] = q_enrich_asof_tier_events
+KEYED_ORACLE_SQL["enrich_asof_tier_events"] = SQL_ENRICH_ASOF_TIER
