@@ -2035,3 +2035,40 @@ GROUP BY tokens
 
 CORPUS_QUERIES["token_exact_dedup_sequences"] = q_token_exact_dedup
 CORPUS_ORACLE_SQL["token_exact_dedup_sequences"] = sql_token_exact_dedup()
+
+
+def q_token_rarity(sf_dir: str):
+    """Integer-exact unigram rarity score per sequence (perplexity proxy
+    with log2 = bit length, no float logs; stages/tokens.
+    token_rarity_score): histogram broadcast + stateless gather pass."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_rarity_score
+
+    _ensure_tokens_corpus()
+    ds = rd.read_parquet(TOKENS_CORPUS, columns=["doc_id", "tokens"])
+    return token_rarity_score(ds, tokens_col="tokens", id_col="doc_id")
+
+
+def sql_token_rarity() -> str:
+    _ensure_tokens_corpus()
+    src = f"read_parquet('{TOKENS_CORPUS}/*.parquet')"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, CAST(u.t AS BIGINT) AS t
+  FROM {src}, unnest(tokens) AS u(t)
+), hist AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(LENGTH(BIN(count(*))) AS BIGINT) AS tb FROM tok
+)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(SUM(tot.tb - LENGTH(BIN(hist.cnt))) AS BIGINT) AS rarity
+FROM tok JOIN hist USING (t), tot
+GROUP BY tok.doc_id, tot.tb
+"""
+
+
+CORPUS_QUERIES["token_rarity_sequences"] = q_token_rarity
+CORPUS_ORACLE_SQL["token_rarity_sequences"] = sql_token_rarity()

@@ -1488,3 +1488,76 @@ def token_exact_dedup(ds, *, tokens_col: str = "tokens",
                    Count(alias_name="dup_count"))
         .drop_columns(["_h"])
     )
+
+
+def token_rarity_score(
+    ds,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+):
+    """Integer-exact rarity score per sequence — a perplexity-proxy
+    quality signal with no float logs (log2 via BIT LENGTH, spelled
+    LENGTH(BIN()) in the SQL twin, so engine and oracle agree bit-for-bit):
+
+        rarity(doc) = sum over tokens of
+                      (bitlen(total_tokens) - bitlen(corpus_count[token]))
+
+    Rare tokens contribute big summands, glue tokens ~0 — the shape of a
+    negative-log-likelihood under a unigram model, quantized to integer
+    octaves. Two streaming passes: (1) the O(vocab) token histogram
+    (combiner + tiny groupby), broadcast once via ray.put as a dense LUT;
+    (2) a stateless per-batch gather+segment-sum. Tokens never shuffle."""
+    import ray
+
+    hist = token_histogram(ds, tokens_col=tokens_col)
+
+    @ray.remote
+    def build_lut(*tbls):
+        ne = [t for t in tbls if t.num_rows]
+        if not ne:
+            return np.zeros(1, dtype=np.int64), 0
+        t = pa.concat_tables(ne)
+        ids = np.asarray(t["token_id"], dtype=np.int64)
+        cnt = np.asarray(t["cnt"], dtype=np.int64)
+        lut = np.zeros(int(ids.max()) + 1, dtype=np.int64)
+        lut[ids] = cnt
+        return lut, int(cnt.sum())
+
+    lut_ref = build_lut.remote(*hist.to_arrow_refs())
+
+    def bitlen(x: np.ndarray) -> np.ndarray:
+        # bit length of positive ints via frexp exponents — EXACT for
+        # counts < 2^53 (floor(log2) would mis-round within 1 ulp of a
+        # power of two); 0 -> 0 (unseen tokens impossible here: every
+        # scored token is in the histogram by construction)
+        out = np.zeros(len(x), dtype=np.int64)
+        nz = x > 0
+        out[nz] = np.frexp(x[nz].astype(np.float64))[1]
+        return out
+
+    def score(b: pa.Table) -> pa.Table:
+        lut, total = ray.get(lut_ref)
+        idt = b.schema.field(id_col).type
+        if len(b) == 0:
+            return pa.table(
+                {id_col: pa.array([], type=idt),
+                 "n_tok": pa.array([], type=pa.int64()),
+                 "rarity": pa.array([], type=pa.int64())}
+            )
+        toks = b[tokens_col].combine_chunks()
+        vals = np.asarray(toks.flatten(), dtype=np.int64)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        tb = int(total).bit_length()
+        contrib = tb - bitlen(lut[vals])
+        pref = np.concatenate([[0], np.cumsum(contrib)])
+        per_doc = pref[off[1:]] - pref[off[:-1]]
+        return pa.table(
+            {id_col: b[id_col],
+             "n_tok": pa.array(np.diff(off)),
+             "rarity": pa.array(per_doc)}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -130,3 +130,67 @@ def test_calendar_bucket_us_week_and_month():
     mo = calendar_bucket_us(ts, "month")
     assert (mo[:3] == np.datetime64("2024-01-01", "us").astype(np.int64)).all()
     assert mo[3] == np.datetime64("2024-02-01", "us").astype(np.int64)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_router_from_parquet_sink(tmp_path):
+    """Materialized-view path: tiers written to partitioned Parquet, the
+    router reads them back from disk — answer identical to routing over
+    the in-memory tier Datasets."""
+    import ray.data as rd
+
+    from getml_community_ray.pipelines.rollup import (
+        RollupConfig,
+        rollup_decomposable,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 10_000
+    ts_us = np.sort(rng.integers(0, 5 * 86400 * US, size=n))
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts_us).cast(pa.timestamp("us")),
+            "source": pa.array(rng.choice(["x", "y"], size=n)),
+            "cents": pa.array(
+                rng.integers(0, 10**6, size=n).astype(np.float64)
+            ),
+        }
+    )
+    cfg = RollupConfig(
+        source_col="source", ts_col="ts", value_col="cents",
+        tiers={"1m": 60, "1h": 3600, "1d": 86400},
+        aggs=["count", "sum", "min", "max"], num_partitions=4,
+    )
+    tiers = rollup_decomposable(rd.from_arrow(tbl), cfg)
+    # persist each tier partitioned by day of its bucket (resumable layout)
+    disk_tiers = {}
+    for name, t in tiers.items():
+        d = str(tmp_path / name)
+        t.write_parquet(d)
+        disk_tiers[name] = rd.read_parquet(d)
+
+    a_us = int(0.7 * 86400 * US) + 123_456
+    b_us = int(4.2 * 86400 * US) + 789_000
+
+    def raw_read(lo, hi):
+        return rd.from_arrow(tbl)
+
+    kw = dict(a_us=a_us, b_us=b_us, source_col="source",
+              ts_col="ts", value_col="cents")
+    mem = (
+        route_range_aggregate(tiers, dict(cfg.tiers), raw_read, **kw)
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    dsk = (
+        route_range_aggregate(disk_tiers, dict(cfg.tiers), raw_read, **kw)
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    assert mem.equals(dsk)
+    # and both equal direct computation
+    mask = (ts_us >= a_us) & (ts_us < b_us)
+    src = np.asarray(tbl["source"]).astype(str)[mask]
+    cents = np.asarray(tbl["cents"])[mask]
+    for i, s in enumerate(sorted(np.unique(src))):
+        sel = cents[src == s]
+        assert mem.loc[i, "n_events"] == len(sel)
+        assert mem.loc[i, "sum_cents"] == int(sel.sum())
