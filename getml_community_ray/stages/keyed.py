@@ -1727,7 +1727,17 @@ def irate_last_two(
                         "dt_us": pa.array([], type=pa.int64()),
                     }
                 )
-            return t
+            # project the empty block to the same 4-column combined schema
+            # the non-empty branch emits — heterogeneous block schemas in
+            # the hash exchange can fail Ray's block concat
+            return pa.table(
+                {
+                    key_col: pa.array([], type=t.schema.field(key_col).type),
+                    ts_col: pa.array([], type=pa.timestamp("us")),
+                    id_col: pa.array([], type=t.schema.field(id_col).type),
+                    value_col: pa.array([], type=pa.int64()),
+                }
+            )
         ts = ts_to_us(t[ts_col].combine_chunks())
         oid = np.asarray(t[id_col])
         v = np.asarray(t[value_col], dtype=np.int64)
@@ -1809,10 +1819,13 @@ def keyed_delta(
         kt = t.schema.field(key_col).type
         ot = t.schema.field(order_col).type
         if len(key) == 0:
+            # mirror the non-empty branch's tz-stripped timestamp('us')
+            # order column so empty blocks share the partition schema
+            o_ty = pa.timestamp("us") if pa.types.is_timestamp(ot) else ot
             return pa.table(
                 {
                     key_col: pa.array([], type=kt),
-                    order_col: pa.array([], type=ot),
+                    order_col: pa.array([], type=o_ty),
                     value_col: pa.array([], type=pa.int64()),
                     "delta": pa.array([], type=pa.int64()),
                 }

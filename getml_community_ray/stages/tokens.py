@@ -1550,6 +1550,15 @@ def token_rarity_score(
         off = np.asarray(toks.offsets, dtype=np.int64)
         off = off - off[0]
         tb = int(total).bit_length()
+        if len(vals) and (vals.min() < 0 or vals.max() >= len(lut)):
+            # determinism contract: the scoring pass re-reads the same
+            # input the histogram pass read, so every token id must be a
+            # histogram index; out-of-range ids mean the two reads diverged
+            raise ValueError(
+                "token_rarity_score: token id outside histogram range "
+                f"[0, {len(lut)}) — scoring input is not byte-identical "
+                "to the histogram pass input"
+            )
         contrib = tb - bitlen(lut[vals])
         pref = np.concatenate([[0], np.cumsum(contrib)])
         per_doc = pref[off[1:]] - pref[off[:-1]]

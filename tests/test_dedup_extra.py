@@ -118,8 +118,32 @@ def test_multimodal_plumbing(ray_session):
     t = make_payload_table(list(range(20)), blobs, width=16, height=12)
     ds = rd.from_arrow(t)
 
-    with pytest.raises(NotImplementedError):
+    # contract: the real-codec gate names the missing dependency so a user
+    # knows exactly what to install when the integration point is wired
+    with pytest.raises(NotImplementedError, match="PIL"):
         DecodeImage(real=True)
+
+    # fake-decode determinism ACROSS PROCESSES (not just across runs): a
+    # fresh interpreter must produce byte-identical resized tiles, else
+    # shard recomputation at scale would diverge
+    import subprocess
+    import sys
+
+    probe = subprocess.run(
+        [sys.executable, "-c", (
+            "import sys; sys.path.insert(0, '/root/repo')\n"
+            "from getml_community_ray.stages.multimodal import _fake_decode as fake_decode\n"
+            "import zlib\n"
+            "px = fake_decode(bytes(range(256)) * 3, 16, 12)\n"
+            "print(zlib.crc32(bytes(bytearray(px))))"
+        )],
+        capture_output=True, text=True, check=True,
+    )
+    from getml_community_ray.stages.multimodal import _fake_decode as fake_decode
+    import zlib
+
+    local = zlib.crc32(bytes(bytearray(fake_decode(bytes(range(256)) * 3, 16, 12))))
+    assert int(probe.stdout.strip()) == local
 
     feats, resized = decode_features_pipeline(ds, out_w=4, out_h=4)
     f = feats.to_pandas().sort_values("id").reset_index(drop=True)

@@ -146,6 +146,58 @@ def test_sqlite_roundtrip_partitioned(ray_session, tmp_path):
     assert set(two.schema().names) == {"id", "val"}
 
 
+def test_read_db_table_generic(ray_session, tmp_path):
+    """Generic DB-API range-partitioned reader (the Postgres/MySQL code
+    path) against the SQLite stand-in, plus the import-guard contracts of
+    the network connection factories."""
+    import pytest
+    import ray.data as rd
+
+    from getml_community_ray.sources.db import (
+        SqliteConnect,
+        _MySQLConnect,
+        _PostgresConnect,
+        read_db_table,
+        write_sqlite_table,
+    )
+
+    db = str(tmp_path / "g.db")
+    n = 5_000
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "pk": np.arange(100, 100 + n, dtype=np.int64),
+                "v": (np.arange(n, dtype=np.int64) * 13) % 997,
+            }
+        )
+    )
+    assert write_sqlite_table(ds, db, "g") == n
+
+    back = read_db_table(
+        SqliteConnect(db), "g", key_col="pk", num_partitions=9
+    ).to_pandas().sort_values("pk").reset_index(drop=True)
+    assert len(back) == n
+    assert list(back["pk"]) == list(range(100, 100 + n))
+    assert int(back["v"].sum()) == int(((np.arange(n) * 13) % 997).sum())
+
+    # column pruning through the generic reader
+    one = read_db_table(
+        SqliteConnect(db), "g", key_col="pk", columns=["v"], num_partitions=3
+    )
+    assert set(one.schema().names) == {"v"}
+
+    # network factories: clear NotImplementedError when drivers are absent
+    for factory in (_PostgresConnect("dbname=x"), _MySQLConnect(host="x")):
+        try:
+            import psycopg2  # noqa: F401
+            import pymysql  # noqa: F401
+            pytest.skip("network DB drivers present — guard not exercised")
+        except ImportError:
+            pass
+        with pytest.raises(NotImplementedError, match="partitioned-read"):
+            factory()
+
+
 def test_duckdb_roundtrip(ray_session, tmp_path):
     import duckdb
 

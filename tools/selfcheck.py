@@ -78,6 +78,11 @@ def main() -> int:
     import ray
 
     args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf = args[0] if args and args[0].startswith("sf") else "sf0.01"
     only = [a for a in args if not a.startswith("sf")]
     sf_dir = f"/root/testdata/{sf}"
@@ -102,6 +107,7 @@ def main() -> int:
         )
 
     failed = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -110,15 +116,18 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: ray query raised: {e!r}")
             failed.append(name)
+            results[name] = {"status": "fail", "err": repr(e)}
             continue
         if name not in sqls:
             print(f"ok   {name}: rows={len(ray_df)} (no oracle — rows-only)")
+            results[name] = {"status": "rows_only", "rows": len(ray_df)}
             continue
         try:
             sql_df = con.sql(sqls[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle sql raised: {e!r}")
             failed.append(name)
+            results[name] = {"status": "fail", "err": f"oracle: {e!r}"}
             continue
         problems = compare(name, ray_df, sql_df)
         if problems:
@@ -126,9 +135,16 @@ def main() -> int:
             for p in problems:
                 print(f"     {p}")
             failed.append(name)
+            results[name] = {"status": "fail", "problems": problems}
         else:
             print(f"ok   {name}: rows={len(ray_df)} exact match")
+            results[name] = {"status": "exact", "rows": len(ray_df)}
     ray.shutdown()
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump({"sf": sf, "results": results}, fh, indent=1)
     if failed:
         print(f"\n{len(failed)} FAILED: {failed}")
         return 1
