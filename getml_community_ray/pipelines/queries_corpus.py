@@ -811,7 +811,7 @@ def q_sample_per_key(sf_dir: str):
         columns=["event_id", "user_id", "event_type", "value"],
     )
     return sample_per_key(
-        ev, id_col="event_id", key_col="user_id", k=20, num_partitions=16
+        ev, id_col="event_id", key_col="user_id", k=20
     )
 
 
@@ -1176,7 +1176,6 @@ def q_tfidf_documents(sf_dir: str):
     n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet").count()
     return tfidf_top_terms(
         ds, text_col="text", id_col="doc_id", n_docs=n_docs,
-        num_partitions=8,
     )
 
 
@@ -1785,7 +1784,7 @@ def q_hopping_distinct(sf_dir: str):
     )
     return hopping_distinct(
         ev, ts_col="ts", key_col="event_type", member_col="user_id",
-        width_s=3600, slide_s=900, num_partitions=8,
+        width_s=3600, slide_s=900,
     )
 
 
@@ -1821,8 +1820,7 @@ def q_token_context_diversity(sf_dir: str):
 
     _ensure_tokens_corpus()
     ds = rd.read_parquet(TOKENS_CORPUS, columns=["tokens"])
-    return token_context_diversity(ds, tokens_col="tokens",
-                                   num_partitions=8)
+    return token_context_diversity(ds, tokens_col="tokens")
 
 
 def sql_token_context_diversity() -> str:

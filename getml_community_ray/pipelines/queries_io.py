@@ -78,6 +78,77 @@ FROM supplier GROUP BY 1
 """
 
 
+def q_csv_dialect_sniff_supplier(sf_dir: str):
+    """Exotic-dialect CSV ingest (reference `io/CSVSniffer.hpp` +
+    `CSVReader.hpp` quote/sep options): write supplier as a ';'-separated
+    quoted CSV, SNIFF the dialect + types from a bounded sample
+    (sources/csv.sniff_csv — delimiter consistency rule, header detection,
+    the reference's {float64, string, timestamp} type lattice), then read
+    the whole directory with the sniffed options and aggregate."""
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.csv import read_csv_sniffed, sniff_csv
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/graft_csv_dialect_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": b["s_suppkey"],
+                "s_nationkey": b["s_nationkey"],
+                "bal_c": pc.cast(
+                    pc.round(pc.multiply(b["s_acctbal"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # arrow_csv_args_fn: WriteOptions is not picklable, so the writer task
+    # builds it locally from this factory
+    ds.write_csv(
+        out_dir,
+        arrow_csv_args_fn=lambda: {
+            "write_options": pacsv.WriteOptions(
+                delimiter=";", quoting_style="all_valid"
+            )
+        },
+    )
+
+    # sniffer contract: the detected dialect must be the one written
+    import glob as _glob
+
+    first = sorted(_glob.glob(f"{out_dir}/*"))[0]
+    d = sniff_csv(first)
+    assert d["delimiter"] == ";" and d["has_header"], d
+
+    back = read_csv_sniffed(out_dir)
+    agg = back.groupby("s_nationkey").aggregate(
+        Count(alias_name="n_suppliers"), Sum("bal_c", alias_name="_bc")
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_nationkey": b["s_nationkey"].cast(pa.int64()),
+                "n_suppliers": pa.array(
+                    np.asarray(b["n_suppliers"], dtype=np.float64)
+                ),
+                "total_bal": pa.array(
+                    np.asarray(b["_bc"], dtype=np.float64) / 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_partitioned_write_lineitem(sf_dir: str):
     """Resumable output layout: write partitioned by l_returnflag (one
     directory per key — a failed run skips finished partitions), read back
@@ -171,6 +242,12 @@ IO_ORACLE_SQL = {
     "partitioned_write_lineitem": SQL_PARTITIONED_WRITE,
     "from_items_join_orders": SQL_FROM_ITEMS,
 }
+
+# exotic-dialect CSV lane: same aggregate, so the round-trip oracle is
+# shared — the query itself asserts the sniffed dialect matches what was
+# written
+IO_QUERIES["csv_dialect_sniff_supplier"] = q_csv_dialect_sniff_supplier
+IO_ORACLE_SQL["csv_dialect_sniff_supplier"] = SQL_CSV_ROUNDTRIP
 
 
 def q_email_domain_customer(sf_dir: str):

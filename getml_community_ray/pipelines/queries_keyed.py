@@ -46,7 +46,6 @@ def q_window_funcs_events(sf_dir: str):
         ts_col="ts",
         value_col="cents",
         id_col="event_id",
-        num_partitions=8,
     )
 
 
@@ -82,7 +81,6 @@ def q_latest_by_key_events(sf_dir: str):
     )
     return latest_by_key(
         ds, key_col="user_id", ts_col="ts", id_col="event_id",
-        num_partitions=8,
     )
 
 
@@ -125,7 +123,6 @@ def q_interval_coverage_events(sf_dir: str):
         key_col="user_id",
         start_us_col="s_us",
         end_us_col="e_us",
-        num_partitions=8,
     )
 
 
@@ -189,7 +186,7 @@ def q_time_weighted_avg_events(sf_dir: str):
     return time_weighted_avg(
         ds.map_batches(prep, batch_format="pyarrow"),
         key_col="user_id", ts_us_col="t_us", value_col="cents",
-        id_col="event_id", num_partitions=8,
+        id_col="event_id",
     )
 
 
@@ -319,7 +316,6 @@ def q_lttb_events(sf_dir: str):
     sel = lttb_downsample(
         ds.map_batches(prep, batch_format="pyarrow"),
         key_col="user_id", ts_us_col="t_us", value_col="cents", n_out=20,
-        num_partitions=8,
     ).to_pandas()
     packed = (
         sel["user_id"].to_numpy(np.int64) * np.int64(1_000_003)
@@ -389,7 +385,7 @@ def q_cusum_changepoint_events(sf_dir: str):
     return cusum_changepoint(
         ds.map_batches(prep, batch_format="pyarrow"),
         key_col="user_id", ts_col="ts", value_col="cents",
-        id_col="event_id", num_partitions=8,
+        id_col="event_id",
     )
 
 
@@ -443,7 +439,6 @@ def q_mad_anomaly_events(sf_dir: str):
     return mad_anomaly_counts(
         ds.map_batches(prep, batch_format="pyarrow"),
         key_col="user_id", value_col="cents", k_num=3, k_den=2,
-        num_partitions=8,
     )
 
 
@@ -501,7 +496,7 @@ def q_ohlc_daily_events(sf_dir: str):
     return ohlc_bars(
         ds.map_batches(_cents_prep, batch_format="pyarrow"),
         key_col="user_id", ts_col="ts", value_col="cents",
-        id_col="event_id", bucket_s=86400, num_partitions=8,
+        id_col="event_id", bucket_s=86400,
     )
 
 
@@ -547,7 +542,7 @@ def q_acf_events(sf_dir: str):
     return acf_keyed(
         ds.map_batches(_cents_prep, batch_format="pyarrow"),
         key_col="user_id", ts_col="ts", value_col="cents",
-        id_col="event_id", lags=(1, 2, 3), num_partitions=8,
+        id_col="event_id", lags=(1, 2, 3),
     )
 
 
@@ -595,7 +590,7 @@ def q_gap_detect_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     return gap_detect(
         ds, key_col="user_id", ts_col="ts", id_col="event_id",
-        threshold_s=3600, num_partitions=8,
+        threshold_s=3600,
     )
 
 
@@ -635,7 +630,6 @@ def q_funnel_events(sf_dir: str):
     return funnel_depth(
         ds, key_col="user_id", ts_col="ts", type_col="event_type",
         steps=["view", "click", "purchase"], window_s=3 * 86400,
-        num_partitions=8,
     )
 
 
@@ -684,7 +678,6 @@ def q_cohort_retention_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     return cohort_retention(
         ds, key_col="user_id", ts_col="ts", bucket_s=604_800,
-        num_partitions=8,
     )
 
 
@@ -723,7 +716,7 @@ def q_threshold_episodes_events(sf_dir: str):
     )
     return threshold_episodes(
         ds, key_col="user_id", ts_col="ts", id_col="event_id",
-        value_col="value", threshold=60.0, num_partitions=8,
+        value_col="value", threshold=60.0,
     )
 
 
@@ -831,7 +824,6 @@ def q_sax_events(sf_dir: str):
         ds.map_batches(cents, batch_format="pyarrow"),
         key_col="user_id", ts_col="ts", cents_col="cents",
         word_s=86400, paa=4, breakpoints_cents=(2500, 5000, 7500),
-        num_partitions=8,
     )
 
 
@@ -883,7 +875,6 @@ def q_interarrival_hist_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     return interarrival_hist(
         ds, key_col="user_id", ts_col="ts", id_col="event_id",
-        num_partitions=8,
     )
 
 
@@ -917,7 +908,7 @@ def q_transition_counts_events(sf_dir: str):
     )
     return transition_counts(
         ds, key_col="user_id", ts_col="ts", id_col="event_id",
-        state_col="event_type", num_partitions=8,
+        state_col="event_type",
     )
 
 
@@ -1020,7 +1011,7 @@ def q_irate_events(sf_dir: str):
         ds.map_batches(to_cents, batch_format="pyarrow",
                        zero_copy_batch=True),
         key_col="user_id", ts_col="ts", id_col="event_id",
-        value_col="cents", width_s=3600, num_partitions=8,
+        value_col="cents", width_s=3600,
     )
 
 
@@ -1080,7 +1071,6 @@ def q_tier_delta_events(sf_dir: str):
     return keyed_delta(
         t1h.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         key_col="source", order_col="bucket_ts", value_col="sum_cents",
-        num_partitions=8,
     )
 
 
@@ -1147,7 +1137,7 @@ def q_align_series_events(sf_dir: str):
 
     joined = hash_join(
         hourly("click", "n_click"), hourly("error", "n_error"),
-        on="bucket_us", how="full_outer", num_partitions=8,
+        on="bucket_us", how="full_outer",
     )
 
     def fin(b: pa.Table) -> pa.Table:
@@ -1220,7 +1210,6 @@ def q_grouping_sets_events(sf_dir: str):
         ds.map_batches(to_cents, batch_format="pyarrow",
                        zero_copy_batch=True),
         dim_a="event_type", dim_b_us=day_us, value_col="cents",
-        num_partitions=8,
     )
 
     def fin(b: pa.Table) -> pa.Table:
@@ -1348,7 +1337,6 @@ def q_enrich_asof_tier_events(sf_dir: str):
         on="event_type", left_ts="ts", right_ts="avail_ts",
         value_cols=["hour_n"], id_cols=["event_id"],
         tolerance_s=6 * 3600.0,
-        num_partitions=8,
     )
 
     def to_groups(b: pa.Table) -> pa.Table:

@@ -198,6 +198,51 @@ def test_read_db_table_generic(ray_session, tmp_path):
             factory()
 
 
+def test_csv_sniffer_dialects(ray_session, tmp_path):
+    """CSVSniffer analog: delimiter/header/type detection + sniffed read."""
+    from getml_community_ray.sources.csv import read_csv_sniffed, sniff_csv
+
+    # tab-delimited with header, mixed types incl. ISO timestamps + nulls
+    p1 = tmp_path / "a.tsv"
+    p1.write_text(
+        "id\tname\tval\tts\n"
+        "1\talice\t2.5\t2024-01-01 10:00:00\n"
+        "2\tbob\tNULL\t2024-01-02 11:30:00\n"
+        "3\tcarol\t-7\t2024-01-03\n"
+    )
+    d = sniff_csv(str(p1))
+    assert d["delimiter"] == "\t" and d["has_header"]
+    assert d["column_names"] == ["id", "name", "val", "ts"]
+    import pyarrow as _pa
+
+    assert d["column_types"]["id"] == _pa.float64()
+    assert d["column_types"]["name"] == _pa.string()
+    assert d["column_types"]["val"] == _pa.float64()
+    assert d["column_types"]["ts"] == _pa.timestamp("us")
+
+    out = read_csv_sniffed(str(p1)).to_pandas()
+    assert len(out) == 3
+    assert out["val"].isna().sum() == 1  # NULL token honored
+    assert str(out["ts"].dtype).startswith("datetime64")
+
+    # headerless semicolon file -> synthetic column_NN names
+    p2 = tmp_path / "b.csv"
+    p2.write_text("1;2.5;x\n2;3.5;y\n3;4.5;z\n")
+    d2 = sniff_csv(str(p2))
+    assert d2["delimiter"] == ";" and not d2["has_header"]
+    assert d2["column_names"] == ["column_00", "column_01", "column_02"]
+    out2 = read_csv_sniffed(str(p2)).to_pandas()
+    assert len(out2) == 3 and list(out2.columns) == d2["column_names"]
+    assert out2["column_01"].sum() == 10.5
+
+    # quoted delimiter inside a field must not break the sniff
+    p3 = tmp_path / "c.csv"
+    p3.write_text('id,desc\n1,"a,b"\n2,"c,d"\n')
+    d3 = sniff_csv(str(p3))
+    assert d3["delimiter"] == "," and d3["has_header"]
+    assert d3["column_names"] == ["id", "desc"]
+
+
 def test_duckdb_roundtrip(ray_session, tmp_path):
     import duckdb
 
