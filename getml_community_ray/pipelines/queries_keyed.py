@@ -1397,3 +1397,71 @@ FROM j GROUP BY 1, 2
 
 KEYED_QUERIES["enrich_asof_tier_events"] = q_enrich_asof_tier_events
 KEYED_ORACLE_SQL["enrich_asof_tier_events"] = SQL_ENRICH_ASOF_TIER
+
+
+def q_shuffle_events(sf_dir: str):
+    """Deterministic global shuffle (stages/packing.deterministic_shuffle):
+    the training-output permutation as a pure function of row identity —
+    reproducible at any parallelism, shard-recomputable, no global sort
+    (top-bit sharding + per-shard lexsort)."""
+    from ..stages.packing import deterministic_shuffle
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    return deterministic_shuffle(
+        ds, id_col="event_id", seed=7, num_shards=64
+    )
+
+
+def _sql_shuffle_events() -> str:
+    from ..stages.packing import deterministic_shuffle_sql
+
+    return deterministic_shuffle_sql(
+        "events", id_col="event_id", seed=7,
+        select_cols=["event_id", "event_type"],
+    )
+
+
+KEYED_QUERIES["shuffle_events"] = q_shuffle_events
+KEYED_ORACLE_SQL["shuffle_events"] = _sql_shuffle_events()
+
+
+def q_ecdf_events(sf_dir: str):
+    """Exact ECDF / percent-rank annotation of the events value column
+    (stages/quantiles.exact_ecdf): O(distinct-cents) histogram exchange +
+    broadcast prefix LUT, stateless gather — rows never shuffle."""
+    from ..stages.quantiles import exact_ecdf
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return exact_ecdf(
+        ds.map_batches(to_cents, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        value_col="cents", keep_cols=["event_id"],
+    )
+
+
+SQL_ECDF = """
+WITH e AS (
+  SELECT event_id, CAST(ROUND(value * 100.0, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, cents,
+       CAST(rank() OVER (ORDER BY cents) - 1 AS BIGINT) AS n_less,
+       CAST(rank() OVER (ORDER BY cents) - 1 AS DOUBLE)
+           / (count(*) OVER () - 1) AS pct_rank
+FROM e
+"""
+
+KEYED_QUERIES["ecdf_events"] = q_ecdf_events
+KEYED_ORACLE_SQL["ecdf_events"] = SQL_ECDF

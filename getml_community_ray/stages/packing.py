@@ -249,3 +249,118 @@ WITH h AS (
 SELECT {cols} FROM h
 QUALIFY row_number() OVER (PARTITION BY _skey ORDER BY s_out, _sid) <= {k}
 """
+
+
+def deterministic_shuffle(
+    ds,
+    *,
+    id_col: str,
+    seed: int = 0,
+    num_shards: int = 64,
+):
+    """Deterministic global shuffle for training-data output: every row is
+    assigned its reproducible GLOBAL position under the permutation
+    h = splitmix64(id + seed), ordered by (h, id). The standard final step
+    of a pretraining pipeline (`ds.random_shuffle` is neither seeded-stable
+    across cluster sizes nor resumable; this is both, because the
+    permutation is a pure function of row identity).
+
+    No global sort. h's TOP bits pick the shard — shards are then ordered
+    RANGES of h, so global order = (shard, h, id):
+
+    1. one streaming pass counts rows per shard (O(num_shards) combiner
+       rows, tiny groupby merge, offsets on the driver — O(num_shards)
+       state);
+    2. one hash exchange BY SHARD + per-partition lexsort assigns
+       pos = shard_offset + local rank.
+
+    Any shard recomputes in isolation (checkpoint-friendly), and the same
+    input yields byte-identical positions at any parallelism. num_shards
+    must be a power of two."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if num_shards & (num_shards - 1):
+        raise ValueError("num_shards must be a power of two")
+    shift = np.uint64(64 - int(num_shards).bit_length() + 1)
+    seed_u = np.uint64(seed)
+
+    def _hashes(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h = splitmix64(ids.astype(np.uint64) + seed_u)
+        return h, (h >> shift).astype(np.int64)
+
+    def count_shards(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        _, shard = _hashes(ids)
+        cnt = np.bincount(shard, minlength=num_shards)
+        return pa.table(
+            {
+                "shard": pa.array(np.arange(num_shards, dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.select_columns([id_col])
+        .map_batches(count_shards, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(num_shards) rows — driver state is result-sized
+    )
+    full = np.zeros(num_shards, dtype=np.int64)
+    full[counts["shard"].to_numpy()] = counts["n"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]])
+
+    import ray
+
+    off_ref = ray.put(offsets)
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        h, shard = _hashes(ids)
+        b = b.append_column("_h", pa.array(h.astype(np.int64)))
+        return b.append_column("_part", pa.array(shard))
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        shard = int(t["_part"][0].as_py())
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        h = np.asarray(t["_h"], dtype=np.int64).view(np.uint64)
+        order = np.lexsort((ids, h))
+        off = ray.get(off_ref)[shard]
+        t = t.drop_columns(["_h", "_part"]).take(pa.array(order))
+        return t.append_column(
+            "shuffle_pos",
+            pa.array(off + np.arange(len(t), dtype=np.int64)),
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(part_fn, batch_format="pyarrow")
+    )
+
+
+def deterministic_shuffle_sql(table: str, *, id_col: str, seed: int,
+                              select_cols: list[str]) -> str:
+    """DuckDB twin: ROW_NUMBER() - 1 over ORDER BY (splitmix64(id + seed),
+    id) — the identical permutation (shard = top bits of h is a prefix of
+    the (h, id) order, so the twin needs no shard column)."""
+    from ..kernels.hashing import sql_splitmix64_cols
+
+    sm = ",\n       ".join(
+        sql_splitmix64_cols(
+            f"CAST((CAST({id_col} AS HUGEINT) + {seed}) % {1 << 64} AS UBIGINT)",
+            "s_",
+        )
+    )
+    cols = ", ".join(select_cols)
+    return f"""
+WITH h AS (
+  SELECT {cols}, {id_col} AS _sid,
+       {sm}
+  FROM {table})
+SELECT {cols},
+       CAST(row_number() OVER (ORDER BY s_out, _sid) - 1 AS BIGINT)
+           AS shuffle_pos
+FROM h
+"""

@@ -261,3 +261,60 @@ def grouped_exact_quantiles(
          "q_pct": pa.array(q_out),
          "value": pa.array(lo.reshape(-1))}
     )
+
+
+def exact_ecdf(ds, *, value_col: str, keep_cols: list[str] | None = None):
+    """Exact ECDF / rank annotation of an integer column: every row gets
+    `n_less` (rows with a strictly smaller value, = SQL RANK() - 1) and
+    `pct_rank` (= SQL PERCENT_RANK(): n_less / (n - 1), one double
+    division spelled identically in the oracle).
+
+    Scale shape: the exchange is the O(distinct-values) integer histogram
+    (per-batch bincount combiner -> one tiny groupby), never the rows; the
+    prefix LUT (sorted values + exclusive prefix counts) is broadcast once
+    via ray.put and the annotation pass is a stateless searchsorted
+    gather. Distinct integer cents are bounded by the VALUE DOMAIN, not
+    the row count, so the LUT stays small at any corpus size (documented
+    assumption; for unbounded domains compose with a fixed-grid bucketing
+    first)."""
+    import ray
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[value_col], dtype=np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    hist = (
+        ds.select_columns([value_col])
+        .map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # O(distinct values) — domain-bounded driver state
+    )
+    sv = hist["v"].to_numpy(dtype=np.int64)
+    order = np.argsort(sv)
+    sv = sv[order]
+    cnt = hist["c"].to_numpy(dtype=np.int64)[order]
+    prefix = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    n = int(cnt.sum())
+    lut_ref = ray.put((sv, prefix))
+
+    denom = float(n - 1) if n > 1 else 1.0
+
+    def annotate(b: pa.Table) -> pa.Table:
+        sv_, pref_ = ray.get(lut_ref)
+        v = np.asarray(b[value_col], dtype=np.int64)
+        ix = np.searchsorted(sv_, v)
+        n_less = pref_[ix]
+        cols = {c: b[c] for c in (keep_cols or b.column_names)}
+        cols[value_col] = b[value_col]
+        cols["n_less"] = pa.array(n_less)
+        cols["pct_rank"] = pa.array(n_less.astype(np.float64) / denom)
+        return pa.table(cols)
+
+    return ds.map_batches(annotate, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -253,3 +253,52 @@ def test_sample_per_key_fewer_than_k(ray_session):
         num_partitions=2,
     ).to_pandas()
     assert sorted(out.id) == [0, 1, 2, 3]
+
+
+def test_deterministic_shuffle(ray_session):
+    import ray.data as rd
+    from getml_community_ray.kernels.hashing import splitmix64
+    from getml_community_ray.stages.packing import deterministic_shuffle
+
+    n = 5_000
+    ids = np.arange(n, dtype=np.int64)
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"id": rng.permutation(ids), "v": np.arange(n)})
+
+    out = deterministic_shuffle(
+        rd.from_pandas(df, override_num_blocks=7), id_col="id", seed=11,
+        num_shards=16,
+    ).to_pandas()
+    assert len(out) == n
+    # positions are a permutation of 0..n-1
+    assert sorted(out["shuffle_pos"]) == list(range(n))
+    # brute force: global order by (splitmix64(id + seed), id)
+    h = splitmix64(out["id"].to_numpy().astype(np.uint64) + np.uint64(11))
+    got = out.assign(_h=h.astype(np.uint64)).sort_values("shuffle_pos")
+    want = got.sort_values(["_h", "id"])
+    assert (got["id"].to_numpy() == want["id"].to_numpy()).all()
+
+    # partition invariance: different block count, identical positions
+    out2 = deterministic_shuffle(
+        rd.from_pandas(df, override_num_blocks=2), id_col="id", seed=11,
+        num_shards=16,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    a = out.sort_values("id").reset_index(drop=True)
+    assert (a["shuffle_pos"].to_numpy() == out2["shuffle_pos"].to_numpy()).all()
+
+
+def test_exact_ecdf(ray_session):
+    import ray.data as rd
+    from getml_community_ray.stages.quantiles import exact_ecdf
+
+    rng = np.random.default_rng(9)
+    v = rng.integers(-50, 50, size=3_000)
+    df = pd.DataFrame({"id": np.arange(3_000, dtype=np.int64), "x": v})
+    out = exact_ecdf(
+        rd.from_pandas(df, override_num_blocks=5), value_col="x",
+        keep_cols=["id"],
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    # brute force n_less
+    want = np.array([(v < x).sum() for x in df["x"]])
+    assert (out["n_less"].to_numpy() == want).all()
+    assert np.allclose(out["pct_rank"], want / (len(v) - 1))
