@@ -110,6 +110,20 @@ class RollupConfig:
     # many accumulator actors (keyed by work item), so the per-item actor
     # round trips don't funnel through ONE actor at high worker counts.
     side_channel_shards: int = 8
+    # In-band side channel (sink mode only): boundary partials / holistic
+    # states ride the fused task's RETURN blocks as a tagged union with
+    # the manifest rows instead of actor messages. Measured on the bench
+    # box (24 workers, 20M rows): each task spent 55-100 ms of wall
+    # BLOCKED on the boundary ray.put + actor round trip — a flat,
+    # CPU-count-insensitive tax that also seriates at high worker counts
+    # (32 actor shards measured 2x the lane wall of 8). Exactly-once falls
+    # out of Ray task-retry semantics: a retried task's output block
+    # REPLACES the failed attempt's blocks, and sink writes are
+    # atomic-rename idempotent, so no keyed-overwrite actor is needed.
+    # Non-sink lanes keep the actor path: their output blocks are the
+    # product itself, and tagging would force a filter pass over the full
+    # product.
+    inband_side_channel: bool = True
 
 
 def _tier_widths_ok(tiers: dict[str, int]) -> list[tuple[str, int]]:
@@ -843,9 +857,10 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
         if isinstance(cfg.value_col, (list, tuple))
         else [cfg.value_col]
     )
-    accs = _boundary_accumulators(cfg.side_channel_shards)
     items = _fused_task_items(paths, cfg.max_task_rows)
     sink = cfg.sink_dir
+    inband = bool(sink) and cfg.inband_side_channel
+    accs = None if inband else _boundary_accumulators(cfg.side_channel_shards)
     if sink:
         import os
 
@@ -854,6 +869,7 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
     def task(batch: pa.Table) -> pa.Table:
         outs = []
         manifest: list[tuple[str, int]] = []
+        btbls: list[pa.Table] = []
         for p, lo, hi in zip(
             batch["path"].to_pylist(),
             batch["lo"].to_pylist(),
@@ -872,20 +888,31 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
                 tile_rows=cfg.tile_rows,
             )
             bmask = parts["_boundary"].combine_chunks()
-            # async put overlapped with the interior finalize; the get
-            # before return still guarantees the boundary rows are durable
-            # when the task is marked done (exactly-once under retry)
-            acc = accs[_shard_of(key, len(accs))]
             # combine_chunks: the filtered boundary slice inherits the
             # partials' ~60-chunk layout; shipping ~9k tiny buffers cost
             # 0.4s PER SHARD at collect (measured) — one chunk fixes it
-            fut = acc.put.remote(key, parts.filter(bmask).combine_chunks())
-            if cfg.fault_inject_dir:
-                ray.get(fut)
-                _maybe_crash(cfg.fault_inject_dir, key)
+            pb = parts.filter(bmask).combine_chunks()
+            fut = None
+            if inband:
+                # boundary rows ride the task's return block — durability
+                # IS the task result, no actor round trip (exactly-once
+                # via task-retry block replacement)
+                btbls.append(pb.append_column(
+                    "_path", pa.array([key] * len(pb), type=pa.string())
+                ))
+            else:
+                # async put overlapped with the interior finalize; the get
+                # before return still guarantees the boundary rows are
+                # durable when the task is marked done
+                acc = accs[_shard_of(key, len(accs))]
+                fut = acc.put.remote(key, pb)
+                if cfg.fault_inject_dir:
+                    ray.get(fut)
+                    _maybe_crash(cfg.fault_inject_dir, key)
             inner = parts.filter(pc.invert(bmask))
             fin = R.finalize_tiered(inner, aggs=cfg.aggs)
-            ray.get(fut)
+            if fut is not None:
+                ray.get(fut)
             if fin is not None:
                 if sink:
                     manifest.append(
@@ -893,6 +920,16 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
                     )
                 else:
                     outs.append(fin)
+            if inband and cfg.fault_inject_dir:
+                # worst in-band failure point: sink file already written,
+                # task not yet returned — the retry must overwrite the
+                # file (atomic rename) and REPLACE the output block
+                _maybe_crash(cfg.fault_inject_dir, key)
+        if inband:
+            return _inband_union([
+                (0, _manifest_table(manifest), "_mf_"),
+                (1, pa.concat_tables(btbls), ""),
+            ])
         if sink:
             return _manifest_table(manifest)
         if not outs:
@@ -901,6 +938,37 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
             )
             return fin.add_column(0, "tier", pa.array([], type=pa.string()))
         return pa.concat_tables(outs)
+
+    if inband:
+        import numpy as np
+
+        out = _fused_items_ds(items).map_batches(
+            task, batch_format="pyarrow", batch_size=None
+        )
+        # manifest + boundary rows are BOTH tiny (O(items) and O(run-edge
+        # buckets)) — the same volume the actor collect pulled to the
+        # driver before; one concat, no actors, no collect phase
+        tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+        big = pa.concat_tables(tbls) if tbls else None
+        if big is None:
+            return rd.from_arrow(_manifest_table([]))
+        kind = np.asarray(big["_kind"])
+        mani = big.filter(pa.array(kind == 0)).select(
+            ["_mf_file", "_mf_rows"]
+        ).rename_columns(["file", "rows"])
+        cat = big.filter(pa.array(kind == 1)).drop_columns(
+            ["_kind", "_mf_file", "_mf_rows"]
+        ).combine_chunks()
+        _check_boundary_intervals(
+            cat if len(cat) else None, tier_col="tier", width_col="width_s"
+        )
+        if len(cat) == 0:
+            return rd.from_arrow(mani)
+        merged = R.merge_tiered(cat.drop_columns(["_path"]), aggs=cfg.aggs)
+        entry = _sink_write(merged, sink, "boundary", cfg.sink_compression)
+        return rd.from_arrow(
+            pa.concat_tables([mani, _manifest_table([entry])])
+        )
 
     interior = _fused_items_ds(items).map_batches(
         task, batch_format="pyarrow", batch_size=None
@@ -916,6 +984,29 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
         entry = _sink_write(merged, sink, "boundary", cfg.sink_compression)
         return interior.union(rd.from_arrow(_manifest_table([entry])))
     return interior.union(rd.from_arrow(merged))
+
+
+def _inband_union(kinds: list[tuple[int, pa.Table, str]]) -> pa.Table:
+    """Tagged-union encoding for the in-band side channel: each (kind,
+    table, prefix) contributes its rows with columns renamed `prefix+name`;
+    every row carries `_kind`, and columns of the other kinds are
+    null-padded (null buffers are free). All fused tasks emit the same
+    union schema, so Ray block handling stays homogeneous."""
+    import numpy as np
+
+    fields: list[tuple[str, pa.DataType]] = []
+    for _, t, prefix in kinds:
+        for f in t.schema:
+            fields.append((prefix + f.name, f.type))
+    parts = []
+    for kind, t, prefix in kinds:
+        n = len(t)
+        cols = {"_kind": pa.array(np.full(n, kind, dtype=np.int8))}
+        own = {prefix + f.name: t[f.name] for f in t.schema}
+        for name, typ in fields:
+            cols[name] = own.get(name, pa.nulls(n, typ))
+        parts.append(pa.table(cols))
+    return pa.concat_tables(parts)
 
 
 def _ref_registry():
@@ -1053,6 +1144,97 @@ def _check_ts_hulls(hull_tbl: "pa.Table | None") -> None:
             )
 
 
+def _rollup_holistic_fused_inband(paths: list[str], cfg: RollupConfig,
+                                  hc, cols: list[str]):
+    """Sink-mode holistic fused lane WITHOUT the side-channel registry.
+
+    The actor path exists to keep per-task state objects alive after the
+    producing worker exits (`ray.put(_owner=registry)`), at the cost of a
+    blocking put + actor round trip per task (~50 ms wall each, measured)
+    plus registry spawn/collect phases that do not scale with CPU count.
+    Raw Ray tasks make all of that free: a task's RETURN VALUES are owned
+    by the driver, survive worker exit, and are retried through normal
+    lineage — so each map task simply returns (manifest rows, hull,
+    {shard offsets, shard-sorted states}) as three objects. The merge
+    stage is byte-identical to the actor path: merge task s zero-copy
+    slices [offs[s], offs[s+1]) of every states object. Interior rows are
+    written to the Parquet sink inside the task (atomic rename,
+    idempotent), exactly as in the actor path."""
+    import os
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    items = _fused_task_items(paths, cfg.max_task_rows)
+    n_merge = max(4, min(64, len(items) // 4 or 1))
+    sink = cfg.sink_dir
+    os.makedirs(sink, exist_ok=True)
+    sink_comp = cfg.sink_compression
+    fault_dir = cfg.fault_inject_dir
+    source_col, ts_col = cfg.source_col, cfg.ts_col
+
+    @ray.remote(num_cpus=1, num_returns=3)
+    def map_item(p: str, lo: int, hi: int):
+        key = f"{p}#{lo}"
+        t = _read_span(str(p), int(lo), int(hi), cols,
+                       dict_cols=(source_col,))
+        st = hc.states(t)
+        shard = (np.asarray(st["_part"]) % n_merge).astype(np.int64)
+        order = np.argsort(shard, kind="stable")
+        st_sorted = (
+            st.drop_columns(["_part"]).take(pa.array(order)).combine_chunks()
+        )
+        offs = np.concatenate(
+            [[0], np.cumsum(np.bincount(shard, minlength=n_merge))]
+        ).tolist()
+        hull = _source_ts_hulls(t, source_col=source_col, ts_col=ts_col)
+        hull = hull.append_column(
+            "_path", pa.array([key] * len(hull), type=pa.string())
+        )
+        fin = hc.interior(t)
+        entry = _sink_write(fin, sink, key, sink_comp)
+        if fault_dir:
+            # worst in-band failure point: sink file written, returns not
+            # yet committed — the lineage retry must rewrite the file
+            # (atomic rename) and replace all three return objects
+            _maybe_crash(fault_dir, key)
+        return _manifest_table([entry]), hull, (offs, st_sorted)
+
+    refs = [
+        map_item.remote(it["path"], int(it["lo"]), int(it["hi"]))
+        for it in items
+    ]
+    mani_refs = [r[0] for r in refs]
+    hull_refs = [r[1] for r in refs]
+    st_refs = [r[2] for r in refs]
+
+    hulls = [h for h in ray.get(hull_refs) if h is not None and len(h)]
+    _check_ts_hulls(pa.concat_tables(hulls) if hulls else None)
+    manis = [m for m in ray.get(mani_refs) if m.num_rows]
+
+    @ray.remote
+    def merge_shard(s: int, *payloads):
+        parts = [
+            st.slice(offs[s], offs[s + 1] - offs[s]) for offs, st in payloads
+        ]
+        nonempty = [p for p in parts if len(p)]
+        if not nonempty:
+            return _manifest_table([])
+        merged = hc.merge(pa.concat_tables(nonempty))
+        return _manifest_table(
+            [_sink_write(merged, sink, f"boundary-{s}", sink_comp)]
+        )
+
+    finals = ray.get(
+        [merge_shard.remote(s, *st_refs) for s in range(n_merge)]
+    )
+    out = pa.concat_tables(manis + [f for f in finals if f.num_rows])
+    if out.num_rows == 0:
+        out = _manifest_table([])
+    return rd.from_arrow(out)
+
+
 def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
     """ONE-pass holistic clustered lane over Parquet paths (see the
     decomposable twin above). Each task decodes its file once, streams
@@ -1087,6 +1269,9 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
         if isinstance(cfg.value_col, (list, tuple))
         else [cfg.value_col]
     )
+    if cfg.sink_dir and cfg.inband_side_channel:
+        return _rollup_holistic_fused_inband(paths, cfg, hc, cols)
+
     regs = [_ref_registry() for _ in range(max(1, cfg.side_channel_shards))]
     # ray.put(_owner=...) from a worker requires the owner actor to be
     # fully started — force creation before any task runs

@@ -79,3 +79,38 @@ def test_fused_lane_exactly_once_under_crashes(
     # every task item crashed exactly once
     assert len(glob.glob(f"{inject}/*")) == 4
     _assert_equal(clean, crashed)
+
+
+@pytest.mark.parametrize("lane", ["decomp", "holistic"])
+def test_inband_sink_exactly_once_under_crashes(
+    ray_session, corpus, tmp_path_factory, lane
+):
+    """In-band side channel (sink mode): every task's first attempt is
+    killed AFTER its sink file is written but before its return commits —
+    the retry must overwrite the file (atomic rename) and replace the
+    return blocks, so the sink contents are bit-equal to a crash-free
+    in-band run."""
+    import ray.data as rd
+
+    paths = sorted(glob.glob(f"{corpus}/*.parquet"))
+    inject = str(tmp_path_factory.mktemp(f"ib_inject_{lane}"))
+    extra = {} if lane == "decomp" else {"aggs": HOL_AGGS}
+    fn = (rollup_decomposable_clustered_fused if lane == "decomp"
+          else rollup_holistic_clustered_fused)
+
+    sinks = {}
+    for tag, fault in (("clean", None), ("crash", inject)):
+        sink = str(tmp_path_factory.mktemp(f"ib_sink_{lane}_{tag}"))
+        cfg = RollupConfig(
+            retention={}, num_partitions=8, cache_intermediates=False,
+            assume_clustered=True, sink_dir=sink, inband_side_channel=True,
+            fault_inject_dir=fault, **extra,
+        )
+        manifest = fn(paths, cfg).to_pandas()
+        assert set(manifest.columns) == {"file", "rows"}
+        df = _sorted_df(rd.read_parquet(sorted(glob.glob(f"{sink}/*.parquet"))))
+        assert int(manifest["rows"].sum()) == len(df)
+        sinks[tag] = df
+
+    assert len(glob.glob(f"{inject}/*")) == 4  # every item crashed once
+    _assert_equal(sinks["clean"], sinks["crash"])
