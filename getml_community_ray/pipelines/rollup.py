@@ -860,16 +860,79 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
     items = _fused_task_items(paths, cfg.max_task_rows)
     sink = cfg.sink_dir
     inband = bool(sink) and cfg.inband_side_channel
-    accs = None if inband else _boundary_accumulators(cfg.side_channel_shards)
     if sink:
         import os
 
         os.makedirs(sink, exist_ok=True)
 
+    if inband:
+        # Sink mode without the accumulator actors: raw Ray tasks return
+        # (manifest rows, boundary partials) as two DRIVER-OWNED objects —
+        # no actor round trip, no Ray Data plan startup, exactly-once via
+        # lineage retry + atomic-rename sink writes. Boundary volume is
+        # O(run-edge buckets), the same tiny table the actor collect
+        # pulled to the driver before.
+        sink_comp = cfg.sink_compression
+        fault_dir = cfg.fault_inject_dir
+        source_col, ts_col, value_col = (
+            cfg.source_col, cfg.ts_col, cfg.value_col
+        )
+        tile_rows, aggs = cfg.tile_rows, cfg.aggs
+
+        @ray.remote(num_cpus=1, num_returns=2)
+        def map_item(p: str, lo: int, hi: int):
+            key = f"{p}#{lo}"
+            t = _read_span(str(p), int(lo), int(hi), cols,
+                           dict_cols=(source_col,))
+            parts = R.tiered_partials_clustered(
+                t, source_col=source_col, ts_col=ts_col,
+                value_col=value_col, tiers=ordered, first_last=need_fl,
+                tile_rows=tile_rows,
+            )
+            bmask = parts["_boundary"].combine_chunks()
+            # one chunk: the filtered slice inherits the partials'
+            # ~60-chunk layout — thousands of tiny buffers at the driver
+            # concat otherwise (measured r3)
+            pb = parts.filter(bmask).combine_chunks()
+            pb = pb.append_column(
+                "_path", pa.array([key] * len(pb), type=pa.string())
+            )
+            inner = parts.filter(pc.invert(bmask))
+            fin = R.finalize_tiered(inner, aggs=aggs)
+            mani = _manifest_table(
+                [_sink_write(fin, sink, key, sink_comp)]
+                if fin is not None else []
+            )
+            if fault_dir:
+                # worst in-band failure point: sink file written, returns
+                # not yet committed — lineage retry must overwrite the
+                # file and replace both return objects
+                _maybe_crash(fault_dir, key)
+            return mani, pb
+
+        refs = [
+            map_item.remote(it["path"], int(it["lo"]), int(it["hi"]))
+            for it in items
+        ]
+        manis = [m for m in ray.get([r[0] for r in refs]) if m.num_rows]
+        bnds = [b for b in ray.get([r[1] for r in refs]) if b.num_rows]
+        cat = pa.concat_tables(bnds) if bnds else None
+        _check_boundary_intervals(cat, tier_col="tier", width_col="width_s")
+        out_tbls = list(manis)
+        if cat is not None and len(cat):
+            merged = R.merge_tiered(cat.drop_columns(["_path"]), aggs=aggs)
+            out_tbls.append(_manifest_table(
+                [_sink_write(merged, sink, "boundary", sink_comp)]
+            ))
+        if not out_tbls:
+            return rd.from_arrow(_manifest_table([]))
+        return rd.from_arrow(pa.concat_tables(out_tbls))
+
+    accs = _boundary_accumulators(cfg.side_channel_shards)
+
     def task(batch: pa.Table) -> pa.Table:
         outs = []
         manifest: list[tuple[str, int]] = []
-        btbls: list[pa.Table] = []
         for p, lo, hi in zip(
             batch["path"].to_pylist(),
             batch["lo"].to_pylist(),
@@ -888,31 +951,20 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
                 tile_rows=cfg.tile_rows,
             )
             bmask = parts["_boundary"].combine_chunks()
+            # async put overlapped with the interior finalize; the get
+            # before return still guarantees the boundary rows are durable
+            # when the task is marked done (exactly-once under retry)
+            acc = accs[_shard_of(key, len(accs))]
             # combine_chunks: the filtered boundary slice inherits the
             # partials' ~60-chunk layout; shipping ~9k tiny buffers cost
             # 0.4s PER SHARD at collect (measured) — one chunk fixes it
-            pb = parts.filter(bmask).combine_chunks()
-            fut = None
-            if inband:
-                # boundary rows ride the task's return block — durability
-                # IS the task result, no actor round trip (exactly-once
-                # via task-retry block replacement)
-                btbls.append(pb.append_column(
-                    "_path", pa.array([key] * len(pb), type=pa.string())
-                ))
-            else:
-                # async put overlapped with the interior finalize; the get
-                # before return still guarantees the boundary rows are
-                # durable when the task is marked done
-                acc = accs[_shard_of(key, len(accs))]
-                fut = acc.put.remote(key, pb)
-                if cfg.fault_inject_dir:
-                    ray.get(fut)
-                    _maybe_crash(cfg.fault_inject_dir, key)
+            fut = acc.put.remote(key, parts.filter(bmask).combine_chunks())
+            if cfg.fault_inject_dir:
+                ray.get(fut)
+                _maybe_crash(cfg.fault_inject_dir, key)
             inner = parts.filter(pc.invert(bmask))
             fin = R.finalize_tiered(inner, aggs=cfg.aggs)
-            if fut is not None:
-                ray.get(fut)
+            ray.get(fut)
             if fin is not None:
                 if sink:
                     manifest.append(
@@ -920,16 +972,6 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
                     )
                 else:
                     outs.append(fin)
-            if inband and cfg.fault_inject_dir:
-                # worst in-band failure point: sink file already written,
-                # task not yet returned — the retry must overwrite the
-                # file (atomic rename) and REPLACE the output block
-                _maybe_crash(cfg.fault_inject_dir, key)
-        if inband:
-            return _inband_union([
-                (0, _manifest_table(manifest), "_mf_"),
-                (1, pa.concat_tables(btbls), ""),
-            ])
         if sink:
             return _manifest_table(manifest)
         if not outs:
@@ -938,37 +980,6 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
             )
             return fin.add_column(0, "tier", pa.array([], type=pa.string()))
         return pa.concat_tables(outs)
-
-    if inband:
-        import numpy as np
-
-        out = _fused_items_ds(items).map_batches(
-            task, batch_format="pyarrow", batch_size=None
-        )
-        # manifest + boundary rows are BOTH tiny (O(items) and O(run-edge
-        # buckets)) — the same volume the actor collect pulled to the
-        # driver before; one concat, no actors, no collect phase
-        tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
-        big = pa.concat_tables(tbls) if tbls else None
-        if big is None:
-            return rd.from_arrow(_manifest_table([]))
-        kind = np.asarray(big["_kind"])
-        mani = big.filter(pa.array(kind == 0)).select(
-            ["_mf_file", "_mf_rows"]
-        ).rename_columns(["file", "rows"])
-        cat = big.filter(pa.array(kind == 1)).drop_columns(
-            ["_kind", "_mf_file", "_mf_rows"]
-        ).combine_chunks()
-        _check_boundary_intervals(
-            cat if len(cat) else None, tier_col="tier", width_col="width_s"
-        )
-        if len(cat) == 0:
-            return rd.from_arrow(mani)
-        merged = R.merge_tiered(cat.drop_columns(["_path"]), aggs=cfg.aggs)
-        entry = _sink_write(merged, sink, "boundary", cfg.sink_compression)
-        return rd.from_arrow(
-            pa.concat_tables([mani, _manifest_table([entry])])
-        )
 
     interior = _fused_items_ds(items).map_batches(
         task, batch_format="pyarrow", batch_size=None
@@ -984,29 +995,6 @@ def rollup_decomposable_clustered_fused(paths: list[str], cfg: RollupConfig):
         entry = _sink_write(merged, sink, "boundary", cfg.sink_compression)
         return interior.union(rd.from_arrow(_manifest_table([entry])))
     return interior.union(rd.from_arrow(merged))
-
-
-def _inband_union(kinds: list[tuple[int, pa.Table, str]]) -> pa.Table:
-    """Tagged-union encoding for the in-band side channel: each (kind,
-    table, prefix) contributes its rows with columns renamed `prefix+name`;
-    every row carries `_kind`, and columns of the other kinds are
-    null-padded (null buffers are free). All fused tasks emit the same
-    union schema, so Ray block handling stays homogeneous."""
-    import numpy as np
-
-    fields: list[tuple[str, pa.DataType]] = []
-    for _, t, prefix in kinds:
-        for f in t.schema:
-            fields.append((prefix + f.name, f.type))
-    parts = []
-    for kind, t, prefix in kinds:
-        n = len(t)
-        cols = {"_kind": pa.array(np.full(n, kind, dtype=np.int8))}
-        own = {prefix + f.name: t[f.name] for f in t.schema}
-        for name, typ in fields:
-            cols[name] = own.get(name, pa.nulls(n, typ))
-        parts.append(pa.table(cols))
-    return pa.concat_tables(parts)
 
 
 def _ref_registry():
@@ -1209,10 +1197,6 @@ def _rollup_holistic_fused_inband(paths: list[str], cfg: RollupConfig,
     hull_refs = [r[1] for r in refs]
     st_refs = [r[2] for r in refs]
 
-    hulls = [h for h in ray.get(hull_refs) if h is not None and len(h)]
-    _check_ts_hulls(pa.concat_tables(hulls) if hulls else None)
-    manis = [m for m in ray.get(mani_refs) if m.num_rows]
-
     @ray.remote
     def merge_shard(s: int, *payloads):
         parts = [
@@ -1226,9 +1210,14 @@ def _rollup_holistic_fused_inband(paths: list[str], cfg: RollupConfig,
             [_sink_write(merged, sink, f"boundary-{s}", sink_comp)]
         )
 
-    finals = ray.get(
-        [merge_shard.remote(s, *st_refs) for s in range(n_merge)]
-    )
+    # submit merges first: they start the moment the last map task lands,
+    # overlapping the driver's hull check below
+    final_refs = [merge_shard.remote(s, *st_refs) for s in range(n_merge)]
+
+    hulls = [h for h in ray.get(hull_refs) if h is not None and len(h)]
+    _check_ts_hulls(pa.concat_tables(hulls) if hulls else None)
+    manis = [m for m in ray.get(mani_refs) if m.num_rows]
+    finals = ray.get(final_refs)
     out = pa.concat_tables(manis + [f for f in finals if f.num_rows])
     if out.num_rows == 0:
         out = _manifest_table([])
