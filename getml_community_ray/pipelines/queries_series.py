@@ -138,7 +138,6 @@ def q_codec_roundtrip_events(sf_dir: str):
         source_col="source",
         ts_col="event_ts",
         value_col="cents",
-        num_partitions=8,
     )
 
     def verify(b: pa.Table) -> pa.Table:
@@ -187,7 +186,7 @@ def q_sessionize_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
     out = sessionize(
         ds, key_col="user_id", ts_col="ts", id_cols=["event_id"],
-        gap_s=1800.0, num_partitions=16,
+        gap_s=1800.0,
     )
     return out.map_batches(
         lambda b: pa.table(
@@ -275,7 +274,6 @@ def q_asof_tolerance_events(sf_dir: str):
     out = asof_join(
         left, right, on="user_id", left_ts="ts", right_ts="ts",
         value_cols=["value"], id_cols=["event_id"], tolerance_s=3600.0,
-        num_partitions=16,
     )
     return out.map_batches(
         lambda b: pa.table(
@@ -388,7 +386,6 @@ def q_range_join_events(sf_dir: str):
         points, intervals, on="user_id", point_ts="ts",
         start_ts="start_ts", end_ts="end_ts", point_id_cols=["event_id"],
         interval_cols=["iid", "ival"], max_interval_s=1800.0,
-        num_partitions=16,
     )
     return out.map_batches(
         lambda b: b.select(["event_id", "user_id", "_ts", "iid", "ival"]),
