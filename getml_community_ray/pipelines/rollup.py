@@ -1375,6 +1375,145 @@ def rollup_holistic_clustered_fused(paths: list[str], cfg: RollupConfig):
     return interior.union(boundary)
 
 
+def _rollup_both_fused_inband(
+    paths: list[str], cfg_d: RollupConfig, cfg_h: RollupConfig
+):
+    """Sink-mode both-lane fusion, in-band side channel: each raw Ray task
+    decodes its span ONCE, runs both kernels, writes both lanes' interior
+    rows to their Parquet sinks inside the task, and returns (decomp
+    manifest, holistic manifest, decomp boundary partials, hull,
+    (offs, shard-sorted holistic states)) as five driver-owned objects —
+    the decode-once win of the both-lane WITHOUT the registry actors.
+    Exactly-once: lineage retry + atomic-rename idempotent sink writes
+    (same argument as the single in-band lanes, fault-suite tested there).
+    Returns (decomposable_manifest_ds, holistic_manifest_ds), bit-equal to
+    the two separate in-band lanes (tested)."""
+    import os
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    ordered_d = _tier_widths_ok(cfg_d.tiers)
+    need_fl = "first" in cfg_d.aggs or "last" in cfg_d.aggs
+    hc = R.HolisticClustered(
+        source_col=cfg_h.source_col,
+        ts_col=cfg_h.ts_col,
+        value_col=cfg_h.value_col,
+        tiers=dict(_tier_widths_ok(cfg_h.tiers)),
+        aggs=cfg_h.aggs,
+        num_partitions=cfg_h.num_partitions,
+        tile_rows=cfg_h.tile_rows,
+    )
+    vcols_h = (
+        list(cfg_h.value_col)
+        if isinstance(cfg_h.value_col, (list, tuple))
+        else [cfg_h.value_col]
+    )
+    cols = [cfg_d.source_col, cfg_d.ts_col] + sorted(
+        {cfg_d.value_col} | set(vcols_h)
+    )
+    items = _fused_task_items(
+        paths, min(cfg_d.max_task_rows, cfg_h.max_task_rows)
+    )
+    n_merge = max(4, min(64, len(items) // 4 or 1))
+    sink_d, sink_h = cfg_d.sink_dir, cfg_h.sink_dir
+    os.makedirs(sink_d, exist_ok=True)
+    os.makedirs(sink_h, exist_ok=True)
+    comp_d, comp_h = cfg_d.sink_compression, cfg_h.sink_compression
+    fault_dir = cfg_d.fault_inject_dir or cfg_h.fault_inject_dir
+    source_col, ts_col = cfg_d.source_col, cfg_d.ts_col
+    value_col_d, tile_d, aggs_d = (
+        cfg_d.value_col, cfg_d.tile_rows, cfg_d.aggs
+    )
+
+    @ray.remote(num_cpus=1, num_returns=5)
+    def map_item(p: str, lo: int, hi: int):
+        key = f"{p}#{lo}"
+        t = _read_span(str(p), int(lo), int(hi), cols,
+                       dict_cols=(source_col,))
+        # decomposable kernel
+        parts = R.tiered_partials_clustered(
+            t, source_col=source_col, ts_col=ts_col, value_col=value_col_d,
+            tiers=ordered_d, first_last=need_fl, tile_rows=tile_d,
+        )
+        bmask = parts["_boundary"].combine_chunks()
+        pb = parts.filter(bmask).combine_chunks()
+        pb = pb.append_column(
+            "_path", pa.array([key] * len(pb), type=pa.string())
+        )
+        fin_d = R.finalize_tiered(
+            parts.filter(pc.invert(bmask)), aggs=aggs_d
+        )
+        mani_d = _manifest_table(
+            [_sink_write(fin_d, sink_d, key, comp_d)]
+            if fin_d is not None else []
+        )
+        # holistic kernel over the SAME decoded table
+        st = hc.states(t)
+        shard = (np.asarray(st["_part"]) % n_merge).astype(np.int64)
+        order = np.argsort(shard, kind="stable")
+        st_sorted = (
+            st.drop_columns(["_part"]).take(pa.array(order)).combine_chunks()
+        )
+        offs = np.concatenate(
+            [[0], np.cumsum(np.bincount(shard, minlength=n_merge))]
+        ).tolist()
+        hull = _source_ts_hulls(t, source_col=source_col, ts_col=ts_col)
+        hull = hull.append_column(
+            "_path", pa.array([key] * len(hull), type=pa.string())
+        )
+        fin_h = hc.interior(t)
+        mani_h = _manifest_table([_sink_write(fin_h, sink_h, key, comp_h)])
+        if fault_dir:
+            _maybe_crash(fault_dir, key)
+        return mani_d, mani_h, pb, hull, (offs, st_sorted)
+
+    refs = [
+        map_item.remote(it["path"], int(it["lo"]), int(it["hi"]))
+        for it in items
+    ]
+    st_refs = [r[4] for r in refs]
+
+    @ray.remote
+    def merge_shard(s: int, *payloads):
+        parts = [
+            st.slice(offs[s], offs[s + 1] - offs[s]) for offs, st in payloads
+        ]
+        nonempty = [p for p in parts if len(p)]
+        if not nonempty:
+            return _manifest_table([])
+        merged = hc.merge(pa.concat_tables(nonempty))
+        return _manifest_table(
+            [_sink_write(merged, sink_h, f"boundary-{s}", comp_h)]
+        )
+
+    final_refs = [merge_shard.remote(s, *st_refs) for s in range(n_merge)]
+
+    bnds = [b for b in ray.get([r[2] for r in refs]) if b.num_rows]
+    cat = pa.concat_tables(bnds) if bnds else None
+    _check_boundary_intervals(cat, tier_col="tier", width_col="width_s")
+    mani_d_tbls = [m for m in ray.get([r[0] for r in refs]) if m.num_rows]
+    if cat is not None and len(cat):
+        merged = R.merge_tiered(cat.drop_columns(["_path"]), aggs=aggs_d)
+        mani_d_tbls.append(_manifest_table(
+            [_sink_write(merged, sink_d, "boundary", comp_d)]
+        ))
+    hulls = [
+        h for h in ray.get([r[3] for r in refs]) if h is not None and len(h)
+    ]
+    _check_ts_hulls(pa.concat_tables(hulls) if hulls else None)
+    mani_h_tbls = [m for m in ray.get([r[1] for r in refs]) if m.num_rows]
+    mani_h_tbls += [f for f in ray.get(final_refs) if f.num_rows]
+
+    def _ds(tbls):
+        return rd.from_arrow(
+            pa.concat_tables(tbls) if tbls else _manifest_table([])
+        )
+
+    return _ds(mani_d_tbls), _ds(mani_h_tbls)
+
+
 def rollup_both_clustered_fused(
     paths: list[str], cfg_d: RollupConfig, cfg_h: RollupConfig
 ):
@@ -1411,10 +1550,18 @@ def rollup_both_clustered_fused(
     if isinstance(cfg_d.value_col, (list, tuple)):
         raise ValueError("both-lane fusion: decomposable lane is single-value")
     if cfg_d.sink_dir or cfg_h.sink_dir:
-        raise ValueError(
-            "both-lane fusion does not support sink_dir yet — run the two "
-            "fused sink lanes separately"
-        )
+        if not (cfg_d.sink_dir and cfg_h.sink_dir):
+            raise ValueError(
+                "both-lane fusion with a sink needs sink_dir on BOTH "
+                "configs (separate directories)"
+            )
+        if not (cfg_d.inband_side_channel and cfg_h.inband_side_channel):
+            raise ValueError(
+                "both-lane sink fusion is in-band only — set "
+                "inband_side_channel=True on both configs or run the two "
+                "fused sink lanes separately"
+            )
+        return _rollup_both_fused_inband(paths, cfg_d, cfg_h)
     ordered_d = _tier_widths_ok(cfg_d.tiers)
     need_fl = "first" in cfg_d.aggs or "last" in cfg_d.aggs
     hc = R.HolisticClustered(

@@ -571,3 +571,49 @@ def test_fused_sink_equals_plasma(ray_session, corpus, tmp_path_factory):
                 assert np.allclose(av, bv, rtol=0, atol=0, equal_nan=True), c
             else:
                 assert (av == bv).all(), c
+
+
+def test_both_lane_sink_inband_equals_separate(corpus, ray_session,
+                                               tmp_path_factory):
+    """Sink-mode both-lane fusion (one decode feeds both kernels, in-band
+    side channel) must write sinks bit-equal to the two separate in-band
+    sink lanes."""
+    import glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    from getml_community_ray.pipelines.rollup import (
+        rollup_both_clustered_fused,
+        rollup_decomposable_clustered_fused,
+        rollup_holistic_clustered_fused,
+    )
+
+    paths = sorted(glob.glob(f"{corpus}/*.parquet"))
+    dirs = {k: str(tmp_path_factory.mktemp(f"both_ib_{k}"))
+            for k in ("d1", "h1", "d2", "h2")}
+
+    def mk(sink, **extra):
+        return RollupConfig(
+            retention={}, num_partitions=8, cache_intermediates=False,
+            assume_clustered=True, sink_dir=sink, **extra,
+        )
+
+    rollup_decomposable_clustered_fused(paths, mk(dirs["d1"])).to_pandas()
+    rollup_holistic_clustered_fused(
+        paths, mk(dirs["h1"], aggs=HOL_AGGS)
+    ).to_pandas()
+    dd, hh = rollup_both_clustered_fused(
+        paths, mk(dirs["d2"]), mk(dirs["h2"], aggs=HOL_AGGS)
+    )
+    md, mh = dd.to_pandas(), hh.to_pandas()
+    assert set(md.columns) == {"file", "rows"}
+    assert set(mh.columns) == {"file", "rows"}
+
+    def read_sink(d):
+        return _sorted_df(rd.read_parquet(sorted(glob.glob(f"{d}/*.parquet"))))
+
+    for a, b, m in ((dirs["d1"], dirs["d2"], md), (dirs["h1"], dirs["h2"], mh)):
+        da, db = read_sink(a), read_sink(b)
+        assert int(m["rows"].sum()) == len(db)
+        pd.testing.assert_frame_equal(da, db)
