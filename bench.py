@@ -283,7 +283,7 @@ def run_lane(lane: str) -> None:
     # first-touch path through one memory bus (BASELINE.md). On a real
     # cluster this is the resumable partitioned-Parquet output layout
     # anyway. GRAFT_SINK=0 restores the in-store product for comparison.
-    use_sink = os.environ.get("GRAFT_SINK", "1") == "1" and lane != "both"
+    use_sink = os.environ.get("GRAFT_SINK", "1") == "1"
     sink_dir = None
     if use_sink:
         import shutil
@@ -345,16 +345,28 @@ def run_lane(lane: str) -> None:
             rollup_holistic_clustered_fused(paths, cfg)
         ) * len(HOLISTIC_AGGS)
     else:  # both: ONE decode of the corpus feeds both cascades
+        sink_d = sink_h = None
+        if sink_dir:
+            sink_d, sink_h = f"{sink_dir}_d", f"{sink_dir}_h"
         cfg_d = RollupConfig(
             retention={}, num_partitions=P, cache_intermediates=False,
-            assume_clustered=True,
+            assume_clustered=True, sink_dir=sink_d,
+            sink_compression=sink_comp,
+            max_task_rows=min(task_rows_decomp, task_rows_holo),
         )
         cfg_h = RollupConfig(
             aggs=HOLISTIC_AGGS, retention={}, num_partitions=P,
             cache_intermediates=False, assume_clustered=True,
+            sink_dir=sink_h, sink_compression=sink_comp,
+            max_task_rows=min(task_rows_decomp, task_rows_holo),
         )
         d, h = rollup_both_clustered_fused(paths, cfg_d, cfg_h)
-        pts = d.count() * len(cfg_d.aggs) + h.count() * len(HOLISTIC_AGGS)
+        if sink_dir:
+            pts = (product_rows(d) * len(cfg_d.aggs)
+                   + product_rows(h) * len(HOLISTIC_AGGS))
+        else:
+            pts = (d.count() * len(cfg_d.aggs)
+                   + h.count() * len(HOLISTIC_AGGS))
     sec = time.perf_counter() - t0
     # box-wide busy fraction across the TIMED window only (setup/teardown
     # excluded) — the duty-cycle signal the scaling ballast calibrates to
@@ -363,7 +375,8 @@ def run_lane(lane: str) -> None:
     if sink_dir:
         import shutil
 
-        shutil.rmtree(sink_dir, ignore_errors=True)
+        for sd in (sink_dir, f"{sink_dir}_d", f"{sink_dir}_h"):
+            shutil.rmtree(sd, ignore_errors=True)
     print(json.dumps({"lane": lane, "sec": round(sec, 3), "points": pts,
                       "busy_frac": round(busy, 3)}))
 
