@@ -180,3 +180,51 @@ def test_grouped_exact_quantiles_brute():
         for q in (10, 50, 99):
             rk = max(1, -(-q * len(kv) // 100))
             assert got[(k, q)] == kv[rk - 1], (k, q)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_irate_and_delta_empty_blocks():
+    """Empty input blocks must project to the SAME combined schema as
+    non-empty ones (heterogeneous block schemas can fail Ray's block
+    concat in the hash exchange) — regression for the r3 audit finding."""
+    import ray.data as rd
+
+    from getml_community_ray.stages.keyed import irate_last_two, keyed_delta
+
+    t = pa.table(
+        {
+            "k": pa.array(np.array([1, 1, 2], dtype=np.int64)),
+            "ts": pa.array(
+                np.array([10**6, 2 * 10**6, 3 * 10**6]).astype("datetime64[us]")
+            ),
+            "id": pa.array(np.arange(3, dtype=np.int64)),
+            "v": pa.array(np.array([5, 9, 7], dtype=np.int64)),
+        }
+    )
+    empty = t.slice(0, 0)
+    # union of a populated and an EMPTY dataset forces empty blocks
+    # through the combiner
+    ds = rd.from_arrow(t).union(rd.from_arrow(empty)).repartition(4)
+    out = irate_last_two(
+        ds, key_col="k", ts_col="ts", id_col="id", value_col="v",
+        width_s=3600, num_partitions=2,
+    ).to_pandas()
+    assert len(out) == 1
+    assert int(out["dv"].iloc[0]) == 4
+
+    # keyed_delta with a tz-aware order column + empty blocks: the empty
+    # branch must emit the same tz-stripped timestamp('us') schema
+    t2 = pa.table(
+        {
+            "k": t["k"],
+            "o": t["ts"].cast(pa.timestamp("us", tz="UTC")),
+            "v": t["v"],
+        }
+    )
+    ds2 = rd.from_arrow(t2).union(rd.from_arrow(t2.slice(0, 0))).repartition(4)
+    out2 = keyed_delta(
+        ds2, key_col="k", order_col="o", value_col="v", num_partitions=2,
+    ).to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    assert len(out2) == 3
+    assert out2["delta"].isna().sum() == 2  # first row of each key
+    assert int(out2["delta"].dropna().iloc[0]) == 4
