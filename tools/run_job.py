@@ -24,8 +24,21 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="directory of parquet shards")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--lane", choices=["decomposable", "holistic"],
-                    default="decomposable")
+    ap.add_argument("--lane",
+                    choices=["decomposable", "holistic", "fused-decomp",
+                             "fused-holistic", "fused-both"],
+                    default="decomposable",
+                    help="decomposable/holistic: checkpointed shuffle lanes "
+                         "with per-partition lineage resume. fused-*: the "
+                         "clustered single-pass lanes with the in-band side "
+                         "channel writing straight to the output sink "
+                         "(atomic per-span files; a rerun overwrites "
+                         "idempotently) — requires event-time-clustered "
+                         "input (footer guard, or --assume-clustered)")
+    ap.add_argument("--assume-clustered", action="store_true",
+                    help="vouch per-source ts non-overlap for fused lanes "
+                         "(verified exactly post-hoc; wrong vouch fails "
+                         "loudly)")
     ap.add_argument("--timerange", action="store_true",
                     help="time-range partitions: late shards re-roll only "
                          "the partitions they overlap")
@@ -88,6 +101,62 @@ def main() -> None:
         cfg_kwargs["retention"] = ret
         cfg_kwargs["watermark_us"] = args.watermark or None
     cfg = RollupConfig(**cfg_kwargs)
+
+    if args.lane.startswith("fused-"):
+        import glob
+
+        import pyarrow as pa
+
+        from getml_community_ray.pipelines.rollup import (
+            rollup_both_clustered_fused,
+            rollup_decomposable_clustered_fused,
+            rollup_holistic_clustered_fused,
+        )
+
+        if args.timerange:
+            ap.error("--timerange is the checkpointed lanes' resume mode; "
+                     "fused-* lanes resume via their idempotent per-span "
+                     "sink files")
+        paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+
+        def _mk(sink, **extra):
+            kw = dict(cfg_kwargs, sink_dir=sink, **extra)
+            if args.assume_clustered:
+                kw["assume_clustered"] = True
+            return RollupConfig(**kw)
+
+        def _rows(ds):
+            import ray as _ray
+
+            return sum(
+                int(pa.compute.sum(t["rows"]).as_py() or 0)
+                for t in _ray.get(ds.to_arrow_refs()) if t.num_rows
+            )
+
+        t0 = time.perf_counter()
+        if args.lane == "fused-decomp":
+            rows_out = _rows(
+                rollup_decomposable_clustered_fused(paths, _mk(args.output))
+            )
+        elif args.lane == "fused-holistic":
+            rows_out = _rows(
+                rollup_holistic_clustered_fused(paths, _mk(args.output))
+            )
+        else:
+            d, h = rollup_both_clustered_fused(
+                paths,
+                _mk(os.path.join(args.output, "decomp")),
+                _mk(os.path.join(args.output, "holistic")),
+            )
+            rows_out = _rows(d) + _rows(h)
+        print(json.dumps({
+            "lane": args.lane,
+            "rows_out": rows_out,
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "sink": args.output,
+        }))
+        ray.shutdown()
+        return
 
     t0 = time.perf_counter()
     runner = checkpointed_rollup_timerange if args.timerange else checkpointed_rollup
