@@ -276,7 +276,12 @@ def deterministic_shuffle(
 
     Any shard recomputes in isolation (checkpoint-friendly), and the same
     input yields byte-identical positions at any parallelism. num_shards
-    must be a power of two."""
+    must be a power of two.
+
+    Precondition: `id_col` must be UNIQUE (it is the row's identity — the
+    permutation is a function of it). Rows sharing an id would tie on the
+    full (h, id) sort key and their relative order would depend on
+    partition layout."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
