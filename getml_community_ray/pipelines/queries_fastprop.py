@@ -13,6 +13,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.partitioning import auto_partitions
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -121,7 +123,7 @@ def q_fastprop_daily_users(sf_dir: str):
         aggs=["count", "sum", "max", "stddev"],
         horizon_s=0.0,
         memory_s=7 * 86400.0,
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     out = fastprop_features(pop, peri, spec)
 
@@ -176,7 +178,7 @@ def q_fastprop_lag_buckets(sf_dir: str):
         id_cols=["event_id"],
         lag_delta_s=86400.0,
         n_lags=2,
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     out = time_series_features(_events_cents(sf_dir), spec)
 
@@ -231,7 +233,7 @@ def q_fastprop_ewma_trend(sf_dir: str):
         id_cols=["event_id"],
         horizon_s=0.0,
         memory_s=6 * 3600.0,
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
     out = time_series_features(ds, spec)
@@ -317,7 +319,7 @@ def q_rollup_1h_shape(sf_dir: str):
             "mode", "count_distinct_over_count", "count_above_mean",
             "count_below_mean",
         ],
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     out = rollup_holistic(ds, cfg)["1h"]
 
@@ -420,7 +422,7 @@ def q_fastprop_categorical(sf_dir: str):
         id_cols=["event_id"],
         horizon_s=60.0,
         memory_s=2 * 86400.0,
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     out = time_series_features(
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True), spec
@@ -479,7 +481,7 @@ def q_fastprop_snowflake(sf_dir: str):
         id_cols=["event_id"],
         horizon_s=0.0,
         memory_s=3600.0,
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     sub = time_series_features(ds, child_spec)
     sub = sub.map_batches(
@@ -518,7 +520,7 @@ def q_fastprop_snowflake(sf_dir: str):
         aggs=["avg", "max"],
         horizon_s=0.0,
         memory_s=86400.0,
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     out = fastprop_features(pop, sub, parent_spec)
 
@@ -579,7 +581,7 @@ def q_fastprop_ewma_trend_weighted(sf_dir: str):
         id_cols=["event_id"],
         horizon_s=0.0,
         memory_s=6 * 3600.0,
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     out = time_series_features(_events_cents(sf_dir), spec)
 
@@ -667,7 +669,7 @@ def q_rollup_1h_time_stats(sf_dir: str):
         value_col="cents",
         tiers={"1h": 3600},
         aggs=["avg_time_between", "time_since_first_maximum"],
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     out = rollup_holistic(ds, cfg)["1h"]
 
@@ -744,7 +746,7 @@ def q_rollup_1h_multimetric(sf_dir: str):
         value_col=["cents", "uid"],
         tiers={"1h": 3600},
         aggs=["median", "count_distinct"],
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     out = rollup_holistic(ds, cfg)["1h"]
 
@@ -796,7 +798,7 @@ def q_fastprop_popperi_diff(sf_dir: str):
         key_col="user_id", pop_ts_col="ts", peri_ts_col="ts",
         numeric_cols=[], id_cols=["event_id"],
         same_unit_pairs=[("__ts__", "__ts__"), ("value", "value")],
-        aggs=[], horizon_s=60.0, memory_s=3600.0, num_partitions=16,
+        aggs=[], horizon_s=60.0, memory_s=3600.0, num_partitions=auto_partitions(),
     )
     win = spec.windows()[0]
     cands = [
@@ -863,7 +865,7 @@ def q_fastprop_category_cond(sf_dir: str):
         numeric_cols=["value"], id_cols=["event_id"],
         categorical_cols=["event_type"],
         category_values={"event_type": ["purchase", "view"]},
-        aggs=[], horizon_s=60.0, memory_s=3600.0, num_partitions=16,
+        aggs=[], horizon_s=60.0, memory_s=3600.0, num_partitions=auto_partitions(),
     )
     win = spec.windows()[0]
     cands = [
@@ -1043,7 +1045,7 @@ def q_fastprop_upper_bound_events(sf_dir: str):
         id_cols=["event_id"],
         horizon_s=60.0,
         memory_s=2 * 86400.0,
-        num_partitions=16,
+        num_partitions=auto_partitions(),
         upper_ts_col="valid_until",
     )
     out = fastprop_features(base, peri, spec)
@@ -1108,7 +1110,7 @@ def q_fastprop_timesplit_events(sf_dir: str):
         id_cols=["event_id"],
         horizon_s=60.0,
         memory_s=2 * 86400.0,
-        num_partitions=16,
+        num_partitions=auto_partitions(),
         time_bucket_s=3 * 86400.0,
     )
     out = time_series_features(_events_cents(sf_dir), spec)
