@@ -18,6 +18,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.partitioning import auto_partitions
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -183,7 +185,7 @@ def q_rollup_1h_first_last(sf_dir: str):
         value_col="value",
         tiers={"1h": 3600},
         aggs=["first", "last"],
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     return rollup_holistic(
         _read(sf_dir, "events", columns=["ts", "event_type", "value"]), cfg
@@ -614,7 +616,7 @@ def q_rollup_sequences_full(sf_dir: str):
             "stddev", "mode", "count_distinct", "first", "last", "trend",
             "ewma_1h", "time_since_last_maximum",
         ],
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     tiers = rollup_holistic(ds, cfg)
     out = None
@@ -869,7 +871,7 @@ def q_hash_join_lineitem_orders(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
     joined = hash_join(
         li, orders, on="l_orderkey", right_on="o_orderkey", how="inner",
-        num_partitions=8,
+        num_partitions=auto_partitions(),
     )
 
     from ray.data.aggregate import Count, Sum

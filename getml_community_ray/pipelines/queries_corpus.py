@@ -7,6 +7,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..stages.partitioning import auto_partitions
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -1884,7 +1886,7 @@ def q_token_minhash_lsh(sf_dir: str):
     ds = rd.read_parquet(NEARDUP_TOKENS_CORPUS, columns=["doc_id", "tokens"])
     return token_minhash_lsh_candidates(
         ds, tokens_col="tokens", id_col="doc_id",
-        num_perm=32, bands=8, n=8, num_partitions=8,
+        num_perm=32, bands=8, n=8, num_partitions=auto_partitions(),
     )
 
 

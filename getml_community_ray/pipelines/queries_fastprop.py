@@ -961,7 +961,7 @@ def q_fastprop_vocab_words(sf_dir: str):
         aggs=["sum", "count", "avg"],
         id_cols=["doc_id"],
         horizon_s=60.0, memory_s=3600.0,
-        nan_to_zero=True, num_partitions=8,
+        nan_to_zero=True, num_partitions=auto_partitions(),
     )
     feats = time_series_features(ds, spec)
 

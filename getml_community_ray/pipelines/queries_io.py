@@ -15,6 +15,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.partitioning import auto_partitions
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -715,7 +717,7 @@ def q_semi_join_lineitem(sf_dir: str):
                             keys_on="o_orderkey")
     semi = hash_join(
         cands, keys_ds, on="l_orderkey", right_on="o_orderkey",
-        how="inner", num_partitions=8,
+        how="inner", num_partitions=auto_partitions(),
     )
     import pyarrow as pa
 

@@ -10,6 +10,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.partitioning import auto_partitions
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -1055,7 +1057,7 @@ def q_tier_delta_events(sf_dir: str):
         value_col="cents",
         tiers={"1h": 3600},
         aggs=["count", "sum"],
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     t1h = rollup_decomposable(_events_rollup_base(sf_dir), cfg)["1h"]
 
@@ -1313,7 +1315,7 @@ def q_enrich_asof_tier_events(sf_dir: str):
         value_col="cents",
         tiers={"1h": 3600},
         aggs=["count", "sum"],
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     t1h = rollup_decomposable(_events_rollup_base(sf_dir), cfg)["1h"]
 

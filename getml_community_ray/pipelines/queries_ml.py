@@ -8,6 +8,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..stages.partitioning import auto_partitions
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -222,7 +224,7 @@ def q_pipeline_e2e_events(sf_dir: str):
         id_cols=["event_id"],
         horizon_s=60.0,
         memory_s=2 * 3600.0,
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
     pipe = Pipeline(feature_spec=spec, predictor=LinearRegression([], ""))
     pipe.fit(ds, ds, target_col="value")
@@ -261,7 +263,7 @@ def _autofit_spec():
         memory_s=7200.0,
         num_features=20,
         sampling_factor=1.0,
-        num_partitions=16,
+        num_partitions=auto_partitions(),
     )
 
 
