@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "tier_router_events",
     "exact_quantiles_events",
     "token_near_dedup_sequences",
+    "shuffle_events",
+    "ecdf_events",
 ]
 
 
