@@ -2080,3 +2080,52 @@ LEFT JOIN scored USING (doc_id)
 
 CORPUS_QUERIES["token_rarity_sequences"] = q_token_rarity
 CORPUS_ORACLE_SQL["token_rarity_sequences"] = sql_token_rarity()
+
+
+def q_token_incremental_dedup(sf_dir: str):
+    """Incremental-ingestion exact dedup (stages/tokens.
+    token_incremental_dedup): odd-doc_key sequences are the 'incoming
+    batch', even keys the 'standing corpus' — survivors are the new
+    sequences whose token content is absent from the base. Bloom screen
+    (no false negatives) + ONE candidate-sized exact hash join; payloads
+    never move."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_incremental_dedup
+
+    _ensure_neardup_tokens()
+    ds = rd.read_parquet(NEARDUP_TOKENS_CORPUS, columns=["doc_key", "tokens"])
+
+    def _parity(b, want):
+        import pyarrow.compute as pc
+
+        keep = pc.equal(
+            pc.bit_wise_and(b["doc_key"], pa.scalar(1, pa.int64())), want
+        )
+        return b.filter(keep)
+
+    new = ds.map_batches(lambda b: _parity(b, 1), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    base = ds.map_batches(lambda b: _parity(b, 0), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return token_incremental_dedup(
+        new, base, tokens_col="tokens", id_col="doc_key"
+    )
+
+
+def sql_token_incremental_dedup() -> str:
+    _ensure_neardup_tokens()
+    src = f"read_parquet('{NEARDUP_TOKENS_CORPUS}/*.parquet')"
+    return f"""
+WITH base AS (SELECT tokens FROM {src} WHERE doc_key % 2 = 0),
+     nw AS (SELECT doc_key, tokens FROM {src} WHERE doc_key % 2 = 1)
+SELECT nw.doc_key, CAST(len(nw.tokens) AS BIGINT) AS n_tok
+FROM nw
+ANTI JOIN base ON nw.tokens = base.tokens
+"""
+
+
+CORPUS_QUERIES["token_incremental_dedup_sequences"] = q_token_incremental_dedup
+CORPUS_ORACLE_SQL["token_incremental_dedup_sequences"] = (
+    sql_token_incremental_dedup()
+)

@@ -1467,3 +1467,73 @@ FROM e
 
 KEYED_QUERIES["ecdf_events"] = q_ecdf_events
 KEYED_ORACLE_SQL["ecdf_events"] = SQL_ECDF
+
+
+def q_stratified_sample_events(sf_dir: str):
+    """Stratified subsample with EXACT per-stratum quotas
+    (stages/packing.stratified_sample): each event_type keeps exactly
+    floor(n * 1/5) rows, the smallest-splitmix64(event_id) ones —
+    composition-preserving train-split sampling, deterministic at any
+    parallelism."""
+    from ..stages.packing import stratified_sample
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    return stratified_sample(
+        ds, key_col="event_type", id_col="event_id", num=1, den=5
+    )
+
+
+def _sql_stratified_events() -> str:
+    from ..stages.packing import stratified_sample_sql
+
+    return stratified_sample_sql(
+        "events", key_col="event_type", id_col="event_id", num=1, den=5,
+        select_cols=["event_id", "event_type"],
+    )
+
+
+KEYED_QUERIES["stratified_sample_events"] = q_stratified_sample_events
+KEYED_ORACLE_SQL["stratified_sample_events"] = _sql_stratified_events()
+
+
+def q_checksum_events(sf_dir: str):
+    """Order-invariant dataset checksum (stages/integrity.dataset_checksum):
+    chained splitmix64 per row over (event_id, user_id, cents), summed mod
+    2^64 — the copy-verification digest that is identical under any block
+    order, partitioning or parallelism. One streaming pass, two int64
+    limb sums per batch exchanged."""
+    from ..stages.integrity import dataset_checksum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return dataset_checksum(
+        ds.map_batches(to_cents, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        int_cols=["event_id", "user_id", "cents"],
+    )
+
+
+def _sql_checksum_events() -> str:
+    from ..stages.integrity import dataset_checksum_sql
+
+    return dataset_checksum_sql(
+        "(SELECT event_id, user_id, "
+        "CAST(ROUND(value * 100.0, 0) AS BIGINT) AS cents FROM events)",
+        int_cols=["event_id", "user_id", "cents"],
+    )
+
+
+KEYED_QUERIES["checksum_events"] = q_checksum_events
+KEYED_ORACLE_SQL["checksum_events"] = _sql_checksum_events()

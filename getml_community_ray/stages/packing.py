@@ -369,3 +369,114 @@ SELECT {cols},
            AS shuffle_pos
 FROM h
 """
+
+
+def stratified_sample(
+    ds,
+    *,
+    key_col: str,
+    id_col: str,
+    num: int,
+    den: int,
+    num_partitions: int | None = None,
+):
+    """Stratified subsample with EXACT integer per-stratum quotas: each
+    stratum (key) keeps exactly floor(n_key * num / den) rows — the ones
+    with the smallest splitmix64(id), ties by id — so corpus composition
+    is preserved exactly under sampling (mixture_sample keeps expected
+    fractions; this keeps exact counts, the train/val/test-split
+    requirement).
+
+    Two passes: (1) O(strata) count aggregate -> integer quotas broadcast
+    via ray.put; (2) per-batch combiner prunes each key to its quota
+    BEFORE the one hash exchange (a row outside a batch-local bottom-quota
+    cannot be in the global bottom-quota), then the per-partition final
+    selection. Deterministic at any partitioning; fraction passed as
+    num/den so engine and SQL twin compute the identical integer quota."""
+    import ray
+    from ray.data.aggregate import Count
+
+    if not (0 <= num <= den) or den <= 0:
+        raise ValueError("need 0 <= num <= den, den > 0")
+    if num_partitions is None:
+        from .partitioning import auto_partitions
+
+        num_partitions = auto_partitions(ds)
+
+    counts = (
+        ds.select_columns([key_col])
+        .groupby(key_col)
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # O(strata) driver state
+    )
+    quota = {
+        k: (int(n) * num) // den
+        for k, n in zip(counts[key_col], counts["n"])
+    }
+    q_ref = ray.put(quota)
+
+    def bottom_quota(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        q = ray.get(q_ref)
+        key = np.asarray(t[key_col])
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        h = splitmix64(ids.view(np.uint64))
+        ks = key.astype(str) if key.dtype.kind not in "iu" else key
+        order = np.lexsort((ids, h, ks))
+        kk = ks[order]
+        new = np.ones(len(kk), dtype=bool)
+        if len(kk) > 1:
+            new[1:] = kk[1:] != kk[:-1]
+        starts = np.flatnonzero(new)
+        grp_start = np.repeat(starts, np.diff(np.append(starts, len(kk))))
+        rank = np.arange(len(kk)) - grp_start
+        quotas = np.array([q.get(k, 0) for k in kk[starts]], dtype=np.int64)
+        keep = order[rank < np.repeat(quotas, np.diff(np.append(starts, len(kk))))]
+        return t.take(pa.array(np.sort(keep)))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        key = np.asarray(b[key_col])
+        if key.dtype.kind in "iu":
+            hv = splitmix64(key.astype(np.uint64)).astype(np.int64)
+        else:
+            hv = crc_hash_sources(key.astype(str))
+        return b.append_column(
+            "_part", pa.array(np.abs(hv) % num_partitions)
+        )
+
+    pruned = ds.map_batches(bottom_quota, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=65536)
+    return (
+        pruned.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda t: bottom_quota(t.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def stratified_sample_sql(table: str, *, key_col: str, id_col: str,
+                          num: int, den: int,
+                          select_cols: list[str]) -> str:
+    """DuckDB twin: identical integer quota + splitmix64 bottom-quota."""
+    from ..kernels.hashing import sql_splitmix64_cols
+
+    sm = ",\n       ".join(
+        sql_splitmix64_cols(f"CAST({id_col} AS UBIGINT)", "s_")
+    )
+    cols = ", ".join(select_cols)
+    return f"""
+WITH h AS (
+  SELECT {cols}, {id_col} AS _sid, {key_col} AS _skey,
+       {sm}
+  FROM {table}),
+q AS (SELECT {key_col} AS _qkey,
+             (CAST(count(*) AS BIGINT) * {num}) // {den} AS _quota
+      FROM {table} GROUP BY 1)
+SELECT {cols} FROM h JOIN q ON h._skey = q._qkey
+QUALIFY row_number() OVER (PARTITION BY _skey ORDER BY s_out, _sid)
+        <= _quota
+"""

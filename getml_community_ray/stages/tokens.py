@@ -1409,6 +1409,73 @@ def token_topk_per_source(
     )
 
 
+def token_content_hashes(b: pa.Table, tokens_col: str) -> np.ndarray:
+    """Len-salted whole-row 64-bit polynomial content hash per sequence
+    (int64) — the content-identity key shared by token_exact_dedup and
+    token_incremental_dedup. Identical arrays hash identically regardless
+    of batch/partition layout."""
+    toks = b[tokens_col].combine_chunks()
+    flat = np.asarray(toks.flatten(), dtype=np.int64)
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    off = off - off[0]
+    lens = np.diff(off)
+    n = len(lens)
+    h = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        # whole-row polynomial: h_row = sum v[i] * B^(len-1-i) mod 2^64,
+        # computed for ALL rows at once via a running scan per batch:
+        # prefix[i] = prefix[i-1]*B + v[i]; row hash = prefix[end-1]
+        # - prefix[start-1]*B^len. Vectorized with precomputed powers.
+        maxlen = int(lens.max())
+        pows = np.empty(maxlen + 1, dtype=np.int64)
+        acc = 1
+        for i in range(maxlen + 1):
+            pows[i] = acc - (1 << 64) if acc >= (1 << 63) else acc
+            acc = (acc * _TOK_B) % (1 << 64)
+        pref = np.zeros(len(flat) + 1, dtype=np.int64)
+        # prefix scan is sequential; do it per batch in C via reduce:
+        # p[i+1] = p[i]*B + v[i]  ==  p[n] = sum v[i] * B^(n-1-i).
+        # Equivalent closed form: weight each v[i] by B^(-i) doesn't
+        # exist in modular ints without inverse; B is odd => invertible
+        # mod 2^64, so use w[i] = v[i] * Binv^i and a cumsum.
+        binv = pow(_TOK_B, -1, 1 << 64)
+        iexp = np.arange(len(flat), dtype=np.int64)
+        # Binv^i via repeated squaring per power-of-two bit, vectorized
+        w = np.ones(len(flat), dtype=np.int64)
+        base = binv
+        bits = iexp.copy()
+        while bits.any():
+            odd = (bits & 1).astype(bool)
+            bc = np.int64(base - (1 << 64) if base >= (1 << 63) else base)
+            w[odd] = w[odd] * bc  # wraparound mod 2^64
+            bits >>= 1
+            base = (base * base) % (1 << 64)
+        s = np.cumsum(flat * w)  # wraparound cumsum mod 2^64
+        pref[1:] = s
+        seg = pref[off[1:]] - pref[off[:-1]]
+        # seg = sum v[i] * Binv^i over the row; normalize by B^(start +
+        # len - 1) to get the forward polynomial. Empty rows would give
+        # exponent -1 (negative stays negative under >>, infinite
+        # loop): clamp to 0 — their seg is 0 so the hash is 0 anyway.
+        start_pow = np.maximum(off[:-1] + lens - 1, 0).astype(np.int64)
+        pw = np.ones(n, dtype=np.int64)
+        base = _TOK_B % (1 << 64)
+        bits = start_pow.copy()
+        while bits.any():
+            odd = (bits & 1).astype(bool)
+            bc = np.int64(base - (1 << 64) if base >= (1 << 63) else base)
+            pw[odd] = pw[odd] * bc
+            bits >>= 1
+            base = (base * base) % (1 << 64)
+        h = seg * pw
+    from ..kernels.hashing import splitmix64
+
+    # salt with the length so [] and length collisions separate
+    return splitmix64(h.view(np.uint64) ^ lens.view(np.uint64)).astype(
+        np.int64
+    )
+
+
 def token_exact_dedup(ds, *, tokens_col: str = "tokens",
                       id_col: str = "doc_key"):
     """Exact dedup of identical token SEQUENCES: smallest id + occurrence
@@ -1419,67 +1486,8 @@ def token_exact_dedup(ds, *, tokens_col: str = "tokens",
     from ray.data.aggregate import Count, Min
 
     def add_hash(b: pa.Table) -> pa.Table:
-        toks = b[tokens_col].combine_chunks()
-        flat = np.asarray(toks.flatten(), dtype=np.int64)
-        off = np.asarray(toks.offsets, dtype=np.int64)
-        off = off - off[0]
-        lens = np.diff(off)
-        n = len(lens)
-        h = np.zeros(n, dtype=np.int64)
-        if len(flat):
-            # whole-row polynomial: h_row = sum v[i] * B^(len-1-i) mod 2^64,
-            # computed for ALL rows at once via a running scan per batch:
-            # prefix[i] = prefix[i-1]*B + v[i]; row hash = prefix[end-1]
-            # - prefix[start-1]*B^len. Vectorized with precomputed powers.
-            maxlen = int(lens.max())
-            pows = np.empty(maxlen + 1, dtype=np.int64)
-            acc = 1
-            for i in range(maxlen + 1):
-                pows[i] = acc - (1 << 64) if acc >= (1 << 63) else acc
-                acc = (acc * _TOK_B) % (1 << 64)
-            pref = np.zeros(len(flat) + 1, dtype=np.int64)
-            # prefix scan is sequential; do it per batch in C via reduce:
-            # p[i+1] = p[i]*B + v[i]  ==  p[n] = sum v[i] * B^(n-1-i).
-            # Equivalent closed form: weight each v[i] by B^(-i) doesn't
-            # exist in modular ints without inverse; B is odd => invertible
-            # mod 2^64, so use w[i] = v[i] * Binv^i and a cumsum.
-            binv = pow(_TOK_B, -1, 1 << 64)
-            iexp = np.arange(len(flat), dtype=np.int64)
-            # Binv^i via repeated squaring per power-of-two bit, vectorized
-            w = np.ones(len(flat), dtype=np.int64)
-            base = binv
-            bits = iexp.copy()
-            while bits.any():
-                odd = (bits & 1).astype(bool)
-                bc = np.int64(base - (1 << 64) if base >= (1 << 63) else base)
-                w[odd] = w[odd] * bc  # wraparound mod 2^64
-                bits >>= 1
-                base = (base * base) % (1 << 64)
-            s = np.cumsum(flat * w)  # wraparound cumsum mod 2^64
-            pref[1:] = s
-            seg = pref[off[1:]] - pref[off[:-1]]
-            # seg = sum v[i] * Binv^i over the row; normalize by B^(start +
-            # len - 1) to get the forward polynomial. Empty rows would give
-            # exponent -1 (negative stays negative under >>, infinite
-            # loop): clamp to 0 — their seg is 0 so the hash is 0 anyway.
-            start_pow = np.maximum(off[:-1] + lens - 1, 0).astype(np.int64)
-            pw = np.ones(n, dtype=np.int64)
-            base = _TOK_B % (1 << 64)
-            bits = start_pow.copy()
-            while bits.any():
-                odd = (bits & 1).astype(bool)
-                bc = np.int64(base - (1 << 64) if base >= (1 << 63) else base)
-                pw[odd] = pw[odd] * bc
-                bits >>= 1
-                base = (base * base) % (1 << 64)
-            h = seg * pw
-        from ..kernels.hashing import splitmix64
-
-        # salt with the length so [] and length collisions separate
-        hh = splitmix64(h.view(np.uint64) ^ lens.view(np.uint64))
-        return pa.table(
-            {id_col: b[id_col], "_h": pa.array(hh.astype(np.int64))}
-        )
+        hh = token_content_hashes(b, tokens_col)
+        return pa.table({id_col: b[id_col], "_h": pa.array(hh)})
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
@@ -1570,3 +1578,86 @@ def token_rarity_score(
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def token_incremental_dedup(
+    new_ds,
+    base_ds,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_key",
+):
+    """Incremental-ingestion dedup: keep only `new_ds` sequences whose
+    token content does NOT already exist in `base_ds` — the standing-corpus
+    shape of exact dedup at 100 TB, where every incoming batch dedups
+    against petabytes already ingested and re-shuffling the base is not an
+    option.
+
+    Scale shape: ONE streaming content-hash pass over each side (the
+    len-salted whole-row polynomial, `token_content_hashes`; payloads
+    never move). The BASE side collapses to a fixed-size Bloom bitmap
+    (distributed build + broadcast, no false negatives), so new rows that
+    are certainly novel pass with zero joins; the probable-dup remainder
+    (true dups + ~4e-4 FP tail) is confirmed with ONE exact hash join
+    whose left side is candidate-sized — the base re-enters only as its
+    16-byte (hash) column. Confirmed-dup ids are candidate-bounded and
+    broadcast for the final anti filter (the near-dedup chain's house
+    pattern). 64-bit content-hash collision odds as documented in
+    token_exact_dedup.
+
+    Returns (id_col, n_tok) of the surviving new rows."""
+    from .joins import bloom_semi_join, hash_join
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        n_tok = np.diff(off - off[0])
+        hh = token_content_hashes(b, tokens_col)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tok": pa.array(n_tok),
+                "_h": pa.array(hh),
+            }
+        )
+
+    nh = new_ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    bh = base_ds.map_batches(add_hash, batch_format="pyarrow",
+                             zero_copy_batch=True).select_columns(["_h"])
+
+    # probable dups (no false negatives): novel rows need no join at all
+    cand = bloom_semi_join(nh, bh, on="_h")
+    # exact confirm: candidate-sized left x base hash column; DISTINCT the
+    # base side so a many-times-duplicated base hash joins once. A fused
+    # Project over a 0-row bloom output emits zero-COLUMN blocks that
+    # break Acero's key resolution — rebuild both (candidate-sized) join
+    # inputs from their non-empty blocks
+    from .blocks import drop_empty_blocks
+
+    left = drop_empty_blocks(
+        cand.select_columns([id_col, "_h"]),
+        [(id_col, pa.int64()), ("_h", pa.int64())],
+    )
+    right = drop_empty_blocks(
+        bh.groupby("_h").count().select_columns(["_h"]),
+        [("_h", pa.int64())],
+    )
+    confirmed = hash_join(left, right, on="_h", how="inner")
+    conf_ids = set()
+    for b in confirmed.select_columns([id_col]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        conf_ids.update(np.asarray(b[id_col]).tolist())
+
+    import ray
+
+    ref = ray.put(np.array(sorted(conf_ids), dtype=np.int64))
+
+    def anti(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        drop = ray.get(ref)
+        keep = ~np.isin(ids, drop)
+        return b.filter(pa.array(keep)).select([id_col, "n_tok"])
+
+    return nh.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)

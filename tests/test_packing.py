@@ -302,3 +302,102 @@ def test_exact_ecdf(ray_session):
     want = np.array([(v < x).sum() for x in df["x"]])
     assert (out["n_less"].to_numpy() == want).all()
     assert np.allclose(out["pct_rank"], want / (len(v) - 1))
+
+
+def test_stratified_sample_exact_quotas(ray_session):
+    import ray.data as rd
+    from getml_community_ray.kernels.hashing import splitmix64
+    from getml_community_ray.stages.packing import stratified_sample
+
+    rng = np.random.default_rng(7)
+    n = 6_000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.choice(["a", "b", "c"], size=n, p=[0.6, 0.3, 0.1]),
+    })
+    out = stratified_sample(
+        rd.from_pandas(df, override_num_blocks=6), key_col="k",
+        id_col="id", num=1, den=4,
+    ).to_pandas()
+    want_counts = {k: (c * 1) // 4 for k, c in df["k"].value_counts().items()}
+    got_counts = out["k"].value_counts().to_dict()
+    assert got_counts == want_counts
+    # membership: exactly the quota smallest splitmix64(id) per key
+    h = splitmix64(df["id"].to_numpy().astype(np.uint64))
+    df2 = df.assign(h=h)
+    for k, q in want_counts.items():
+        want_ids = set(
+            df2[df2.k == k].sort_values(["h", "id"]).head(q)["id"]
+        )
+        assert set(out[out.k == k]["id"]) == want_ids
+    # partition invariance
+    out2 = stratified_sample(
+        rd.from_pandas(df, override_num_blocks=2), key_col="k",
+        id_col="id", num=1, den=4,
+    ).to_pandas()
+    assert set(map(tuple, out[["id", "k"]].values)) == set(
+        map(tuple, out2[["id", "k"]].values)
+    )
+
+
+def test_dataset_checksum_order_invariant(ray_session):
+    import ray.data as rd
+    from getml_community_ray.stages.integrity import dataset_checksum
+
+    rng = np.random.default_rng(11)
+    n = 5_000
+    df = pd.DataFrame({
+        "a": np.arange(n, dtype=np.int64),
+        "b": rng.integers(-10**9, 10**9, n),
+    })
+    c1 = dataset_checksum(
+        rd.from_pandas(df, override_num_blocks=3), int_cols=["a", "b"]
+    )
+    # shuffled row order + different block count -> identical digest
+    c2 = dataset_checksum(
+        rd.from_pandas(df.sample(frac=1.0, random_state=3),
+                       override_num_blocks=9),
+        int_cols=["a", "b"],
+    )
+    assert c1.equals(c2)
+    assert c1["n_rows"][0].as_py() == n
+    # a single changed value changes the digest
+    df3 = df.copy(); df3.loc[17, "b"] += 1
+    c3 = dataset_checksum(
+        rd.from_pandas(df3, override_num_blocks=3), int_cols=["a", "b"]
+    )
+    assert c3["checksum"][0].as_py() != c1["checksum"][0].as_py()
+
+
+def test_token_incremental_dedup_brute(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from getml_community_ray.stages.tokens import token_incremental_dedup
+
+    rng = np.random.default_rng(13)
+    base_rows = [rng.integers(0, 50, rng.integers(4, 10)).astype(np.int32)
+                 for _ in range(60)]
+    # new: 20 novel + 15 verbatim copies of base rows
+    new_rows = [rng.integers(50, 99, rng.integers(4, 10)).astype(np.int32)
+                for _ in range(20)]
+    new_rows += [base_rows[i].copy() for i in range(15)]
+    base = pa.table({
+        "doc_key": pa.array(np.arange(60, dtype=np.int64)),
+        "tokens": pa.array([r.tolist() for r in base_rows],
+                           type=pa.list_(pa.int32())),
+    })
+    new = pa.table({
+        "doc_key": pa.array(np.arange(100, 100 + len(new_rows),
+                                      dtype=np.int64)),
+        "tokens": pa.array([r.tolist() for r in new_rows],
+                           type=pa.list_(pa.int32())),
+    })
+    out = token_incremental_dedup(
+        rd.from_arrow(new).repartition(4), rd.from_arrow(base).repartition(3),
+        tokens_col="tokens", id_col="doc_key",
+    ).to_pandas()
+    base_set = {tuple(r.tolist()) for r in base_rows}
+    want = {100 + i for i, r in enumerate(new_rows)
+            if tuple(r.tolist()) not in base_set}
+    assert set(out["doc_key"]) == want
+    assert len(out) == 20  # all copies dropped, all novel kept
