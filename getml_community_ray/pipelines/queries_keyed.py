@@ -1537,3 +1537,53 @@ def _sql_checksum_events() -> str:
 
 KEYED_QUERIES["checksum_events"] = q_checksum_events
 KEYED_ORACLE_SQL["checksum_events"] = _sql_checksum_events()
+
+
+def q_weighted_quantiles_events(sf_dir: str):
+    """Exact weighted quantiles (stages/quantiles.weighted_exact_quantiles):
+    p50/p90/p99 of cents weighted by a deterministic integer weight —
+    multi-pass histogram refinement summing WEIGHTS per bucket, no sort,
+    all-integer rank arithmetic shared with the SQL twin."""
+    from ..stages.quantiles import weighted_exact_quantiles
+
+    def make_ds():
+        ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            eid = np.asarray(b["event_id"], dtype=np.int64)
+            return pa.table(
+                {
+                    "cents": pc.cast(
+                        pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                        pa.int64(),
+                    ),
+                    "wt": pa.array(eid % 7 + 1),
+                }
+            )
+
+        return ds.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    return weighted_exact_quantiles(
+        make_ds, value_col="cents", weight_col="wt", q_pcts=[50, 90, 99]
+    )
+
+
+SQL_WEIGHTED_QUANTILES = """
+WITH w AS (
+  SELECT CAST(ROUND(value * 100.0, 0) AS BIGINT) AS v,
+         event_id % 7 + 1 AS wt
+  FROM events),
+tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS W FROM w),
+cum AS (
+  SELECT v, SUM(wv) OVER (ORDER BY v) AS cw
+  FROM (SELECT v, SUM(wt) AS wv FROM w GROUP BY v)),
+qs AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(q))
+SELECT CAST(qs.q AS BIGINT) AS q_pct,
+       (SELECT MIN(v) FROM cum, tot
+        WHERE cw >= GREATEST(1, (qs.q * tot.W + 99) // 100)) AS value
+FROM qs
+"""
+
+KEYED_QUERIES["weighted_quantiles_events"] = q_weighted_quantiles_events
+KEYED_ORACLE_SQL["weighted_quantiles_events"] = SQL_WEIGHTED_QUANTILES

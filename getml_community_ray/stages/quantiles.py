@@ -318,3 +318,109 @@ def exact_ecdf(ds, *, value_col: str, keep_cols: list[str] | None = None):
 
     return ds.map_batches(annotate, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def weighted_exact_quantiles(
+    make_ds,
+    *,
+    value_col: str,
+    weight_col: str,
+    q_pcts: list[int],
+    n_buckets: int = 4096,
+):
+    """Exact WEIGHTED quantiles (importance-weighted percentiles): the
+    value at weighted rank ceil(q * W / 100) — i.e. the smallest v whose
+    cumulative weight reaches the target — with positive int64 weights.
+    Same multi-pass histogram refinement as `exact_quantiles`, but each
+    pass sums WEIGHTS per bucket (exact int64), so no sort and no float
+    accumulation anywhere. The corpus-curation use: percentiles of a
+    quality score weighted by token count."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    q_pcts = sorted(set(int(q) for q in q_pcts))
+    if not q_pcts or any(q < 0 or q > 100 for q in q_pcts):
+        raise ValueError("q_pcts must be integer percentages in [0, 100]")
+
+    stats = make_ds().aggregate(
+        Sum(weight_col, alias_name="w"),
+        Min(value_col, alias_name="mn"),
+        Max(value_col, alias_name="mx"),
+    )
+    W = int(stats["w"] or 0)
+    if W == 0:
+        return pa.table(
+            {"q_pct": pa.array([], type=pa.int64()),
+             "value": pa.array([], type=pa.int64())}
+        )
+    gmin, gmax = int(stats["mn"]), int(stats["mx"])
+
+    lo = np.full(len(q_pcts), gmin, dtype=np.int64)
+    hi = np.full(len(q_pcts), gmax, dtype=np.int64)
+    # weighted rank target in weight units, exact integer ceil
+    rank = np.array(
+        [max(1, (q * W + 99) // 100) for q in q_pcts], dtype=np.int64
+    )
+
+    while True:
+        active = np.flatnonzero(lo < hi)
+        if len(active) == 0:
+            break
+        a_lo, a_hi = lo[active].copy(), hi[active].copy()
+        width = np.maximum(1, -(-(a_hi - a_lo + 1) // n_buckets))
+
+        def hist(b: pa.Table, a_lo=a_lo, a_hi=a_hi, width=width) -> pa.Table:
+            v = np.asarray(b[value_col], dtype=np.int64)
+            w = np.asarray(b[weight_col], dtype=np.int64)
+            qs, bks, cts = [], [], []
+            for j in range(len(a_lo)):
+                m = (v >= a_lo[j]) & (v <= a_hi[j])
+                if not m.any():
+                    continue
+                bk = (v[m] - a_lo[j]) // width[j]
+                cnt = np.bincount(bk, weights=w[m]).astype(np.int64)
+                nz = np.flatnonzero(cnt)
+                qs.append(np.full(len(nz), j, dtype=np.int64))
+                bks.append(nz.astype(np.int64))
+                cts.append(cnt[nz])
+            if not qs:
+                return pa.table(
+                    {"qid": pa.array([], type=pa.int64()),
+                     "bucket": pa.array([], type=pa.int64()),
+                     "n": pa.array([], type=pa.int64())}
+                )
+            return pa.table(
+                {"qid": pa.array(np.concatenate(qs)),
+                 "bucket": pa.array(np.concatenate(bks)),
+                 "n": pa.array(np.concatenate(cts))}
+            )
+
+        rows = (
+            make_ds()
+            .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["qid", "bucket"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )
+        by_q: dict[int, list[tuple[int, int]]] = {}
+        for r in rows:
+            by_q.setdefault(int(r["qid"]), []).append(
+                (int(r["bucket"]), int(r["n"]))
+            )
+        for j in range(len(active)):
+            g = active[j]
+            pairs = sorted(by_q.get(j, []))
+            cum = 0
+            for bk, cnt in pairs:
+                if cum + cnt >= rank[g]:
+                    rank[g] -= cum
+                    lo[g] = a_lo[j] + bk * width[j]
+                    hi[g] = min(a_hi[j], a_lo[j] + (bk + 1) * width[j] - 1)
+                    break
+                cum += cnt
+            else:  # pragma: no cover - rank exceeds bracket population
+                raise AssertionError("weighted rank fell outside bracket")
+
+    return pa.table(
+        {"q_pct": pa.array(np.array(q_pcts, dtype=np.int64)),
+         "value": pa.array(lo)}
+    )

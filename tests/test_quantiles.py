@@ -228,3 +228,44 @@ def test_irate_and_delta_empty_blocks():
     assert len(out2) == 3
     assert out2["delta"].isna().sum() == 2  # first row of each key
     assert int(out2["delta"].dropna().iloc[0]) == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_exact_quantiles_brute():
+    import ray.data as rd
+
+    from getml_community_ray.stages.quantiles import weighted_exact_quantiles
+
+    rng = np.random.default_rng(21)
+    n = 5_000
+    v = rng.integers(-10_000, 10_000, n)
+    w = rng.integers(1, 9, n)
+    t = pa.table({"v": pa.array(v), "w": pa.array(w)})
+
+    def brute(qs):
+        order = np.argsort(v, kind="stable")
+        vs, ws = v[order], w[order]
+        cw = np.cumsum(ws)
+        W = int(cw[-1])
+        out = {}
+        for q in qs:
+            tgt = max(1, (q * W + 99) // 100)
+            out[q] = int(vs[np.searchsorted(cw, tgt)])
+        return out
+
+    for blocks in (1, 4, 9):
+        res = weighted_exact_quantiles(
+            lambda b=blocks: rd.from_arrow(t).repartition(b),
+            value_col="v", weight_col="w", q_pcts=[0, 25, 50, 90, 100],
+        ).to_pylist()
+        want = brute([0, 25, 50, 90, 100])
+        assert res == [
+            {"q_pct": q, "value": want[q]} for q in (0, 25, 50, 90, 100)
+        ], (blocks, res)
+
+    # forced multi-pass: huge value range with a tiny bucket grid
+    res2 = weighted_exact_quantiles(
+        lambda: rd.from_arrow(t), value_col="v", weight_col="w",
+        q_pcts=[50], n_buckets=8,
+    ).to_pylist()
+    assert res2[0]["value"] == brute([50])[50]
