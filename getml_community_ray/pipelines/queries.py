@@ -1328,9 +1328,9 @@ ORACLE_SQL.update(KEYED_ORACLE_SQL)
 # them; SELFCHECK_r4.json is the committed full-suite artifact).
 _DRIVER_WINDOW = [
     # sources / sinks / scalar functions
-    "csv_roundtrip_supplier",
+    "csv_dialect_sniff_supplier",
     "from_items_join_orders",
-    "from_db_sqlite_orders",
+    "from_db_postgres_orders",
     "column_aggregates_lineitem",
     "float_funcs_lineitem",
     # tier cascade + retention + checkpointed re-rollup + router + quantiles
@@ -1353,7 +1353,7 @@ _DRIVER_WINDOW = [
     "decontaminate_documents",
     "sequence_packing_documents",
     "mixture_sample_documents",
-    "sample_per_key_events",
+    "stratified_sample_events",
     # similarity / embeddings
     "similarity_topk",
     "centroids_embeddings",
@@ -1377,8 +1377,8 @@ _DRIVER_WINDOW = [
     "compaction_roundtrip_events",
     # sketches + hopping windows + sessions + counters
     "hll_registers_events",
-    "histogram_quantiles_events",
-    "hopping_distinct_events",
+    "weighted_quantiles_events",
+    "checksum_events",
     "sessionize_events",
     "counter_increase_events",
     # token payload family
@@ -1386,7 +1386,7 @@ _DRIVER_WINDOW = [
     "token_exact_dedup_sequences",
     "token_histogram_sequences",
     "token_mask_sequences",
-    "token_span_corrupt_sequences",
+    "token_incremental_dedup_sequences",
     "token_rarity_sequences",
     # multimodal plumbing
     "multimodal_features_documents",
