@@ -787,3 +787,79 @@ FROM d
 
 SERIES_QUERIES["counter_increase_events"] = q_counter_increase_events
 SERIES_ORACLE_SQL["counter_increase_events"] = SQL_COUNTER_INCREASE
+
+
+def q_interval_overlap_events(sf_dir: str):
+    """Interval-interval overlap join (stages/rangejoin.
+    interval_overlap_join): per user, 'view' activity windows
+    [ts, ts+20min) overlap-joined to 'purchase' windows — the
+    attribution-style temporal join beside as-of (point-to-latest) and
+    range (point-in-interval). Pairs aggregate to (user_id, n_pairs)."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count
+
+    from ..stages.rangejoin import interval_overlap_join
+
+    W = 1_200_000_000  # 20 min in us
+
+    def side(sf, etype, idname):
+        ds = _read(sf, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+
+        def f(b: pa.Table) -> pa.Table:
+            keep = _pc.equal(b["event_type"], etype)
+            t = b.filter(keep)
+            tsus = t["ts"].cast(pa.int64())
+            return pa.table(
+                {
+                    idname: t["event_id"],
+                    "user_id": t["user_id"],
+                    "s": tsus.cast(pa.timestamp("us")),
+                    "e": _pc.add(tsus, W).cast(pa.timestamp("us")),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    pairs = interval_overlap_join(
+        side(sf_dir, "view", "id_a"),
+        side(sf_dir, "purchase", "id_b"),
+        on="user_id",
+        left_start="s", left_end="e", right_start="s", right_end="e",
+        left_cols=["id_a"], right_cols=["id_b"],
+        max_interval_s=1200.0,
+    )
+    agg = pairs.groupby("user_id").aggregate(Count(alias_name="n_pairs"))
+    from ..stages.blocks import norm_empty_blocks
+
+    agg = norm_empty_blocks(
+        agg, [("user_id", pa.int64()), ("n_pairs", pa.int64())]
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "n_pairs": b["n_pairs"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH l AS (
+  SELECT event_id AS id_a, user_id,
+         epoch_us(ts) AS s_a, epoch_us(ts) + 1200000000 AS e_a
+  FROM events WHERE event_type = 'view'),
+r AS (
+  SELECT event_id AS id_b, user_id,
+         epoch_us(ts) AS s_b, epoch_us(ts) + 1200000000 AS e_b
+  FROM events WHERE event_type = 'purchase')
+SELECT l.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM l JOIN r ON l.user_id = r.user_id
+             AND l.s_a < r.e_b AND r.s_b < l.e_a
+GROUP BY 1
+"""
+
+SERIES_QUERIES["interval_overlap_events"] = q_interval_overlap_events
+SERIES_ORACLE_SQL["interval_overlap_events"] = SQL_INTERVAL_OVERLAP

@@ -247,3 +247,57 @@ def test_asof_time_bucket_split_equality(ray_session):
         asof_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
                   left_ts="ts", right_ts="ts", value_cols=["v"],
                   id_cols=["lid"], time_bucket_s=2.0, num_partitions=4)
+
+
+def test_interval_overlap_join_brute(ray_session):
+    """Brute-force oracle for the interval-interval overlap join:
+    half-open overlap, exactly-once pairs, multi-bucket spans, partition
+    invariance."""
+    import pandas as pd
+    import ray.data as rd
+
+    from getml_community_ray.stages.rangejoin import interval_overlap_join
+
+    rng = np.random.default_rng(31)
+    nl, nr = 400, 300
+    DAY = 86_400_000_000
+
+    def mk(n, tag):
+        s = rng.integers(0, DAY, n)
+        ln = rng.integers(1, 3_600_000_000, n)  # up to 1h
+        return pd.DataFrame({
+            f"id_{tag}": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 6, n),
+            "s": s.astype("datetime64[us]"),
+            "e": (s + ln).astype("datetime64[us]"),
+        })
+
+    L, R = mk(nl, "a"), mk(nr, "b")
+    out = interval_overlap_join(
+        rd.from_pandas(L, override_num_blocks=5),
+        rd.from_pandas(R, override_num_blocks=3),
+        on="k", left_start="s", left_end="e", right_start="s",
+        right_end="e", left_cols=["id_a"], right_cols=["id_b"],
+        max_interval_s=3600.0, bucket_s=1800.0, num_partitions=4,
+    ).to_pandas()
+
+    ls, le = L["s"].astype("int64"), L["e"].astype("int64")
+    rs, re = R["s"].astype("int64"), R["e"].astype("int64")
+    want = set()
+    for i in range(nl):
+        for j in range(nr):
+            if (L["k"][i] == R["k"][j] and ls[i] < re[j] and rs[j] < le[i]):
+                want.add((i, j))
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == want
+    assert len(out) == len(want)  # exactly-once, no dup pairs
+
+    # partition invariance
+    out2 = interval_overlap_join(
+        rd.from_pandas(L, override_num_blocks=2),
+        rd.from_pandas(R, override_num_blocks=7),
+        on="k", left_start="s", left_end="e", right_start="s",
+        right_end="e", left_cols=["id_a"], right_cols=["id_b"],
+        max_interval_s=3600.0, bucket_s=600.0, num_partitions=9,
+    ).to_pandas()
+    assert set(zip(out2["id_a"], out2["id_b"])) == want
