@@ -523,11 +523,14 @@ def q_similarity_topk(sf_dir: str):
 
     import pyarrow.parquet as pq
 
+    # Predicate pushed into the read: only row groups containing vec_id < 5
+    # are decoded, so the driver never materializes the sf-scaled table
+    # (r4 verdict item 5).
     qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
     )
-    mask = pc.less(qt["vec_id"], 5)
-    qt = qt.filter(mask)
     qids = np.asarray(qt["vec_id"], dtype=np.int64)
     Q = np.stack(
         [np.asarray(x, dtype=np.float64) for x in qt["embedding"].to_pylist()]

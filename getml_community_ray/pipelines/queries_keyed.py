@@ -58,8 +58,8 @@ WITH e AS (
   FROM events
 )
 SELECT event_id, user_id, ts, cents,
-       SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS cum_cents,
+       CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS cum_cents,
        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS row_number,
        RANK() OVER (PARTITION BY user_id ORDER BY ts) AS rank,
@@ -143,7 +143,8 @@ WITH iv AS (
   FROM iv
 )
 SELECT user_id,
-       SUM(GREATEST(e - GREATEST(s, COALESCE(pmax, s)), 0)) AS covered,
+       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pmax, s)), 0)) AS BIGINT)
+           AS covered,
        COUNT(*) AS n_intervals
 FROM w
 GROUP BY user_id
@@ -398,20 +399,21 @@ WITH e AS (
   FROM events
 ), w AS (
   SELECT user_id, ts, event_id,
-         SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS pre,
+         CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS pre,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
              AS i,
-         SUM(cents) OVER (PARTITION BY user_id) AS tot,
+         CAST(SUM(cents) OVER (PARTITION BY user_id) AS BIGINT) AS tot,
          COUNT(*) OVER (PARTITION BY user_id) AS n
   FROM e
 )
-SELECT user_id, n AS n_rows, ABS(n * pre - i * tot) AS cusum_stat,
+SELECT user_id, n AS n_rows,
+       CAST(ABS(n * pre - i * tot) AS BIGINT) AS cusum_stat,
        i AS cp_i, ts AS cp_ts
 FROM w
 QUALIFY ROW_NUMBER() OVER (
     PARTITION BY user_id
-    ORDER BY ABS(n * pre - i * tot) DESC, ts, event_id) = 1
+    ORDER BY CAST(ABS(n * pre - i * tot) AS BIGINT) DESC, ts, event_id) = 1
 ORDER BY user_id
 """
 

@@ -61,7 +61,20 @@ def sniff_csv(
             best, best_score = d, score
     delim = best
 
-    quote = '"' if any('"' in ln for ln in lines) else '"'
+    # quote char: probe the candidates (" then ') — a char is the quoting
+    # char when it opens a field (line start or right after the delimiter)
+    # and occurs an even number of times per line where it appears at all.
+    quote = '"'
+    for cand in ('"', "'"):
+        opens = sum(
+            1
+            for ln in lines
+            if ln.startswith(cand) or (delim + cand) in ln
+        )
+        balanced = all(ln.count(cand) % 2 == 0 for ln in lines)
+        if opens and balanced:
+            quote = cand
+            break
 
     def split(ln: str) -> list[str]:
         # quote-aware split, good enough for sniffing (pyarrow does the
@@ -158,7 +171,14 @@ def read_csv_dialect(
         escape_char=escape_char if escape_char is not None else False,
         double_quote=True,
     )
-    read_names = None if has_header else (column_names or [])
+    if not has_header and not column_names:
+        # Omitting ReadOptions here would make pyarrow silently consume the
+        # first data row as a header — fail loudly instead.
+        raise ValueError(
+            "read_csv_dialect: has_header=False requires column_names "
+            "(sniff first, or pass them explicitly)"
+        )
+    read_names = None if has_header else column_names
     read = pacsv.ReadOptions(column_names=read_names) if read_names else None
     convert = pacsv.ConvertOptions(
         column_types=column_types or {},

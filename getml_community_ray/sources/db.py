@@ -22,7 +22,26 @@ Scale design:
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+
+def _check_ident(name: str, what: str = "identifier") -> str:
+    """Validate an identifier before f-string interpolation into SQL.
+
+    Table/column names arrive as code-level arguments, but a caller
+    passing untrusted input through would otherwise get SQL injection, and
+    exotic identifiers (spaces, quotes, reserved words) would break
+    unquoted. Dotted schema-qualified names are allowed."""
+    if not isinstance(name, str) or not _IDENT.match(name):
+        raise ValueError(
+            f"{what} {name!r} is not a valid SQL identifier "
+            "([A-Za-z_][A-Za-z0-9_.]*)"
+        )
+    return name
 
 
 def _sqlite_to_arrow(rows: list[tuple], description) -> pa.Table:
@@ -75,6 +94,9 @@ def read_sqlite_table(
 
     import ray.data as rd
 
+    _check_ident(table, "table")
+    for c in columns or []:
+        _check_ident(c, "column")
     con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
     try:
         lo, hi = con.execute(f"SELECT MIN(rowid), MAX(rowid) FROM {table}").fetchone()
@@ -130,6 +152,10 @@ def read_db_table(
     (primary key / serial): two tiny MIN/MAX queries plan the ranges."""
     import ray.data as rd
 
+    _check_ident(table, "table")
+    _check_ident(key_col, "key_col")
+    for c in columns or []:
+        _check_ident(c, "column")
     con = connect_fn()
     try:
         cur = con.cursor()
@@ -278,6 +304,8 @@ def write_sqlite_table(ds, db_path: str, table: str, *, if_exists: str = "replac
     of completion — unordered appends, like any bulk load."""
     import ray
 
+    _check_ident(table, "table")
+
     @ray.remote(num_cpus=0)
     class Writer:
         def __init__(self):
@@ -313,6 +341,8 @@ def write_sqlite_table(ds, db_path: str, table: str, *, if_exists: str = "replac
 def write_duckdb_table(ds, db_path: str, table: str, *, if_exists: str = "replace"):
     """Same contract against a duckdb file (native Arrow ingest)."""
     import duckdb
+
+    _check_ident(table, "table")
 
     import ray
 

@@ -285,13 +285,17 @@ def deterministic_shuffle(
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    if num_shards & (num_shards - 1):
+    if num_shards < 1 or num_shards & (num_shards - 1):
         raise ValueError("num_shards must be a power of two")
+    # num_shards=1 would need shift=64, which is undefined for numpy uint64
+    # (x86 shifts mod 64) — short-circuit to shard 0 instead.
     shift = np.uint64(64 - int(num_shards).bit_length() + 1)
     seed_u = np.uint64(seed)
 
     def _hashes(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         h = splitmix64(ids.astype(np.uint64) + seed_u)
+        if num_shards == 1:
+            return h, np.zeros(len(h), dtype=np.int64)
         return h, (h >> shift).astype(np.int64)
 
     def count_shards(b: pa.Table) -> pa.Table:

@@ -377,7 +377,10 @@ def weighted_exact_quantiles(
                 if not m.any():
                     continue
                 bk = (v[m] - a_lo[j]) // width[j]
-                cnt = np.bincount(bk, weights=w[m]).astype(np.int64)
+                # all-integer accumulation (np.bincount(weights=...) sums in
+                # float64 and would lose exactness above 2^53)
+                cnt = np.zeros(int(bk.max()) + 1, dtype=np.int64)
+                np.add.at(cnt, bk, w[m])
                 nz = np.flatnonzero(cnt)
                 qs.append(np.full(len(nz), j, dtype=np.int64))
                 bks.append(nz.astype(np.int64))

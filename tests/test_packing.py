@@ -286,6 +286,21 @@ def test_deterministic_shuffle(ray_session):
     a = out.sort_values("id").reset_index(drop=True)
     assert (a["shuffle_pos"].to_numpy() == out2["shuffle_pos"].to_numpy()).all()
 
+    # num_shards=1 (ADVICE r4: shift=64 is UB on uint64 — special-cased):
+    # single shard must yield the identical global permutation
+    out1 = deterministic_shuffle(
+        rd.from_pandas(df, override_num_blocks=3), id_col="id", seed=11,
+        num_shards=1,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert (a["shuffle_pos"].to_numpy() == out1["shuffle_pos"].to_numpy()).all()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="power of two"):
+        deterministic_shuffle(
+            rd.from_pandas(df), id_col="id", seed=11, num_shards=0,
+        )
+
 
 def test_exact_ecdf(ray_session):
     import ray.data as rd

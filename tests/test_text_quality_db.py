@@ -241,6 +241,39 @@ def test_csv_sniffer_dialects(ray_session, tmp_path):
     d3 = sniff_csv(str(p3))
     assert d3["delimiter"] == "," and d3["has_header"]
     assert d3["column_names"] == ["id", "desc"]
+    assert d3["quote_char"] == '"'
+
+    # single-quote dialect actually detected (ADVICE r4: probe was dead code)
+    p4 = tmp_path / "d.csv"
+    p4.write_text("id,desc\n1,'a,b'\n2,'c,d'\n")
+    d4 = sniff_csv(str(p4))
+    assert d4["quote_char"] == "'"
+    assert d4["column_names"] == ["id", "desc"]
+
+
+def test_read_csv_dialect_headerless_requires_names(tmp_path):
+    """ADVICE r4: has_header=False without column_names used to silently
+    consume the first data row as a header — must raise instead."""
+    import pytest
+
+    from getml_community_ray.sources.csv import read_csv_dialect
+
+    p = tmp_path / "h.csv"
+    p.write_text("1,2\n3,4\n")
+    with pytest.raises(ValueError, match="column_names"):
+        read_csv_dialect(str(p), has_header=False)
+
+
+def test_db_identifier_validation(tmp_path):
+    """ADVICE r4: identifiers are validated before SQL interpolation."""
+    import pytest
+
+    from getml_community_ray.sources.db import read_sqlite_table
+
+    with pytest.raises(ValueError, match="identifier"):
+        read_sqlite_table(str(tmp_path / "x.db"), "t; DROP TABLE users")
+    with pytest.raises(ValueError, match="identifier"):
+        read_sqlite_table(str(tmp_path / "x.db"), "t", columns=["a", "b c"])
 
 
 def test_duckdb_roundtrip(ray_session, tmp_path):

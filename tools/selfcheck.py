@@ -41,6 +41,24 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _dtype_class(dt) -> str:
+    """Normalize a pandas dtype into the classes the driver's value-hash
+    distinguishes. int64-vs-float64 hash-mismatches even when values are
+    numerically equal (r4 verdict item 2: uncast HUGEINT oracle columns
+    surfaced as float64 and went red despite exact values)."""
+    s = str(dt)
+    k = getattr(dt, "kind", "")
+    if k in ("i", "u"):
+        return "int64"
+    if k == "f":
+        return "float64"
+    if k == "b":
+        return "bool"
+    if s.startswith("datetime64"):
+        return "timestamp"
+    return "object"
+
+
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(ray_df.columns) != sorted(sql_df.columns):
@@ -50,6 +68,12 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
         problems.append(f"row count: ray={len(ray_df)} sql={len(sql_df)}")
         return problems
     a, b = normalize(ray_df), normalize(sql_df)
+    for c in a.columns:
+        da, db = _dtype_class(a[c].dtype), _dtype_class(b[c].dtype)
+        # Empty object columns (all-NULL oracle output) are indistinguishable
+        # from typed ones after to_pandas; only flag when both sides have rows.
+        if da != db and len(a):
+            problems.append(f"col {c}: dtype class differs: ray={da} ({a[c].dtype}) sql={db} ({b[c].dtype})")
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if av.dtype.kind == "f":
