@@ -1321,78 +1321,68 @@ ORACLE_SQL.update(KEYED_ORACLE_SQL)
 # --------------------------------------------------------------------------
 # Driver gate window ordering
 # --------------------------------------------------------------------------
-# The correctness driver samples the FIRST 50 entries of QUERIES. Rounds
-# 1-3 validated 62 of the 154 registered queries; this round the window is
-# reordered so every operator family — including the keyed-window, token
-# analytics, as-of/range join, sketch, packing, IO and gap-fill/codec/
-# compaction families that have never appeared in a CORRECTNESS_r*.json —
-# gets a driver-checked representative. Previously-green queries follow in
-# their original relative order (tools/selfcheck.py still covers all of
-# them; SELFCHECK_r4.json is the committed full-suite artifact).
+# The correctness driver samples the FIRST 50 entries of QUERIES. By round
+# 4 every operator family had at least one driver-green row but 60 of the
+# 163 registered queries had never been sampled; this round (r5, per the
+# r4 verdict item 3) the window rotates WITHIN-family representatives so
+# driver coverage accumulates: 18 anchors stay (bench-pinned lanes, the
+# r5-fixed HUGEINT twins, and queries whose code was touched this round)
+# and 32 never-before-sampled queries rotate in. tools/selfcheck.py still
+# covers all 163; SELFCHECK_r5.json is the committed full-suite artifact.
 _DRIVER_WINDOW = [
-    # sources / sinks / scalar functions
+    # anchors: bench-pinned + fixed/touched this round
     "csv_dialect_sniff_supplier",
-    "from_items_join_orders",
     "from_db_postgres_orders",
-    "column_aggregates_lineitem",
-    "float_funcs_lineitem",
-    # tier cascade + retention + checkpointed re-rollup + router + quantiles
     "rollup_1d_cascade",
     "rollup_sequences_full",
-    "rollup_retention_events",
     "late_rerollup_events",
     "tier_router_events",
-    "grouped_quantiles_events",
-    # fastprop / self-join windows
     "fastprop_self_events",
     "window_600s_user",
-    # joins
     "join_orders_customer_nation",
-    "semi_join_lineitem",
-    # document dedup + text quality + packing
     "near_dedup_clusters_documents",
-    "gopher_quality_documents",
-    "tfidf_documents",
-    "decontaminate_documents",
-    "sequence_packing_documents",
-    "mixture_sample_documents",
-    "stratified_sample_events",
-    # similarity / embeddings
     "similarity_topk",
-    "centroids_embeddings",
-    # preprocessors / predictors
-    "email_domain_customer",
     "gbm_lineitem_price",
-    # keyed window family
     "window_funcs_events",
-    "latest_by_key_events",
-    "ohlc_daily_events",
     "cusum_changepoint_events",
-    "funnel_events",
-    "enrich_asof_tier_events",
-    # as-of / range / rolling windows
-    "asof_join_events",
-    "range_join_events",
-    "rolling_rows_events",
-    # gap-fill / codec / compaction
-    "gapfill_hourly_events",
     "codec_roundtrip_events",
-    "compaction_roundtrip_events",
-    # sketches + hopping windows + sessions + counters
-    "hll_registers_events",
     "weighted_quantiles_events",
-    "checksum_events",
-    "sessionize_events",
-    "counter_increase_events",
-    # token payload family
     "token_near_dedup_sequences",
-    "token_exact_dedup_sequences",
-    "token_histogram_sequences",
-    "token_mask_sequences",
-    "token_incremental_dedup_sequences",
-    "token_rarity_sequences",
-    # multimodal plumbing
     "multimodal_features_documents",
+    # r5-fixed third HUGEINT twin + r4 ops never driver-sampled
+    "interval_coverage_events",
+    "interval_overlap_events",
+    "shuffle_events",
+    "ecdf_events",
+    # within-family rotations (never sampled by any driver round)
+    "asof_tolerance_events",
+    "token_pmi_sequences",
+    "token_dup_windows_sequences",
+    "token_span_corrupt_sequences",
+    "token_context_diversity_sequences",
+    "token_decontaminate_sequences",
+    "hopping_window_events",
+    "cms_counters_events",
+    "topk_per_user_events",
+    "sample_per_key_events",
+    "pivot_events",
+    "melt_lineitem",
+    "grouping_sets_events",
+    "time_weighted_avg_events",
+    "zscore_anomaly_events",
+    "mad_anomaly_events",
+    "acf_events",
+    "xcorr_events",
+    "sax_events",
+    "lttb_events",
+    "cohort_retention_events",
+    "threshold_episodes_events",
+    "transition_counts_events",
+    "irate_events",
+    "align_series_events",
+    "c4_line_filter_documents",
+    "simhash_candidates_documents",
+    "quantize_embeddings_int8",
 ]
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
