@@ -122,6 +122,17 @@ class Manifest:
         os.replace(tmp, self.path)
 
 
+def _maybe_crash_after_commit(n_committed: int) -> None:
+    """Fault-injection hook for the kill-and-resume drill
+    (tools/resume_e2e.py): when GRAFT_CRASH_AFTER_COMMITS=N is set, the
+    driver hard-exits (SIGKILL-equivalent, no cleanup) once N partitions
+    have been committed to the manifest — a deterministic stand-in for a
+    preempted driver with a partial manifest on disk."""
+    limit = os.environ.get("GRAFT_CRASH_AFTER_COMMITS")
+    if limit and n_committed >= int(limit):
+        os._exit(137)
+
+
 def checkpointed_rollup(
     input_dir: str,
     out_dir: str,
@@ -238,23 +249,33 @@ def checkpointed_rollup(
             }
         )
 
-    metrics = (
+    metrics_ds = (
         staged.map_batches(keep_pending, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_part")
         .map_groups(run_partition, batch_format="pyarrow")
-        .to_pandas()
     )
-    recs = [
-        PartitionRecord(
-            partition=int(r.partition),
-            lineage_id=r.lineage_id,
-            rows_in=int(r.rows_in),
-            rows_out=int(r.rows_out),
-            wall_time_s=float(r.wall_time_s),
-            file=r.file,
-        )
-        for r in metrics.itertuples()
-    ]
+    # Stream the metrics and commit the manifest INCREMENTALLY: each
+    # partition's data file is already on disk (atomic replace inside
+    # run_partition) when its metrics row reaches the driver, so recording
+    # it immediately means a driver killed mid-run resumes by skipping
+    # every partition that completed — not by recomputing the whole job.
+    recs: list[PartitionRecord] = []
+    for mb in metrics_ds.iter_batches(batch_size=None, batch_format="pandas"):
+        batch_recs = [
+            PartitionRecord(
+                partition=int(r.partition),
+                lineage_id=r.lineage_id,
+                rows_in=int(r.rows_in),
+                rows_out=int(r.rows_out),
+                wall_time_s=float(r.wall_time_s),
+                file=r.file,
+            )
+            for r in mb.itertuples()
+        ]
+        if batch_recs:
+            manifest.update(batch_recs)
+            recs.extend(batch_recs)
+            _maybe_crash_after_commit(len(recs))
     # hash holes: pending partitions that received no rows are complete too
     seen = {r.partition for r in recs}
     for part in pending:
@@ -484,7 +505,7 @@ def checkpointed_rollup_timerange(
             }
         )
 
-    metrics = (
+    metrics_ds = (
         ds.map_batches(
             stage_batches, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=cfg.combine_batch_size,
@@ -492,19 +513,26 @@ def checkpointed_rollup_timerange(
         .map_batches(keep_pending, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_part")
         .map_groups(run_partition, batch_format="pyarrow")
-        .to_pandas()
     )
-    recs = [
-        PartitionRecord(
-            partition=int(r.partition),
-            lineage_id=r.lineage_id,
-            rows_in=int(r.rows_in),
-            rows_out=int(r.rows_out),
-            wall_time_s=float(r.wall_time_s),
-            file=r.file,
-        )
-        for r in metrics.itertuples()
-    ]
+    # incremental manifest commit (see checkpointed_rollup): a killed
+    # driver resumes by skipping completed partitions
+    recs: list[PartitionRecord] = []
+    for mb in metrics_ds.iter_batches(batch_size=None, batch_format="pandas"):
+        batch_recs = [
+            PartitionRecord(
+                partition=int(r.partition),
+                lineage_id=r.lineage_id,
+                rows_in=int(r.rows_in),
+                rows_out=int(r.rows_out),
+                wall_time_s=float(r.wall_time_s),
+                file=r.file,
+            )
+            for r in mb.itertuples()
+        ]
+        if batch_recs:
+            manifest.update(batch_recs)
+            recs.extend(batch_recs)
+            _maybe_crash_after_commit(len(recs))
     seen = {r.partition for r in recs}
     for part in pending:
         if part not in seen:
