@@ -1342,7 +1342,7 @@ _DRIVER_WINDOW = [
     "join_orders_customer_nation",
     "near_dedup_clusters_documents",
     "similarity_topk",
-    "gbm_lineitem_price",
+    "heavy_hitters_events",
     "window_funcs_events",
     "cusum_changepoint_events",
     "codec_roundtrip_events",

@@ -1065,6 +1065,35 @@ def _sql_cms_counters() -> str:
 
 
 CORPUS_QUERIES["cms_counters_events"] = q_cms_counters
+
+
+def q_heavy_hitters(sf_dir: str):
+    """phi-heavy hitters over event user_ids: keys with frequency > n/k
+    (k=150) and their EXACT counts (stages/groupby.heavy_hitters) — the
+    candidate-bounded Misra-Gries two-pass, never a full-distinct
+    groupby. Exchange is O(k x batches) + O(candidates)."""
+    import ray.data as rd
+
+    from ..stages.groupby import heavy_hitters
+
+    def make():
+        return rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+
+    return heavy_hitters(make, key_col="user_id", k=150)
+
+
+SQL_HEAVY_HITTERS = """
+WITH tot AS (SELECT COUNT(*) AS t FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM events, tot
+GROUP BY user_id, tot.t
+HAVING COUNT(*) * 150 > tot.t
+ORDER BY user_id
+"""
+
+CORPUS_QUERIES["heavy_hitters_events"] = q_heavy_hitters
+CORPUS_ORACLE_SQL["heavy_hitters_events"] = SQL_HEAVY_HITTERS
 CORPUS_ORACLE_SQL["cms_counters_events"] = _sql_cms_counters()
 
 

@@ -431,6 +431,105 @@ def grouped_topk(ds, *, key_col: str, value_col: str, id_col: str, k: int):
     )
 
 
+def heavy_hitters(make_ds, *, key_col: str, k: int):
+    """Keys with global frequency STRICTLY greater than n/k, with EXACT
+    counts — the phi-heavy-hitter primitive (reference exposes only full
+    group counts; at 100 TB a groupby over all distinct keys to find the
+    few heavy ones is the wrong exchange).
+
+    Candidate-bounded two-pass shape (Misra-Gries pigeonhole):
+
+    1. per-batch EXACT counts (np.unique inside the batch) emit only keys
+       with count_b * k > n_b. If count(x) > n/k globally, some batch has
+       count_b(x)/n_b > 1/k (pigeonhole), so the union of batch summaries
+       is a SUPERSET of the true heavy hitters; each batch contributes
+       < k rows, so the exchange is O(k x num_batches), never the rows.
+    2. the deduped candidate set (driver state, < k x num_batches keys)
+       is broadcast via ray.put; one more streaming pass counts ONLY
+       candidate keys exactly (np.isin screen, combiner partials, one
+       candidate-sized groupby-sum), and count * k > n filters the final
+       answer.
+
+    `make_ds` is a zero-arg callable returning the input Dataset (two
+    passes — a Dataset can't be iterated twice). Returns (key, n) sorted
+    by key. Deterministic at any partitioning/batching."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def batch_heavy(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b[key_col])
+        n_b = len(keys)
+        if n_b == 0:
+            return pa.table({key_col: pa.array([], type=b[key_col].type)})
+        uniq, cnt = np.unique(keys, return_counts=True)
+        keep = cnt * k > n_b
+        return pa.table({key_col: pa.array(uniq[keep], type=b[key_col].type)})
+
+    cand_tbl = (
+        make_ds()
+        .select_columns([key_col])
+        .map_batches(batch_heavy, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=65536)
+        .groupby(key_col)
+        .count()
+        .select_columns([key_col])
+        .to_pandas()  # candidate-sized driver state (< k x num_batches)
+    )
+    n_total = make_ds().count()
+    if len(cand_tbl) == 0 or key_col not in cand_tbl.columns:
+        # a zero-row groupby output arrives with no columns at all — take
+        # the key type from the input schema instead
+        sch = make_ds().schema()
+        ktype = dict(zip(sch.names, sch.types))[key_col]
+        return rd.from_arrow(pa.table({
+            key_col: pa.array([], type=ktype),
+            "n": pa.array([], type=pa.int64()),
+        }))
+    cand = np.sort(cand_tbl[key_col].to_numpy())
+    cand_ref = ray.put(cand)
+
+    def count_candidates(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b[key_col])
+        c = ray.get(cand_ref)
+        keys = keys[np.isin(keys, c)]
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pa.table({
+            key_col: pa.array(uniq, type=b[key_col].type),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    counted = (
+        make_ds()
+        .select_columns([key_col])
+        .map_batches(count_candidates, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=65536)
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    # By definition at most k-1 keys can exceed n/k, so the confirmed
+    # result is O(k): assemble it driver-side with an explicit schema
+    # (an all-filtered empty Dataset would otherwise lose its columns).
+    key_type = None
+    parts = []
+    for b in counted.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        key_type = key_type or b[key_col].type
+        n = np.asarray(b["n"], dtype=np.int64)
+        parts.append(b.filter(pa.array(n * k > n_total)))
+    schema = pa.schema([(key_col, key_type or pa.int64()),
+                        ("n", pa.int64())])
+    parts = [p.cast(schema) for p in parts if p.num_rows]
+    if not parts:
+        return rd.from_arrow(schema.empty_table())
+    final = pa.concat_tables(parts)
+    order = np.argsort(np.asarray(final[key_col]), kind="stable")
+    return rd.from_arrow(final.take(pa.array(order)))
+
+
 def pivot_counts(ds, *, key_col: str, cat_col: str, categories: list[str]):
     """Pivot a categorical column to wide per-key count columns
     (`c_<category>`), plus `c_other` for values outside the list — the

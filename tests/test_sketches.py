@@ -194,3 +194,38 @@ def test_grouped_histogram_quantiles_vs_duckdb(ray_session):
             exact = v[max(0, int(np.ceil(q * len(v))) - 1)]
             est = got[(got["grp"] == g) & (got["q"] == q)]["q_est"].iloc[0]
             assert abs(est - exact) <= width + 1e-9, (g, q)
+
+
+def test_heavy_hitters_exact_and_partition_invariant(ray_session):
+    """phi-heavy hitters: exact counts, strict > n/k threshold, identical
+    at different partitionings, empty result keeps its schema."""
+    import pandas as pd
+    import ray.data as rd
+
+    from getml_community_ray.stages.groupby import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # Zipf-ish skew: a few keys dominate
+    keys = rng.zipf(1.5, size=20_000).astype(np.int64) % 500
+    df = pd.DataFrame({"k": keys})
+    vc = df["k"].value_counts()
+    k_param = 50
+    want = sorted(vc[vc * k_param > len(df)].index.tolist())
+
+    for blocks in (3, 11):
+        out = heavy_hitters(
+            lambda: rd.from_pandas(df, override_num_blocks=blocks),
+            key_col="k", k=k_param,
+        ).to_pandas()
+        assert out["k"].tolist() == want
+        got_counts = dict(zip(out["k"], out["n"]))
+        assert got_counts == {int(x): int(vc[x]) for x in want}
+
+    # empty result keeps the (key, n) schema (ds.schema(); note
+    # Dataset.to_pandas drops columns for any 0-row dataset)
+    empty = heavy_hitters(
+        lambda: rd.from_pandas(pd.DataFrame({"k": np.arange(100, dtype=np.int64)})),
+        key_col="k", k=5,
+    )
+    sch = empty.schema()
+    assert sch.names == ["k", "n"] and empty.count() == 0
