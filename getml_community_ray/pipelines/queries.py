@@ -1327,8 +1327,9 @@ ORACLE_SQL.update(KEYED_ORACLE_SQL)
 # r4 verdict item 3) the window rotates WITHIN-family representatives so
 # driver coverage accumulates: 18 anchors stay (bench-pinned lanes, the
 # r5-fixed HUGEINT twins, and queries whose code was touched this round)
-# and 32 never-before-sampled queries rotate in. tools/selfcheck.py still
-# covers all 163; SELFCHECK_r5.json is the committed full-suite artifact.
+# and 33 never-before-sampled queries rotate in (32 rotations plus the new
+# heavy_hitters_events). tools/selfcheck.py still covers all 164;
+# SELFCHECK_r5.json is the committed full-suite artifact.
 _DRIVER_WINDOW = [
     # anchors: bench-pinned + fixed/touched this round
     "csv_dialect_sniff_supplier",

@@ -61,18 +61,24 @@ def sniff_csv(
             best, best_score = d, score
     delim = best
 
-    # quote char: probe the candidates (" then ') — a char is the quoting
-    # char when it opens a field (line start or right after the delimiter)
-    # and occurs an even number of times per line where it appears at all.
+    # quote char: probe the candidates (" then ') — a char counts as the
+    # quoting char only when some FIELD is fully bounded by it (opens right
+    # after a delimiter/line start AND closes right before the next
+    # delimiter/line end) and every line's count is even. The field-bounded
+    # rule rejects incidental apostrophes in unquoted data ("1,'Lil' Bob"
+    # pairs up but never bounds a whole field).
+    import re as _re
+
     quote = '"'
+    d_esc = _re.escape(delim)
     for cand in ('"', "'"):
-        opens = sum(
-            1
-            for ln in lines
-            if ln.startswith(cand) or (delim + cand) in ln
+        c_esc = _re.escape(cand)
+        field_bounded = _re.compile(
+            f"(?:^|{d_esc}){c_esc}[^{c_esc}]*{c_esc}(?:{d_esc}|$)"
         )
+        bounded = any(field_bounded.search(ln) for ln in lines)
         balanced = all(ln.count(cand) % 2 == 0 for ln in lines)
-        if opens and balanced:
+        if bounded and balanced:
             quote = cand
             break
 

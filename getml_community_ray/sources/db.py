@@ -26,7 +26,7 @@ import re
 
 import pyarrow as pa
 
-_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*\Z")
 
 
 def _check_ident(name: str, what: str = "identifier") -> str:
@@ -36,10 +36,10 @@ def _check_ident(name: str, what: str = "identifier") -> str:
     passing untrusted input through would otherwise get SQL injection, and
     exotic identifiers (spaces, quotes, reserved words) would break
     unquoted. Dotted schema-qualified names are allowed."""
-    if not isinstance(name, str) or not _IDENT.match(name):
+    if not isinstance(name, str) or not _IDENT.fullmatch(name):
         raise ValueError(
             f"{what} {name!r} is not a valid SQL identifier "
-            "([A-Za-z_][A-Za-z0-9_.]*)"
+            "(dot-separated [A-Za-z_][A-Za-z0-9_]* segments)"
         )
     return name
 

@@ -448,7 +448,8 @@ def heavy_hitters(make_ds, *, key_col: str, k: int):
        is broadcast via ray.put; one more streaming pass counts ONLY
        candidate keys exactly (np.isin screen, combiner partials, one
        candidate-sized groupby-sum), and count * k > n filters the final
-       answer.
+       answer. n_total rides along pass 1 as null-keyed sentinel rows, so
+       the input executes exactly twice.
 
     `make_ds` is a zero-arg callable returning the input Dataset (two
     passes — a Dataset can't be iterated twice). Returns (key, n) sorted
@@ -460,36 +461,48 @@ def heavy_hitters(make_ds, *, key_col: str, k: int):
     if k < 2:
         raise ValueError("k must be >= 2")
 
+    key_types: dict[str, object] = {}
+
     def batch_heavy(b: pa.Table) -> pa.Table:
+        # candidates above the batch 1/k threshold, plus ONE null-keyed
+        # sentinel row carrying the batch size so n_total comes out of the
+        # same pass (the operator is strictly two passes over the input)
         keys = np.asarray(b[key_col])
         n_b = len(keys)
         if n_b == 0:
-            return pa.table({key_col: pa.array([], type=b[key_col].type)})
-        uniq, cnt = np.unique(keys, return_counts=True)
-        keep = cnt * k > n_b
-        return pa.table({key_col: pa.array(uniq[keep], type=b[key_col].type)})
+            uniq = keys[:0]
+            keep = np.zeros(0, dtype=bool)
+        else:
+            uniq, cnt = np.unique(keys, return_counts=True)
+            keep = cnt * k > n_b
+        key_arr = pa.array(uniq[keep], type=b[key_col].type)
+        return pa.table({
+            key_col: pa.concat_arrays(
+                [key_arr, pa.array([None], type=b[key_col].type)]
+            ),
+            "n_b": pa.array(
+                np.concatenate([np.zeros(len(key_arr), dtype=np.int64),
+                                [n_b]])
+            ),
+        })
 
-    cand_tbl = (
+    summ = (
         make_ds()
         .select_columns([key_col])
         .map_batches(batch_heavy, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=65536)
-        .groupby(key_col)
-        .count()
-        .select_columns([key_col])
-        .to_pandas()  # candidate-sized driver state (< k x num_batches)
+        .to_pandas()  # candidate-sized (< (k+1) rows per batch)
     )
-    n_total = make_ds().count()
-    if len(cand_tbl) == 0 or key_col not in cand_tbl.columns:
-        # a zero-row groupby output arrives with no columns at all — take
-        # the key type from the input schema instead
+    n_total = int(summ.loc[summ[key_col].isna(), "n_b"].sum())
+    cand_vals = summ.loc[~summ[key_col].isna(), key_col].unique()
+    if len(cand_vals) == 0:
         sch = make_ds().schema()
         ktype = dict(zip(sch.names, sch.types))[key_col]
         return rd.from_arrow(pa.table({
             key_col: pa.array([], type=ktype),
             "n": pa.array([], type=pa.int64()),
         }))
-    cand = np.sort(cand_tbl[key_col].to_numpy())
+    cand = np.sort(np.asarray(cand_vals))
     cand_ref = ray.put(cand)
 
     def count_candidates(b: pa.Table) -> pa.Table:

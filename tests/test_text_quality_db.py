@@ -250,6 +250,14 @@ def test_csv_sniffer_dialects(ray_session, tmp_path):
     assert d4["quote_char"] == "'"
     assert d4["column_names"] == ["id", "desc"]
 
+    # incidental paired apostrophes in UNQUOTED data must NOT flip the
+    # quote char (field-bounded rule): "'Lil' Bob" pairs up but never
+    # bounds a whole field
+    p5 = tmp_path / "e.csv"
+    p5.write_text("id,nick\n1,'Lil' Bob\n2,'Big' Al\n")
+    d5 = sniff_csv(str(p5))
+    assert d5["quote_char"] == '"'
+
 
 def test_read_csv_dialect_headerless_requires_names(tmp_path):
     """ADVICE r4: has_header=False without column_names used to silently

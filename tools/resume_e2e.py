@@ -77,24 +77,11 @@ def _first_sink_file(watch_dir: str) -> bool:
                           recursive=True))
 
 
-def _manifest_has_records(watch_dir: str) -> bool:
-    """True once _manifest.json exists with >=1 committed partition record
-    (the checkpointed lanes commit the manifest incrementally — killing
-    after the first commit but before the last proves skip-on-resume)."""
-    p = os.path.join(watch_dir, "_manifest.json")
-    try:
-        with open(p) as fh:
-            return bool(json.load(fh).get("partitions"))
-    except (OSError, json.JSONDecodeError):
-        return False
-
-
-def _run_and_kill(cmd: list[str], watch_dir: str, grace_s: float,
-                  ready=None) -> bool:
-    """Start the job in its own process group; SIGKILL the group once
-    `ready(watch_dir)` turns true (default: first sink parquet file) plus a
-    small grace. Returns True if we actually killed it mid-run."""
-    ready = ready or _first_sink_file
+def _run_and_kill(cmd: list[str], watch_dir: str, grace_s: float) -> bool:
+    """Start the job in its own process group; SIGKILL the group once the
+    first sink parquet file appears plus a small grace. Returns True if we
+    actually killed it mid-run."""
+    ready = _first_sink_file
     env = dict(os.environ, RAY_ADDRESS="local")
     proc = subprocess.Popen(
         cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
@@ -168,7 +155,11 @@ def main() -> int:
         "bit_identical": dg == dr,
         "gold_wall_s": round(gold_wall, 2),
     }
-    ok = dg == dr and gold["rows_out"] == resumed["rows_out"] and len(dg) > 0
+    # killed must be True: a run that finished before the SIGKILL landed
+    # proves only idempotent rerun, not resume — fail the drill so it is
+    # re-run with more rows / smaller grace
+    ok = (dg == dr and gold["rows_out"] == resumed["rows_out"]
+          and len(dg) > 0 and killed)
     print(f"{lane}: killed={killed} partial_files={partial} "
           f"files={len(dg)} bit_identical={dg == dr}")
 
