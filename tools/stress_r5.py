@@ -198,6 +198,43 @@ def stress_incremental_dedup(n_base: int, n_new: int) -> dict:
     }
 
 
+def stress_heavy_hitters(n_rows: int) -> dict:
+    import ray.data as rd
+
+    from getml_community_ray.stages.groupby import heavy_hitters
+
+    def add_key(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["id"], dtype=np.int64)
+        key = np.where(ids % 10 < 3, 0, ids % 997)  # key 0 holds ~30%
+        return pa.table({"key": pa.array(key)})
+
+    def make():
+        return rd.range(n_rows).map_batches(
+            add_key, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    t0 = time.perf_counter()
+    out = heavy_hitters(make, key_col="key", k=50).to_pandas()
+    wall = time.perf_counter() - t0
+    # exactly one heavy key: key 0 = {id % 10 < 3} plus the multiples of
+    # 997 whose id % 10 >= 3 (every other key holds ~0.07%). Closed-form
+    # recount:
+    head = np.arange(10, dtype=np.int64)
+    base = (int(np.count_nonzero(head < 3)) * (n_rows // 10)
+            + int(np.count_nonzero(head[: n_rows % 10] < 3)))
+    mult = np.arange(0, n_rows, 997, dtype=np.int64)
+    extra = int(np.count_nonzero(mult % 10 >= 3))
+    exp_n0 = base + extra
+    assert out["key"].tolist() == [0], out
+    assert int(out["n"].iloc[0]) * 50 > n_rows
+    assert int(out["n"].iloc[0]) == exp_n0, (int(out["n"].iloc[0]), exp_n0)
+    return {
+        "op": "heavy_hitters", "rows": n_rows, "k": 50,
+        "heavy_keys": 1, "hot_count": int(out["n"].iloc[0]),
+        "wall_s": round(wall, 2), "rows_per_s": round(n_rows / wall),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=200_000_000)
@@ -224,6 +261,7 @@ def main() -> int:
         (stress_shuffle, {"n_rows": args.rows}),
         (stress_stratified, {"n_rows": args.rows}),
         (stress_incremental_dedup, {"n_base": args.base, "n_new": args.new}),
+        (stress_heavy_hitters, {"n_rows": args.rows}),
     ):
         r = fn(**kw)
         report[r["op"]] = r
