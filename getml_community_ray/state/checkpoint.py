@@ -103,9 +103,25 @@ class Manifest:
                     done.add(part)
         return done
 
-    def update(self, recs: list[PartitionRecord]):
+    # Minimum seconds between on-disk flushes during incremental commits.
+    # The manifest file is O(partitions); rewriting it per metrics block
+    # is O(P^2) bytes at high partition counts. A deferred record is
+    # merely recomputed on resume (never wrong), so throttling flushes
+    # costs at most `flush_interval_s` of work on a crash. Callers that
+    # need durability NOW (end of job) pass force=True.
+    flush_interval_s = 1.0
+
+    def update(self, recs: list[PartitionRecord], *, force: bool = True):
         for r in recs:
             self.records[r.partition] = r
+        now = time.monotonic()
+        last = getattr(self, "_last_flush", 0.0)
+        if not force and now - last < self.flush_interval_s:
+            self._dirty = True
+            return
+        self._flush(now)
+
+    def _flush(self, now: float | None = None):
         tmp = self.path + ".tmp"
         os.makedirs(self.out_dir, exist_ok=True)
         with open(tmp, "w") as f:
@@ -120,6 +136,8 @@ class Manifest:
                 indent=1,
             )
         os.replace(tmp, self.path)
+        self._last_flush = time.monotonic() if now is None else now
+        self._dirty = False
 
 
 def _maybe_crash_after_commit(n_committed: int) -> None:
@@ -273,7 +291,7 @@ def checkpointed_rollup(
             for r in mb.itertuples()
         ]
         if batch_recs:
-            manifest.update(batch_recs)
+            manifest.update(batch_recs, force=False)
             recs.extend(batch_recs)
             _maybe_crash_after_commit(len(recs))
     # hash holes: pending partitions that received no rows are complete too
@@ -530,7 +548,7 @@ def checkpointed_rollup_timerange(
             for r in mb.itertuples()
         ]
         if batch_recs:
-            manifest.update(batch_recs)
+            manifest.update(batch_recs, force=False)
             recs.extend(batch_recs)
             _maybe_crash_after_commit(len(recs))
     seen = {r.partition for r in recs}
