@@ -1586,6 +1586,7 @@ def token_incremental_dedup(
     *,
     tokens_col: str = "tokens",
     id_col: str = "doc_key",
+    cache_base_hashes: bool = True,
 ):
     """Incremental-ingestion dedup: keep only `new_ds` sequences whose
     token content does NOT already exist in `base_ds` — the standing-corpus
@@ -1625,6 +1626,14 @@ def token_incremental_dedup(
                             zero_copy_batch=True)
     bh = base_ds.map_batches(add_hash, batch_format="pyarrow",
                              zero_copy_batch=True).select_columns(["_h"])
+    if cache_base_hashes:
+        # The base side is consumed twice (Bloom build + the confirm
+        # join's right side); materializing just its 8-byte hash column
+        # avoids a second full decode+hash of the standing corpus. At
+        # 10^10 base rows that is ~80 GB across the cluster's object
+        # store vs a second petabyte-scale scan — set False if the
+        # cluster can't hold it.
+        bh = bh.materialize()
 
     # probable dups (no false negatives): novel rows need no join at all
     cand = bloom_semi_join(nh, bh, on="_h")

@@ -241,6 +241,8 @@ def main() -> int:
     ap.add_argument("--base", type=int, default=2_000_000)
     ap.add_argument("--new", type=int, default=200_000)
     ap.add_argument("--json", default="")
+    ap.add_argument("--only", default="",
+                    help="comma-separated op names to run (default all)")
     args = ap.parse_args()
 
     import ray
@@ -256,6 +258,7 @@ def main() -> int:
         ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     )
 
+    only = set(args.only.split(",")) if args.only else None
     report = {"num_cpus": ncpu}
     for fn, kw in (
         (stress_shuffle, {"n_rows": args.rows}),
@@ -263,6 +266,8 @@ def main() -> int:
         (stress_incremental_dedup, {"n_base": args.base, "n_new": args.new}),
         (stress_heavy_hitters, {"n_rows": args.rows}),
     ):
+        if only and fn.__name__.removeprefix("stress_") not in only:
+            continue
         r = fn(**kw)
         report[r["op"]] = r
         print(json.dumps(r))
