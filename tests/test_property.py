@@ -83,3 +83,38 @@ def test_kernels_match_oracle_random(rows):
                 assert got == want or abs(got - want) <= 1e-9 * max(
                     1.0, abs(want)
                 ), (a, g, gv, gt, got, want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=400),
+    st.integers(2, 20),
+    st.data(),
+)
+def test_heavy_hitter_batch_screen_superset(keys, k, data):
+    """The pigeonhole invariant behind stages/groupby.heavy_hitters: for ANY
+    split of the rows into batches, the union of per-batch candidates
+    (batch count * k > batch size) is a superset of the true heavy hitters
+    (total count * k > n) — so the confirm pass can never miss one."""
+    arr = np.asarray(keys, dtype=np.int64)
+    n = len(arr)
+    # random batch split
+    n_cuts = data.draw(st.integers(0, min(10, n - 1)))
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(1, n - 1), min_size=n_cuts,
+                     max_size=n_cuts, unique=True)
+        )
+    ) if n > 1 else []
+    batches = np.split(arr, cuts)
+
+    cands = set()
+    for b in batches:
+        if len(b) == 0:
+            continue
+        uniq, cnt = np.unique(b, return_counts=True)
+        cands.update(uniq[cnt * k > len(b)].tolist())
+
+    uniq, cnt = np.unique(arr, return_counts=True)
+    heavy = set(uniq[cnt * k > n].tolist())
+    assert heavy <= cands, (heavy - cands, k, cuts)
