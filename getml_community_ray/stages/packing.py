@@ -411,7 +411,11 @@ def stratified_sample(
     # groupby: Ray's native groupby().aggregate(Count) sort-shuffles whole
     # rows — measured 10x slower than this at 200M rows in STRESS_r5
     def count_partial(b: pa.Table) -> pa.Table:
-        keys = np.asarray(b[key_col])
+        # null keys never receive a quota (bottom_quota's lookup misses and
+        # drops them) — drop them here too, matching the replaced native
+        # groupby path's net behavior and keeping np.unique off None/NaN
+        col = b[key_col].combine_chunks().drop_null()
+        keys = np.asarray(col)
         uniq, cnt = np.unique(keys, return_counts=True)
         return pa.table({
             key_col: pa.array(uniq, type=b[key_col].type),
@@ -435,6 +439,16 @@ def stratified_sample(
     def bottom_quota(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return t
+        col = t[key_col]
+        if col.null_count:
+            # null keys carry no quota; dropping them here also keeps an
+            # int key column from surfacing as float64+NaN (which would
+            # never match the integer quota keys)
+            import pyarrow.compute as _pc
+
+            t = t.filter(_pc.is_valid(col))
+            if len(t) == 0:
+                return t
         q = ray.get(q_ref)
         key = np.asarray(t[key_col])
         ids = np.asarray(t[id_col], dtype=np.int64)

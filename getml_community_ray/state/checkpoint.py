@@ -117,7 +117,9 @@ class Manifest:
         now = time.monotonic()
         last = getattr(self, "_last_flush", 0.0)
         if not force and now - last < self.flush_interval_s:
-            self._dirty = True
+            # deferred records stay in memory only; durability comes from
+            # the caller's job-end update(force=True) — a crash before it
+            # just recomputes the unflushed partitions on resume
             return
         self._flush(now)
 
@@ -137,15 +139,17 @@ class Manifest:
             )
         os.replace(tmp, self.path)
         self._last_flush = time.monotonic() if now is None else now
-        self._dirty = False
 
 
 def _maybe_crash_after_commit(n_committed: int) -> None:
     """Fault-injection hook for the kill-and-resume drill
     (tools/resume_e2e.py): when GRAFT_CRASH_AFTER_COMMITS=N is set, the
     driver hard-exits (SIGKILL-equivalent, no cleanup) once N partitions
-    have been committed to the manifest — a deterministic stand-in for a
-    preempted driver with a partial manifest on disk."""
+    have been committed IN MEMORY — with the flush throttle the on-disk
+    manifest may lag by up to one flush interval, so the drill reads the
+    durable count back from _manifest.json rather than trusting N. A
+    deterministic stand-in for a preempted driver with a partial manifest
+    on disk."""
     limit = os.environ.get("GRAFT_CRASH_AFTER_COMMITS")
     if limit and n_committed >= int(limit):
         os._exit(137)

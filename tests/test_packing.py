@@ -416,3 +416,45 @@ def test_token_incremental_dedup_brute(ray_session):
             if tuple(r.tolist()) not in base_set}
     assert set(out["doc_key"]) == want
     assert len(out) == 20  # all copies dropped, all novel kept
+
+
+def test_stratified_sample_null_keys(ray_session):
+    """Null stratification keys never receive a quota and are dropped —
+    and must not crash the counts combiner (r5 review regression)."""
+    import ray.data as rd
+    from getml_community_ray.stages.packing import stratified_sample
+
+    n = 2_000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": pd.array(
+            [None if i % 7 == 0 else f"s{i % 5}" for i in range(n)],
+            dtype="string",
+        ),
+    })
+    out = stratified_sample(
+        rd.from_pandas(df, override_num_blocks=4),
+        key_col="k", id_col="id", num=1, den=4, num_partitions=8,
+    ).to_pandas()
+    non_null = df[df["k"].notna()]
+    expect = int(sum(
+        (len(g) * 1) // 4 for _, g in non_null.groupby("k")
+    ))
+    assert len(out) == expect
+    assert out["k"].notna().all()
+
+    # int64 keys with nulls go through the same path
+    df2 = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": pd.array(
+            [None if i % 11 == 0 else i % 3 for i in range(n)],
+            dtype="Int64",
+        ),
+    })
+    out2 = stratified_sample(
+        rd.from_pandas(df2, override_num_blocks=3),
+        key_col="k", id_col="id", num=1, den=4, num_partitions=8,
+    ).to_pandas()
+    nn2 = df2[df2["k"].notna()]
+    expect2 = int(sum((len(g) * 1) // 4 for _, g in nn2.groupby("k")))
+    assert len(out2) == expect2

@@ -258,7 +258,10 @@ def main() -> int:
         ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     )
 
+    known = {"shuffle", "stratified", "incremental_dedup", "heavy_hitters"}
     only = set(args.only.split(",")) if args.only else None
+    if only and not only <= known:
+        ap.error(f"unknown --only names {sorted(only - known)}; known: {sorted(known)}")
     report = {"num_cpus": ncpu}
     for fn, kw in (
         (stress_shuffle, {"n_rows": args.rows}),
